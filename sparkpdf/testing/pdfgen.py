@@ -1,0 +1,413 @@
+"""Deterministic synthetic-PDF builder — FIXTURES.md §2 feature matrix.
+
+Everything is enumeration-deterministic (no randomness): the same call
+always yields byte-identical PDFs, so goldens and benches are stable.
+This module is also used DISTRIBUTED (inside mapInPandas) to synthesise
+the pdf_raw corpus from /root/testdata documents rows.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import zlib
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+HEADER = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+
+
+def esc_string(s: Union[str, bytes]) -> bytes:
+    """Escape for a ( ) literal string."""
+    if isinstance(s, str):
+        s = s.encode("latin-1", "replace")
+    return (
+        s.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    )
+
+
+def hex_string(data: bytes) -> bytes:
+    return b"<" + binascii.hexlify(data) + b">"
+
+
+# --- stream filter ENCODERS (inverse of kernels/filters.py) ------------------
+
+def flate_encode(data: bytes) -> bytes:
+    return zlib.compress(data)
+
+
+def flate_png_up_encode(data: bytes, columns: int) -> bytes:
+    """PNG predictor 12 (Up): rows of `columns` bytes, filter byte 2."""
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    prev = bytes(columns)
+    out = bytearray()
+    for row in rows:
+        row = row.ljust(columns, b"\x00")
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return zlib.compress(bytes(out))
+
+
+def flate_png_paeth_encode(data: bytes, columns: int) -> bytes:
+    """PNG predictor 15 with per-row filter type 4 (Paeth), bpp=1."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    rows = [data[i : i + columns].ljust(columns, b"\x00") for i in range(0, len(data), columns)]
+    prev = bytes(columns)
+    out = bytearray()
+    for row in rows:
+        out.append(4)
+        for i in range(columns):
+            a = row[i - 1] if i > 0 else 0
+            b = prev[i]
+            c = prev[i - 1] if i > 0 else 0
+            out.append((row[i] - paeth(a, b, c)) & 0xFF)
+        prev = row
+    return zlib.compress(bytes(out))
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Variable-width LZW matching the decoder's growth rule
+    (width++ once the table reaches 2**width - 1, "early change")."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bitbuf = 0
+    nbits = 0
+    result = bytearray()
+
+    def emit(code, w):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            result.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256, width)  # CLEAR
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # STOP
+    if nbits:
+        result.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(result)
+
+
+def ahx_encode(data: bytes) -> bytes:
+    return binascii.hexlify(data) + b">"
+
+
+def a85_encode(data: bytes) -> bytes:
+    return base64.a85encode(data) + b"~>"
+
+
+def encode_stream(data: bytes, filters: Sequence[str]) -> Tuple[bytes, bytes]:
+    """Apply encoders in reverse filter order; returns (raw, dict_extra)."""
+    parms_entries: List[bytes] = []
+    raw = data
+    for f in reversed(filters):
+        if f == "FlateDecode":
+            raw = flate_encode(raw)
+            parms_entries.insert(0, b"null")
+        elif f == "FlatePred12":
+            columns = 16
+            raw = flate_png_up_encode(raw, columns)
+            parms_entries.insert(
+                0, b"<< /Predictor 12 /Columns %d >>" % columns
+            )
+        elif f == "FlatePred15":
+            columns = 16
+            raw = flate_png_paeth_encode(raw, columns)
+            parms_entries.insert(
+                0, b"<< /Predictor 15 /Columns %d >>" % columns
+            )
+        elif f == "LZWDecode":
+            raw = lzw_encode(raw)
+            parms_entries.insert(0, b"null")
+        elif f == "ASCIIHexDecode":
+            raw = ahx_encode(raw)
+            parms_entries.insert(0, b"null")
+        elif f == "ASCII85Decode":
+            raw = a85_encode(raw)
+            parms_entries.insert(0, b"null")
+        else:
+            raise ValueError(f"no encoder for {f}")
+    names = b" ".join(
+        b"/" + {"FlatePred12": "FlateDecode", "FlatePred15": "FlateDecode"}
+        .get(f, f)
+        .encode()
+        for f in filters
+    )
+    extra = b""
+    if len(filters) == 1:
+        extra += b"/Filter " + names
+    elif filters:
+        extra += b"/Filter [" + names + b"]"
+    if any(p != b"null" for p in parms_entries):
+        if len(parms_entries) == 1:
+            extra += b" /DecodeParms " + parms_entries[0]
+        else:
+            extra += b" /DecodeParms [" + b" ".join(parms_entries) + b"]"
+    return raw, extra
+
+
+# --- low-level document assembly --------------------------------------------
+
+class PdfBuilder:
+    """Assigns object numbers, serializes bodies, writes the xref."""
+
+    def __init__(self):
+        self.bodies: List[Optional[bytes]] = []  # index i -> object i+1
+
+    def add(self, body: bytes) -> int:
+        """Reserve the next object number; body is raw object syntax."""
+        self.bodies.append(body)
+        return len(self.bodies)
+
+    def add_stream(self, dict_extra: bytes, raw: bytes) -> int:
+        body = (
+            b"<< " + dict_extra + b" /Length %d >>\nstream\n" % len(raw)
+            + raw
+            + b"\nendstream"
+        )
+        return self.add(body)
+
+    def build(
+        self,
+        root: int,
+        info: Optional[int] = None,
+        xref_style: str = "table",
+        encrypt: Optional[int] = None,
+        file_id: bytes = b"0123456789abcdef",
+        startxref_delta: int = 0,
+        startxref_garbage: bool = False,
+        multisection: bool = False,
+        nonzero_index: bool = False,
+    ) -> bytes:
+        out = bytearray(HEADER)
+        offsets: Dict[int, int] = {}
+        for i, body in enumerate(self.bodies, start=1):
+            if body is None:
+                continue
+            offsets[i] = len(out)
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        trailer_extra = b""
+        if info:
+            trailer_extra += b" /Info %d 0 R" % info
+        if encrypt:
+            trailer_extra += b" /Encrypt %d 0 R" % encrypt
+        trailer_extra += (
+            b" /ID [" + hex_string(file_id) + b" " + hex_string(file_id) + b"]"
+        )
+        n = len(self.bodies)
+        if xref_style == "table":
+            xref_pos = len(out)
+            out += b"xref\n"
+            if nonzero_index:
+                out += b"1 %d\n" % n
+                rows = range(1, n + 1)
+                for i in rows:
+                    out += b"%010d %05d n \n" % (offsets.get(i, 0), 0)
+            elif multisection and n > 3:
+                out += b"0 3\n"
+                out += b"0000000000 65535 f \n"
+                for i in (1, 2):
+                    out += b"%010d %05d n \n" % (offsets.get(i, 0), 0)
+                out += b"3 %d\n" % (n - 2)
+                for i in range(3, n + 1):
+                    out += b"%010d %05d n \n" % (offsets.get(i, 0), 0)
+            else:
+                out += b"0 %d\n" % (n + 1)
+                out += b"0000000000 65535 f \n"
+                for i in range(1, n + 1):
+                    out += b"%010d %05d n \n" % (offsets.get(i, 0), 0)
+            out += (
+                b"trailer\n<< /Size %d /Root %d 0 R" % (n + 1, root)
+                + trailer_extra
+                + b" >>\n"
+            )
+        elif xref_style == "stream":
+            # xref stream object gets the next object number
+            xref_obj = n + 1
+            xref_pos = len(out)
+            entries = bytearray()
+            entries += bytes([0, 0, 0, 0, 0, 255, 255])  # obj 0: free
+            for i in range(1, n + 1):
+                off = offsets.get(i, 0)
+                entries += bytes([1]) + off.to_bytes(4, "big") + b"\x00\x00"
+            entries += bytes([1]) + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+            raw = zlib.compress(bytes(entries))
+            out += b"%d 0 obj\n" % xref_obj
+            out += (
+                b"<< /Type /XRef /W [1 4 2] /Size %d /Root %d 0 R" % (xref_obj + 1, root)
+                + trailer_extra
+                + b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(raw)
+                + raw
+                + b"\nendstream\nendobj\n"
+            )
+        else:
+            raise ValueError(xref_style)
+        sx = xref_pos + startxref_delta
+        if startxref_garbage:
+            sx = len(out) + 12345
+        out += b"startxref\n%d\n%%%%EOF\n" % sx
+        return bytes(out)
+
+
+# --- page-level convenience --------------------------------------------------
+
+FONT_STD = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+FONT_WINANSI = (
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    b" /Encoding /WinAnsiEncoding >>"
+)
+FONT_MACROMAN = (
+    b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    b" /Encoding /MacRomanEncoding >>"
+)
+FONT_SYMBOL = b"<< /Type /Font /Subtype /Type1 /BaseFont /Symbol >>"
+FONT_DINGBATS = b"<< /Type /Font /Subtype /Type1 /BaseFont /ZapfDingbats >>"
+
+
+def font_differences(diffs: bytes, base: bytes = b"/StandardEncoding") -> bytes:
+    return (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding"
+        b" << /Type /Encoding /BaseEncoding " + base
+        + b" /Differences " + diffs + b" >> >>"
+    )
+
+
+def simple_pdf(
+    page_contents: Sequence[Union[bytes, Sequence[bytes]]],
+    fonts: Optional[Dict[bytes, Union[bytes, int]]] = None,
+    content_filters: Sequence[str] = (),
+    xref_style: str = "table",
+    builder_hook=None,
+    **build_kwargs,
+) -> bytes:
+    """One /Pages tree, shared resources, one content stream per page
+    (or a list -> /Contents array)."""
+    b = PdfBuilder()
+    font_refs: Dict[bytes, int] = {}
+    for name, spec in (fonts or {b"/F1": FONT_STD}).items():
+        font_refs[name] = spec if isinstance(spec, int) else b.add(spec)
+    res = (
+        b"<< /Font << "
+        + b" ".join(n + b" %d 0 R" % r for n, r in font_refs.items())
+        + b" >> /ProcSet [/PDF /Text] >>"
+    )
+    res_ref = b.add(res)
+    page_refs: List[int] = []
+    pages_ref_num = None
+    content_refs: List[Tuple[List[int], int]] = []
+    for contents in page_contents:
+        if isinstance(contents, (bytes, bytearray)):
+            contents = [bytes(contents)]
+        refs = []
+        for data in contents:
+            raw, extra = encode_stream(data, content_filters)
+            refs.append(b.add_stream(extra, raw))
+        content_refs.append((refs, 0))
+    # pages tree object comes after contents so numbers are predictable
+    kids_nums = []
+    for refs, _ in content_refs:
+        if len(refs) == 1:
+            cts = b"%d 0 R" % refs[0]
+        else:
+            cts = b"[" + b" ".join(b"%d 0 R" % r for r in refs) + b"]"
+        page_body_tpl = (
+            b"<< /Type /Page /Parent {parent} 0 R /Contents " + cts + b" >>"
+        )
+        kids_nums.append(page_body_tpl)
+    parent_num = len(b.bodies) + len(kids_nums) + 1
+    for tpl in kids_nums:
+        page_refs.append(b.add(tpl.replace(b"{parent}", b"%d" % parent_num)))
+    pages_ref_num = b.add(
+        b"<< /Type /Pages /Kids ["
+        + b" ".join(b"%d 0 R" % r for r in page_refs)
+        + b"] /Count %d /Resources " % len(page_refs)
+        + res
+        + b" /MediaBox [0 0 612 792] >>"
+    )
+    assert pages_ref_num == parent_num
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_ref_num)
+    if builder_hook:
+        builder_hook(b)
+    return b.build(root, xref_style=xref_style, **build_kwargs)
+
+
+def text_content(lines: Sequence[Union[str, bytes]], font: bytes = b"/F1") -> bytes:
+    """BT /F1 12 Tf (line) Tj ... ET — one Tj per line."""
+    parts = [b"BT " + font + b" 12 Tf"]
+    for line in lines:
+        parts.append(b"(" + esc_string(line) + b") Tj")
+    parts.append(b"ET")
+    return b" ".join(parts)
+
+
+# --- the distributed corpus builder (entry()/bench path) ---------------------
+
+def doc_to_pdf(text: str, n_media: int = 1) -> bytes:
+    """One deterministic PDF per corpus document.
+
+    Contract with the oracle SQL (see __spark_entry__.oracle_sql): the
+    extracted full_text equals regexp_replace(text, '[^ -~]', '?') plus
+    a trailing newline, and exactly `n_media` media spans named
+    'img%02d' follow the text span.
+    """
+    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    content = bytearray(b"BT /F1 12 Tf (" + esc_string(printable) + b") Tj ET")
+    b = PdfBuilder()
+    f1 = b.add(FONT_STD)
+    xo_refs = []
+    for k in range(n_media):
+        xo_refs.append(
+            (
+                b"/img%02d" % k,
+                b.add_stream(
+                    b"/Type /XObject /Subtype /Image /Width 1 /Height 1"
+                    b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                    b" /Filter /DCTDecode",
+                    b"\xff\xd8\xff\xdb-fake-jpeg-%d\xff\xd9" % k,
+                ),
+            )
+        )
+    for name, _ in xo_refs:
+        content += b" q " + name + b" Do Q"
+    raw, extra = encode_stream(bytes(content), ["FlateDecode"])
+    cref = b.add_stream(extra, raw)
+    res = (
+        b"<< /Font << /F1 %d 0 R >> /XObject << " % f1
+        + b" ".join(n + b" %d 0 R" % r for n, r in xo_refs)
+        + b" >> >>"
+    )
+    page = b.add(
+        b"<< /Type /Page /Parent {p} 0 R /Resources " + res
+        + b" /MediaBox [0 0 612 792] /Contents %d 0 R >>" % cref
+    )
+    pages = b.add(
+        b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
+    )
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    return b.build(root)
