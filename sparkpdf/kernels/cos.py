@@ -212,8 +212,10 @@ def parse_literal_string(buf: bytes, pos: int):
 
 
 def parse_hex_string(buf: bytes, pos: int):
-    """<hex>; whitespace tolerated, odd length pads '0'
-    (parity: readHexStringFromStream, generic.py:500-535)."""
+    """<hex>; whitespace tolerated, odd length pads '0'. Always a BYTE
+    string — the reference applies the UTF-16 BOM sniff only to literal
+    strings (readHexStringFromStream, generic.py:500-535, returns
+    ByteStringObject unconditionally)."""
     if buf[pos : pos + 1] != b"<":
         raise PdfError(f"expected '<' at {pos}")
     m = _HEX_BODY.match(buf, pos + 1)
@@ -223,7 +225,7 @@ def parse_hex_string(buf: bytes, pos: int):
     hexs = _NONHEX.sub(b"", m.group())
     if len(hexs) % 2:
         hexs += b"0"
-    return make_string(bytes.fromhex(hexs.decode("ascii"))), end + 1
+    return bytes.fromhex(hexs.decode("ascii")), end + 1
 
 
 def parse_dict(buf: bytes, pos: int, resolve: Optional[Callable] = None):

@@ -72,6 +72,41 @@ def _user_password_hash(key: bytes, id1: bytes, rev: int) -> bytes:
     return val + val[:16]  # padded to 32 in files; compare first 16
 
 
+def make_owner_entry(owner_pwd: bytes, user_pwd: bytes, rev: int, keylen: int) -> bytes:
+    """Algorithm 3: the /O entry (write side, used by the fixture
+    generator only)."""
+    key = hashlib.md5((owner_pwd or user_pwd) + _PAD).digest()
+    if rev >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:keylen]
+    val = rc4(key, (user_pwd + _PAD)[:32])
+    if rev >= 3:
+        for i in range(1, 20):
+            val = rc4(bytes(b ^ i for b in key), val)
+    return val
+
+
+def make_encrypt_parts(
+    user_pwd: bytes, owner_pwd: bytes, p: int, id1: bytes, rev: int, keylen: int
+):
+    """Returns (o_entry, u_entry, file_key) for a standard-handler
+    /Encrypt dict (fixture write side)."""
+    o = make_owner_entry(owner_pwd, user_pwd, rev, keylen)
+    key = _compute_key(user_pwd, o, p, id1, rev, keylen)
+    u = _user_password_hash(key, id1, rev)
+    if rev >= 3:
+        u = u[:16] + b"\x00" * 16
+    return o, u, key
+
+
+def object_key(file_key: bytes, idnum: int, gen: int) -> bytes:
+    m = hashlib.md5(
+        file_key + struct.pack("<i", idnum)[:3] + struct.pack("<i", gen)[:2]
+    )
+    return m.digest()[: min(len(file_key) + 5, 16)]
+
+
 class StandardDecryptor:
     def __init__(self, enc: dict, id1: bytes, password: bytes = b""):
         if enc.get("/Filter") != "/Standard":

@@ -20,7 +20,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-_R = "�"  # replacement char for unmapped codes
+_R = "\u0000"  # unmapped codes decode to NUL (reference parity:
+# generic.py:1709-1714 uses "\\u0000" table entries for unmapped bytes)
 
 
 def _table(overrides: Dict[int, str], base: Optional[List[str]] = None) -> List[str]:

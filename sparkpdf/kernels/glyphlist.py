@@ -90,7 +90,7 @@ def _build() -> Dict[str, str]:
             "currency": "¤", "section": "§", "paragraph": "¶",
             "periodcentered": "·", "degree": "°", "plusminus": "±",
             "multiply": "×", "divide": "÷", "copyright": "©",
-            "registered": "®", "trademark": "™", "Euro": "€",
+            "registered": "®", "trademark": "™", "Euro": "€", "euro": "€",
             "brokenbar": "¦", "mu": "µ", "middot": "·", "nbspace": " ",
             "onequarter": "¼", "onehalf": "½", "threequarters": "¾",
             "onesuperior": "¹", "twosuperior": "²", "threesuperior": "³",
