@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)     : flagship — synthesize a deterministic PDF corpus from
+                   sf0.001 documents, run the full span-extraction
+                   pipeline, return documents_interleaved.
+queries()        : one entry per implemented operator (SURVEY.md §2 +
+                   training-data ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()     : DuckDB-runnable ANSI SQL producing the same rows
+                   (column names aligned on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkpdf.operators.text import STOPWORDS as _STOPWORDS
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkpdf.operators.extract import synthesize_pdf_corpus
+
+    return synthesize_pdf_corpus(_t(spark, sf_dir, "documents"))
+
+
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sparkpdf.operators.extract import extract_spans
+
+    return extract_spans(_corpus(spark, sf_dir))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents -> pdf_raw -> documents_interleaved."""
+    return _spans(spark, "/root/testdata/sf0.001")
+
+
+# --- query implementations ---------------------------------------------------
+
+def q_extract_spans(spark, sf_dir):
+    from sparkpdf.operators.spans import doc_full_text, span_counts
+
+    spans = _spans(spark, sf_dir)
+    counts = span_counts(spans)
+    text = doc_full_text(spans)
+    return (
+        counts.join(text, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_text",
+            "n_media",
+            "full_text",
+        )
+    )
+
+
+def q_extract_full_text(spark, sf_dir):
+    from sparkpdf.operators.spans import doc_full_text
+
+    return doc_full_text(_spans(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "full_text"
+    )
+
+
+def q_docinfo_project(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_docinfo
+
+    return extract_docinfo(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "title",
+        "producer",
+        "info_n_pages",
+    )
+
+
+def q_remove_text(spark, sf_dir):
+    from sparkpdf.operators.spans import remove_text, span_counts
+
+    return span_counts(remove_text(_spans(spark, sf_dir))).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_text", "n_media", "n_spans"
+    )
+
+
+def q_remove_images(spark, sf_dir):
+    from sparkpdf.operators.spans import remove_images, span_counts
+
+    return span_counts(remove_images(_spans(spark, sf_dir))).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "n_text", "n_media", "n_spans"
+    )
+
+
+def q_merge_docs(spark, sf_dir):
+    from sparkpdf.operators.spans import merge_docs
+
+    spans = _spans(spark, sf_dir)
+    merged = merge_docs(spans, spans)
+    return merged.select("doc_id", F.size("spans").alias("n_spans"))
+
+
+def q_split_docs(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_page_spans
+    from sparkpdf.operators.spans import split_pages
+
+    pages = extract_page_spans(_corpus(spark, sf_dir))
+    return split_pages(pages).select("doc_id", F.size("spans").alias("n_spans"))
+
+
+def q_page_count(spark, sf_dir):
+    spans = _spans(spark, sf_dir)
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_pages").alias("page_count"),
+    )
+
+
+def q_media_catalog(spark, sf_dir):
+    from sparkpdf.operators.spans import media_catalog
+
+    return media_catalog(_spans(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        F.col("n_uses").cast("long").alias("n_uses"),
+        "first_offset",
+    )
+
+
+# --- relational analogs on the TPC-H-ish tables ------------------------------
+
+def q_form_text_filter(spark, sf_dir):
+    # P3: literal filter+project (getFormTextFields analog)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def q_obj_join(spark, sf_dir):
+    # J1: xref probe == equi-join orders->customer
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def q_font_join(spark, sf_dir):
+    # J2: broadcast dimension join (font table analog = part)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+def q_pageno_join(spark, sf_dir):
+    # J3: build/probe hash join chain supplier->nation->region
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+
+
+def q_dest_semijoin(spark, sf_dir):
+    # J5: left-semi (trim dests to selected pages analog)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_resource_merge(spark, sf_dir):
+    # J6: full-outer merge of two keyed resource sets
+    big = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 40)
+        .select(F.col("p_partkey").alias("k"), F.col("p_size").alias("size_a"))
+    )
+    pricey = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_retailprice") > 1500)
+        .select(F.col("p_partkey").alias("k"), F.col("p_size").alias("size_b"))
+    )
+    return (
+        big.join(pricey, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("size_a", F.lit(-1)).alias("size_a"),
+            F.coalesce("size_b", F.lit(-1)).alias("size_b"),
+        )
+    )
+
+
+def q_text_agg(spark, sf_dir):
+    # A2: ORDERED string aggregation (extractText assembly analog).
+    # sort_array over collected (key, val) structs gives a deterministic
+    # order without a window shuffle.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("o_orderkey"))
+                    ),
+                    lambda s: s["o_orderkey"].cast("string"),
+                ),
+                ",",
+            ).alias("order_keys")
+        )
+    )
+
+
+def q_procset_union(spark, sf_dir):
+    # A3/U3: set union of per-group name arrays
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.array_distinct(F.collect_list("c_mktsegment"))).alias(
+                "segments"
+            )
+        )
+    )
+
+
+def q_page_range_filter(spark, sf_dir):
+    # P11/O3: start:stop:step slice with stride
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_linenumber") >= 2)
+            & (F.col("l_linenumber") < 7)
+            & ((F.col("l_linenumber") - 2) % 2 == 0)
+        )
+        .groupBy("l_linenumber")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def q_merge_union(spark, sf_dir):
+    # U1: ordered UNION ALL of two page-sets analog
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("hi").alias("bucket")
+    )
+    lo = o.filter(F.col("o_totalprice") < 10000).select(
+        "o_orderkey", F.lit("lo").alias("bucket")
+    )
+    return hi.unionByName(lo).groupBy("bucket").agg(F.count("*").alias("n_orders"))
+
+
+def q_events_window(spark, sf_dir):
+    # time-windowed aggregation (batch analog of the streaming shape)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+# --- training-data pipeline operators ---------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from sparkpdf.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from sparkpdf.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from sparkpdf.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from sparkpdf.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from sparkpdf.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from sparkpdf.operators.similarity import brute_force_topk
+
+    return brute_force_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from sparkpdf.operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def q_lang_id(spark, sf_dir):
+    from sparkpdf.operators.text import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark, sf_dir):
+    from sparkpdf.operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark, sf_dir):
+    from sparkpdf.operators.text import token_count
+
+    return token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from sparkpdf.operators.text import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from sparkpdf.operators.multimodal import extract_media_features, synthesize_media
+
+    return extract_media_features(
+        synthesize_media(_t(spark, sf_dir, "documents"))
+    ).select("doc_id", "media_ref", "width", "height", "n_bytes", "sha8")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # extraction family (SURVEY §2.12/§2.13/§3.2)
+        "extract_spans": q_extract_spans,
+        "extract_full_text": q_extract_full_text,
+        "docinfo_project": q_docinfo_project,
+        "remove_text": q_remove_text,
+        "remove_images": q_remove_images,
+        "merge_docs": q_merge_docs,
+        "split_docs": q_split_docs,
+        "page_count": q_page_count,
+        "media_catalog": q_media_catalog,
+        # relational analogs (SURVEY §2.3-2.7)
+        "form_text_filter": q_form_text_filter,
+        "obj_join": q_obj_join,
+        "font_join": q_font_join,
+        "pageno_join": q_pageno_join,
+        "dest_semijoin": q_dest_semijoin,
+        "resource_merge": q_resource_merge,
+        "text_agg": q_text_agg,
+        "procset_union": q_procset_union,
+        "page_range_filter": q_page_range_filter,
+        "merge_union": q_merge_union,
+        "events_window": q_events_window,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracle SQL --------------------------------------------------------------
+
+_SANITIZED = "regexp_replace(text, '[^ -~]', '?', 'g')"
+_TOKENS = (
+    "list_filter(string_split_regex(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    sql["extract_spans"] = f"""
+        SELECT doc_id,
+               CAST(1 AS INTEGER) AS n_text,
+               CAST(1 AS INTEGER) AS n_media,
+               {_SANITIZED} || chr(10) AS full_text
+        FROM documents
     """
-    return {}
+    sql["extract_full_text"] = f"""
+        SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
+    """
+    sql["docinfo_project"] = """
+        SELECT doc_id,
+               'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               'sparkpdf' AS producer,
+               CAST(1 AS INTEGER) AS info_n_pages
+        FROM documents
+    """
+    sql["remove_text"] = """
+        SELECT doc_id, CAST(0 AS INTEGER) AS n_text,
+               CAST(1 AS INTEGER) AS n_media, CAST(1 AS INTEGER) AS n_spans
+        FROM documents
+    """
+    sql["remove_images"] = """
+        SELECT doc_id, CAST(1 AS INTEGER) AS n_text,
+               CAST(0 AS INTEGER) AS n_media, CAST(1 AS INTEGER) AS n_spans
+        FROM documents
+    """
+    sql["merge_docs"] = """
+        SELECT CAST(doc_id AS VARCHAR) || '+' AS doc_id,
+               CAST(4 AS INTEGER) AS n_spans
+        FROM documents
+    """
+    sql["split_docs"] = """
+        SELECT CAST(doc_id AS VARCHAR) || '#0' AS doc_id,
+               CAST(2 AS INTEGER) AS n_spans
+        FROM documents
+    """
+    sql["page_count"] = """
+        SELECT doc_id, CAST(1 AS INTEGER) AS page_count FROM documents
+    """
+    sql["media_catalog"] = """
+        SELECT doc_id, 'img00' AS media_ref, CAST(1 AS BIGINT) AS n_uses,
+               CAST(1 AS INTEGER) AS first_offset
+        FROM documents
+    """
+    sql["form_text_filter"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_returnflag = 'R'
+    """
+    sql["obj_join"] = """
+        SELECT c_nationkey, COUNT(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """
+    sql["font_join"] = """
+        SELECT p_brand, COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """
+    sql["pageno_join"] = """
+        SELECT r_name, COUNT(*) AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+    sql["dest_semijoin"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    """
+    sql["resource_merge"] = """
+        WITH big AS (
+            SELECT p_partkey AS k, p_size AS size_a FROM part WHERE p_size > 40
+        ), pricey AS (
+            SELECT p_partkey AS k, p_size AS size_b FROM part
+            WHERE p_retailprice > 1500
+        )
+        SELECT COALESCE(big.k, pricey.k) AS k,
+               COALESCE(size_a, -1) AS size_a,
+               COALESCE(size_b, -1) AS size_b
+        FROM big FULL OUTER JOIN pricey ON big.k = pricey.k
+    """
+    sql["text_agg"] = """
+        SELECT o_custkey,
+               string_agg(CAST(o_orderkey AS VARCHAR), ','
+                          ORDER BY o_orderkey) AS order_keys
+        FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+    """
+    sql["procset_union"] = """
+        SELECT c_nationkey,
+               list_sort(list_distinct(list(c_mktsegment))) AS segments
+        FROM customer GROUP BY c_nationkey
+    """
+    sql["page_range_filter"] = """
+        SELECT l_linenumber, COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_linenumber >= 2 AND l_linenumber < 7
+          AND (l_linenumber - 2) % 2 = 0
+        GROUP BY l_linenumber
+    """
+    sql["merge_union"] = """
+        SELECT bucket, COUNT(*) AS n_orders FROM (
+            SELECT o_orderkey, 'hi' AS bucket FROM orders
+            WHERE o_totalprice > 300000
+            UNION ALL
+            SELECT o_orderkey, 'lo' AS bucket FROM orders
+            WHERE o_totalprice < 10000
+        ) GROUP BY bucket
+    """
+    sql["events_window"] = """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """
+    sql["dedup_exact"] = """
+        SELECT md5(text) AS digest, MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1
+    """
+    sql["dedup_minhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               MIN(substr(md5(tok || ':0'), 1, 8)) AS sig0,
+               MIN(substr(md5(tok || ':1'), 1, 8)) AS sig1,
+               MIN(substr(md5(tok || ':2'), 1, 8)) AS sig2,
+               MIN(substr(md5(tok || ':3'), 1, 8)) AS sig3
+        FROM toks GROUP BY doc_id
+    """
+    sql["dedup_minhash_lsh"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   MIN(substr(md5(tok || ':0'), 1, 8)) AS sig0,
+                   MIN(substr(md5(tok || ':1'), 1, 8)) AS sig1,
+                   MIN(substr(md5(tok || ':2'), 1, 8)) AS sig2,
+                   MIN(substr(md5(tok || ':3'), 1, 8)) AS sig3
+            FROM toks GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, md5(sig0 || '|' || sig1) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, md5(sig2 || '|' || sig3) AS bucket FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+    # simhash: bit b of md5(tok) via nibble arithmetic, votes summed
+    nib = (
+        "(strpos('0123456789abcdef', substr(md5(tok), {pos}, 1)) - 1)"
+    )
+    bit_terms = []
+    for b in range(16):
+        nibexpr = nib.format(pos=b // 4 + 1)
+        bit = f"(({nibexpr} // {1 << (3 - b % 4)}) % 2)"
+        bit_terms.append(
+            f"CASE WHEN SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {1 << b} ELSE 0 END"
+        )
+    sql["dedup_simhash"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        )
+        SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
+        FROM toks GROUP BY doc_id
+    """
+    sql["ngram_jaccard"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang, source,
+                   list_sort(list_distinct({_TOKENS})) AS toks
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(list_cat(a.toks, b.toks))), 6)
+                   AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_cat(a.toks, b.toks))) >= 0.3
+    """
+    sql["ann_cosine_topk"] = """
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                           list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                   AS u
+            FROM embeddings
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.u, c.u) AS sim
+            FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 8
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """
+    # ann_lsh_topk: plane weights via the fixed LCG, reproduced inline
+    planes = []
+    for j in range(4):
+        ws = ", ".join(
+            str(((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0)
+            for d in range(64)
+        )
+        planes.append(f"[{ws}]")
+    plane_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {p}::DOUBLE[] AS w" for j, p in enumerate(planes)
+    )
+    sql["ann_lsh_topk"] = f"""
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                           list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                   AS u
+            FROM embeddings
+        ), planes AS ({plane_rows}),
+        bucketed AS (
+            SELECT vec_id, u,
+                   CAST(SUM(CASE WHEN list_dot_product(u, w) >= 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                        AS INTEGER) AS bucket
+            FROM unit CROSS JOIN planes
+            GROUP BY vec_id, u
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.u, c.u) AS sim
+            FROM bucketed q JOIN bucketed c
+              ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 8
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    stop_sql = {
+        lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        for lang, words in _STOPWORDS.items()
+    }
+    score_cols = ", ".join(
+        f"len(list_intersect(toks, {stop_sql[lang]})) AS s_{lang}"
+        for lang in _STOPWORDS
+    )
+    pred = "CASE WHEN best <= 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in _STOPWORDS
+    ) + " END"
+    sql["lang_id"] = f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, {score_cols} FROM t
+        ), g AS (
+            SELECT doc_id, s_en, s_de, s_fr, s_es,
+                   greatest(s_en, s_de, s_fr, s_es) AS best
+            FROM s
+        )
+        SELECT doc_id, {pred} AS pred_lang,
+               CAST(best AS INTEGER) AS stopword_hits
+        FROM g
+    """
+    sql["quality_score"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '[.,;:!?]'))
+                        AS DOUBLE) AS n_punct,
+                   CAST(len({_TOKENS}) AS DOUBLE) AS n_tokens
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_tokens > 0 THEN n_chars / n_tokens
+                        ELSE 0.0 END AS mean_word,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                        ELSE 0.0 END AS punct_ratio,
+                   least(n_chars / 500.0, 1.0) AS len_score
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(len_score, 6) AS len_score,
+               ROUND(punct_ratio, 6) AS punct_ratio,
+               ROUND((len_score
+                      + (CASE WHEN mean_word >= 3 AND mean_word <= 12
+                              THEN 1.0 ELSE 0.5 END)
+                      + (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END)
+                     ) / 3.0, 6) AS quality
+        FROM m
+    """
+    sql["token_count"] = """
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS INTEGER) AS bpe_tokens,
+               CAST(length(text) AS INTEGER) AS chars
+        FROM documents
+    """
+    sql["doc_fingerprint"] = """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint,
+               substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))),
+                      1, 4) AS shard
+        FROM documents
+    """
+    # multimodal_features: the fake decoder's dims derive from
+    # sha256(payload) where payload = unhex(md5(text)); DuckDB can
+    # reproduce the digest chain exactly
+    sql["multimodal_features"] = """
+        WITH m AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'img-' || CAST(doc_id AS VARCHAR) AS media_ref,
+                   sha256(md5(text)) AS d
+            FROM documents
+        ), v AS (
+            SELECT doc_id, media_ref, d,
+                   (strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) AS b0,
+                   (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS b1
+            FROM m
+        )
+        SELECT doc_id, media_ref,
+               CAST(1 + b0 % 64 AS INTEGER) AS width,
+               CAST(1 + b1 % 64 AS INTEGER) AS height,
+               CAST(32 AS INTEGER) AS n_bytes,
+               substr(d, 1, 8) AS sha8
+        FROM v
+    """
+    return {k: v.strip() for k, v in sql.items()}
+

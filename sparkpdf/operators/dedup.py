@@ -1,0 +1,155 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All four variants are built from JVM-side functions (md5/split/explode/
+array ops) so they scale: no Python UDFs, shuffles only on the
+aggregation/join keys, and every hash is derived from md5() so the
+DuckDB oracle can reproduce values bit-for-bit.
+
+Scale notes (100 TB):
+  * exact: one shuffle on the 32-hex digest — uniformly distributed by
+    construction, no skew.
+  * minhash-LSH: explode(tokens) is map-side; the signature agg shuffles
+    on doc_id (pre-aggregated per partition by Catalyst's partial agg);
+    the candidate join shuffles on the band bucket, whose cardinality we
+    control with (n_hashes, bands).
+  * simhash: same explode + one agg; the 16-bit key join is a
+    bucket-join on a small key space — use only as a coarse filter.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# normalization shared by all text dedup ops (and mirrored in oracle SQL)
+def _norm_tokens(col):
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "), " +"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: digest -> keeper doc + duplicate count."""
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text").cast("binary")).alias("digest"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = 4) -> DataFrame:
+    """Word-shingle MinHash: sig_i = min over tokens of
+    substr(md5(token || ':' || i), 1, 8) — lexicographic min over hex is
+    deterministic and engine-portable."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.array_distinct(_norm_tokens("text"))).alias("tok"),
+    )
+    sigs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit(f":{i}")).cast("binary")), 1, 8
+            )
+        ).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*sigs)
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, n_hashes: int = 4, bands: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (doc_a < doc_b), deduplicated across bands."""
+    sig = minhash_signatures(documents, n_hashes)
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band{b}")
+        )
+    banded = sig.select("doc_id", *band_cols)
+    per_band = [
+        banded.select("doc_id", F.col(f"band{b}").alias("bucket")) for b in range(bands)
+    ]
+    stacked = reduce(lambda a, b: a.unionByName(b), per_band)
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over the first `bits` bits of md5(token):
+    bit b votes +1/-1; the sign vector packs into one integer.
+
+    Bits are read from the hex digest nibble-wise so the DuckDB oracle
+    can reproduce them without hex->int casts."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_norm_tokens("text")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+    # nibble value of hex char c: position in "0123456789abcdef" - 1
+    def nibble(col, idx):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(col, idx + 1, 1)) - 1
+
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(nibble(F.col("h"), b // 4), 3 - (b % 4)) % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    packed = reduce(
+        lambda acc, b: acc + F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(0),
+        range(bits),
+        F.lit(0),
+    )
+    return agg.select("doc_id", packed.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Blocked pairwise token-set Jaccard: block by (lang, source) to
+    bound the self-join, then array_intersect/union sizes. At 100 TB the
+    block key would be an LSH bucket (minhash_lsh_pairs) instead of
+    metadata — this operator is the verifier stage after LSH."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.col("source"),
+        F.array_sort(F.array_distinct(_norm_tokens("text"))).alias("toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = (inter.cast("double") / union.cast("double"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,210 @@
+"""Distributed span extraction — the engine's flagship operator.
+
+pdf_raw(doc_id, pdf_bytes) -> documents_interleaved
+    (doc_id, spans ARRAY<STRUCT<kind,text,media_ref,offset>>, n_pages,
+     n_bytes, error)
+
+All per-document work happens inside ONE `mapInPandas` kernel per Arrow
+batch (SURVEY.md §3.2): the JVM<->Python Arrow IPC is the only process
+boundary, there is NO shuffle in the extraction path, and no per-row
+Python UDFs exist anywhere (input_hint mandate). Catalyst still prunes
+columns/partitions upstream because the input is a plain DataFrame scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+INTERLEAVED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("n_pages", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+# page-level view used by split/merge/page-range operators
+PAGE_SPAN_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("full_text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Kernel adapter: loops DOCS inside an Arrow batch (batch-level
+    Python, not per-row Spark UDFs — SURVEY §2.15)."""
+    from ..kernels.extract import extract_doc
+
+    for pdf in batches:
+        out = {"doc_id": [], "spans": [], "n_pages": [], "n_bytes": [], "error": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+            data = bytes(blob) if blob is not None else b""
+            res = extract_doc(data)
+            out["doc_id"].append(str(doc_id))
+            out["spans"].append(
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in res["spans"]
+                ]
+            )
+            out["n_pages"].append(res["n_pages"])
+            out["n_bytes"].append(len(data))
+            out["error"].append(res["error"])
+        yield pd.DataFrame(out)
+
+
+def extract_spans(pdf_raw: DataFrame) -> DataFrame:
+    """pdf_raw(doc_id, pdf_bytes, ...) -> documents_interleaved."""
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        _extract_batches, schema=INTERLEAVED_SCHEMA
+    )
+
+
+def _extract_page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.extract import extract_doc, page_text
+
+    for pdf in batches:
+        rows = {"doc_id": [], "page_no": [], "spans": [], "full_text": [], "error": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+            data = bytes(blob) if blob is not None else b""
+            res = extract_doc(data)
+            by_page: dict = {p: [] for p in range(res["n_pages"])}
+            for s in res["spans"]:
+                by_page.setdefault(s["page_no"], []).append(s)
+            for page_no in sorted(by_page):
+                spans = by_page[page_no]
+                rows["doc_id"].append(str(doc_id))
+                rows["page_no"].append(page_no)
+                rows["spans"].append(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+                )
+                rows["full_text"].append(page_text(res["spans"], page_no))
+                rows["error"].append(res["error"])
+        yield pd.DataFrame(rows)
+
+
+def extract_page_spans(pdf_raw: DataFrame) -> DataFrame:
+    """Page-granular variant feeding split/merge/page-range operators."""
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        _extract_page_batches, schema=PAGE_SPAN_SCHEMA
+    )
+
+
+# --- corpus synthesis (documents table -> pdf_raw), also distributed --------
+
+PDF_RAW_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("pdf_bytes", BinaryType()),
+    ]
+)
+
+
+def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..testing.pdfgen import doc_to_pdf
+
+    for pdf in batches:
+        out = {"doc_id": [], "pdf_bytes": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            out["doc_id"].append(str(doc_id))
+            out["pdf_bytes"].append(
+                doc_to_pdf(
+                    text if text is not None else "",
+                    n_media=1,
+                    title=f"doc-{doc_id}",
+                )
+            )
+        yield pd.DataFrame(out)
+
+
+def synthesize_pdf_corpus(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, ...) -> pdf_raw(doc_id, pdf_bytes).
+
+    Deterministic: doc_to_pdf is pure, so the corpus is reproducible on
+    any cluster size; used by entry(), the oracle queries, and bench.
+    """
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+    return docs.mapInPandas(_synth_batches, schema=PDF_RAW_SCHEMA)
+
+
+# --- metadata-only projection (P1: getDocumentInfo analog) -------------------
+
+DOCINFO_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("title", StringType()),
+        StructField("producer", StringType()),
+        StructField("info_n_pages", IntegerType()),
+    ]
+)
+
+
+def _docinfo_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.document import PdfDocument
+    from ..kernels.cos import PdfError
+
+    for pdf in batches:
+        out = {"doc_id": [], "title": [], "producer": [], "info_n_pages": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+            title = producer = None
+            n_pages = 0
+            try:
+                doc = PdfDocument(bytes(blob))
+                info = doc.doc_info() or {}
+
+                def _s(v):
+                    if isinstance(v, bytes):
+                        return v.decode("latin-1", "replace")
+                    return str(v) if v is not None else None
+
+                title = _s(info.get("/Title"))
+                producer = _s(info.get("/Producer"))
+                n_pages = doc.num_pages()
+            except (PdfError, Exception):
+                pass
+            out["doc_id"].append(str(doc_id))
+            out["title"].append(title)
+            out["producer"].append(producer)
+            out["info_n_pages"].append(n_pages)
+        yield pd.DataFrame(out)
+
+
+def extract_docinfo(pdf_raw: DataFrame) -> DataFrame:
+    """Metadata-only projection (parity: getDocumentInfo,
+    _reader.py:244-260): the kernel touches only the xref chain +
+    /Info object — content streams are never decoded, which is what
+    makes metadata queries cheap at 100 TB."""
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        _docinfo_batches, schema=DOCINFO_SCHEMA
+    )

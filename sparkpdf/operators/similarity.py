@@ -1,0 +1,121 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the 100 TB path (random-hyperplane signs computed from
+deterministic per-dimension weights so the oracle can reproduce them).
+Dot products run JVM-side via zip_with/aggregate — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
+    """Cast to double and L2-normalise once, upfront — cosine becomes a
+    plain dot product downstream (compute-once at 100 TB)."""
+    vec = F.transform("embedding", lambda v: v.cast("double"))
+    return embeddings.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.transform(vec, lambda v: v / _norm(vec)).alias("unit"),
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbours for the first `n_queries` vectors.
+
+    Plan shape: broadcast the tiny query side against the full corpus
+    (the only scalable orientation), dot products in codegen, then a
+    per-query top-k via window rank — the shuffle is on n_queries keys
+    only. Output is rank-only (no floats) so the oracle hash is stable."""
+    unit = with_unit_vectors(embeddings)
+    queries = unit.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit")
+    )
+    scored = F.broadcast(queries).crossJoin(unit.alias("corpus")).filter(
+        F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _dot(F.col("qunit"), F.col("unit")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame, n_planes: int = 4, n_queries: int = 8, k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH: sign bits of dot(v, plane_j) form a bucket
+    key; neighbours are searched within the query's bucket only.
+
+    plane_j[d] = ((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000)
+    / 1000 — a fixed LCG, reproducible in ANSI SQL for the oracle. At
+    100 TB this turns the cross join into a bucket-equi-join whose fan-in
+    we control with n_planes."""
+    unit = with_unit_vectors(embeddings)
+
+    def plane_weight(j, d):
+        return ((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0
+
+    def bucket_bit(j):
+        proj = F.aggregate(
+            F.zip_with(
+                "unit",
+                F.array(*[F.lit(plane_weight(j, d)) for d in range(dim)]),
+                lambda v, w: v * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    bucketed = unit.withColumn(
+        "bucket",
+        sum([bucket_bit(j) for j in range(n_planes)], F.lit(0)).cast("int"),
+    )
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("unit").alias("qunit"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(bucketed, F.col("qbucket") == F.col("bucket"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qunit"), F.col("unit")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

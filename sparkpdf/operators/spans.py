@@ -1,0 +1,119 @@
+"""Relational operators over documents_interleaved — SURVEY.md §2.3-2.7.
+
+Every operator is a pure DataFrame transformation built from JVM-side
+array/higher-order functions (transform/filter/aggregate) — zero Python
+in the hot path, so whole-stage codegen applies throughout. Offsets are
+renumbered declaratively after structural edits so the span-order
+contract (kind, text, media_ref, order) survives every operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _renumber(spans: Column) -> Column:
+    """Re-assign offset = position after structural edits (keeps the
+    strictly-increasing contiguous contract)."""
+    return F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+
+
+def remove_text(df: DataFrame) -> DataFrame:
+    """Drop text spans (parity: removeText nulls Tj/TJ/'/\" operands,
+    /root/reference/_writer.py:955-997)."""
+    return df.withColumn(
+        "spans", _renumber(F.filter("spans", lambda s: s["kind"] != F.lit("text")))
+    )
+
+
+def remove_images(df: DataFrame) -> DataFrame:
+    """Drop media spans (parity: removeImages, _writer.py:879-953)."""
+    return df.withColumn(
+        "spans",
+        _renumber(F.filter("spans", lambda s: s["kind"] != F.lit("media_ref"))),
+    )
+
+
+def doc_full_text(df: DataFrame) -> DataFrame:
+    """Ordered string aggregation (parity: extractText assembly,
+    _page.py:758-837): spans are already offset-ordered arrays, so this
+    is array_join — NO shuffle, unlike a collect_list+window plan."""
+    return df.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("full_text"),
+    )
+
+
+def span_counts(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias(
+            "n_text"
+        ),
+        F.size(
+            F.filter("spans", lambda s: s["kind"] == F.lit("media_ref"))
+        ).alias("n_media"),
+        F.size("spans").alias("n_spans"),
+    )
+
+
+def merge_docs(a: DataFrame, b: DataFrame, sep: str = "+") -> DataFrame:
+    """Ordered UNION ALL of two span-docs by doc_id (parity:
+    PdfFileMerger.merge/append, _merger.py:82-215): b's spans follow
+    a's, offsets renumbered. Equi-join on doc_id; Catalyst/AQE picks
+    broadcast when one side is small."""
+    a2 = a.select("doc_id", F.col("spans").alias("spans_a"))
+    b2 = b.select("doc_id", F.col("spans").alias("spans_b"))
+    return a2.join(b2, "doc_id", "inner").select(
+        F.concat(F.col("doc_id"), F.lit(sep)).alias("doc_id"),
+        _renumber(F.concat("spans_a", "spans_b")).alias("spans"),
+    )
+
+
+def split_pages(page_df: DataFrame) -> DataFrame:
+    """1 doc -> N single-page docs (parity: writer page ops / splitting,
+    _writer.py:125-235): doc_id#page_no, offsets renumbered per page."""
+    return page_df.select(
+        F.concat_ws("#", "doc_id", F.col("page_no").cast("string")).alias("doc_id"),
+        _renumber("spans").alias("spans"),
+    )
+
+
+def page_range(page_df: DataFrame, start: int, stop: int, step: int = 1) -> DataFrame:
+    """PageRange slice start:stop:step (parity: pagerange.py:34-126) as
+    a pure filter — pushes down to the scan when page_no is stored."""
+    cond = (F.col("page_no") >= start) & (F.col("page_no") < stop)
+    if step != 1:
+        cond = cond & ((F.col("page_no") - start) % step == 0)
+    return page_df.filter(cond)
+
+
+def page_count(df: DataFrame) -> DataFrame:
+    """getNumPages analog (parity: _reader.py:294-327)."""
+    return df.select("doc_id", F.col("n_pages").alias("page_count"))
+
+
+def media_catalog(df: DataFrame) -> DataFrame:
+    """Distinct media refs per doc with first-use offset — the
+    'resource dictionary' projection of the span table."""
+    exploded = df.select(
+        "doc_id", F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("media_ref"))).alias("s")
+    )
+    return exploded.groupBy("doc_id", F.col("s.media_ref").alias("media_ref")).agg(
+        F.count("*").alias("n_uses"), F.min("s.offset").alias("first_offset")
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data curation.
+
+Language-ID (stopword heuristic), quality scoring, token counting, and
+document fingerprinting — all pure pyspark.sql.functions expressions
+(whole-stage codegen, no UDFs), each mirrored 1:1 by oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small public stopword lists (enough for a deterministic heuristic)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "para"],
+}
+
+
+def _tokens(col):
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]", " "), " +"),
+        lambda t: t != F.lit(""),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Predicted language = argmax over stopword-hit counts (distinct
+    token ∩ stopword list), ties broken by list order en>de>fr>es,
+    zero hits -> 'und' (undetermined)."""
+    toks = F.array_distinct(_tokens("text"))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = tie-break order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred.alias("pred_lang"),
+        best.cast("int").alias("stopword_hits"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / punctuation-ratio / mean-word-length heuristics,
+    combined into a 0-1 score. All regex counts use portable patterns
+    (identical semantics in Spark's Java regex and DuckDB's RE2)."""
+    n_chars = F.length("text").cast("double")
+    n_punct = F.regexp_count("text", F.lit(r"[.,;:!?]")).cast("double")
+    toks = _tokens("text")
+    n_tokens = F.size(toks).cast("double")
+    mean_word = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 12), 1.0).otherwise(0.5)
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    score = F.round((len_score + word_score + punct_score) / 3.0, 6)
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex count (word pieces, numbers,
+    punctuation as singles) + char count."""
+    ws = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    )
+    bpe = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ws.cast("int").alias("ws_tokens"),
+        bpe.cast("int").alias("bpe_tokens"),
+        F.length("text").cast("int").alias("chars"),
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Normalised-content fingerprint: md5 of whitespace-collapsed
+    lowercase text, plus a coarse 4-hex prefix bucket for sharding."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard"),
+    )

@@ -1,0 +1,81 @@
+"""Byte-size-aware salting — the north rule's skew defence.
+
+A 100 TB corpus mixes 4 KB docs with 200 MB docs; hash-partitioning on
+doc_id alone gives p99/median task-time >> 2 once a partition catches
+two whales. This planner repartitions so that (a) every partition
+targets ~`target_bytes` of PDF payload and (b) each oversized doc lands
+in a partition of its own (SURVEY.md §4.3).
+
+Two-pass by design: one cheap aggregate over byte lengths (metadata-ish
+scan; Parquet reads only the length column), then one explicit
+repartition. The shuffle it introduces is the point — it replaces the
+pathological skewed shuffle downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_TARGET_BYTES = 64 << 20  # ~64 MB of raw PDF per task
+DEFAULT_BIG_DOC_BYTES = 16 << 20  # docs above this get private partitions
+
+
+def plan_salted_partitions(
+    pdf_raw: DataFrame,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES,
+    min_partitions: int = 4,
+) -> DataFrame:
+    """Returns pdf_raw repartitioned by a byte-aware salt column.
+
+    salt ∈ [0, n_small) for normal docs via hash(doc_id);
+    salt ∈ [n_small, n_small + n_big) gives each big doc its own slot.
+    """
+    sized = pdf_raw.withColumn("_doc_bytes", F.length("pdf_bytes").cast("long"))
+    stats = sized.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_doc_bytes") <= big_doc_bytes, F.col("_doc_bytes"))),
+            F.lit(0),
+        ).alias("small_bytes"),
+        F.coalesce(
+            F.sum((F.col("_doc_bytes") > big_doc_bytes).cast("int")), F.lit(0)
+        ).alias("n_big"),
+    ).collect()[0]
+    n_small = max(min_partitions, -(-int(stats.small_bytes) // target_bytes))
+    n_big = int(stats.n_big)
+    small_salt = F.pmod(F.hash("doc_id"), F.lit(n_small))
+    if n_big:
+        # rank big docs (tiny window: only whales) into private slots
+        w = Window.orderBy("doc_id")
+        big = (
+            sized.filter(F.col("_doc_bytes") > big_doc_bytes)
+            .withColumn("_salt", F.lit(n_small) + F.row_number().over(w) - 1)
+        )
+        small = sized.filter(F.col("_doc_bytes") <= big_doc_bytes).withColumn(
+            "_salt", small_salt
+        )
+        salted = small.unionByName(big)
+    else:
+        salted = sized.withColumn("_salt", small_salt)
+    return (
+        salted.repartition(n_small + n_big, "_salt")
+        .drop("_salt", "_doc_bytes")
+    )
+
+
+def skew_report(pdf_raw: DataFrame, n_partitions: int) -> dict:
+    """p99/median bytes per would-be partition — the BASELINE skew-guard
+    metric (target <= 2 after salting)."""
+    per_part = (
+        pdf_raw.withColumn("_p", F.pmod(F.hash("doc_id"), F.lit(n_partitions)))
+        .groupBy("_p")
+        .agg(F.sum(F.length("pdf_bytes")).alias("part_bytes"))
+    )
+    row = per_part.agg(
+        F.expr("percentile_approx(part_bytes, 0.99)").alias("p99"),
+        F.expr("percentile_approx(part_bytes, 0.5)").alias("p50"),
+    ).collect()[0]
+    p99, p50 = float(row.p99 or 0), float(row.p50 or 1)
+    return {"p99_bytes": p99, "median_bytes": p50, "skew_ratio": p99 / max(p50, 1.0)}

@@ -367,7 +367,7 @@ def text_content(lines: Sequence[Union[str, bytes]], font: bytes = b"/F1") -> by
 
 # --- the distributed corpus builder (entry()/bench path) ---------------------
 
-def doc_to_pdf(text: str, n_media: int = 1) -> bytes:
+def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> bytes:
     """One deterministic PDF per corpus document.
 
     Contract with the oracle SQL (see __spark_entry__.oracle_sql): the
@@ -378,7 +378,9 @@ def doc_to_pdf(text: str, n_media: int = 1) -> bytes:
     printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
     content = bytearray(b"BT /F1 12 Tf (" + esc_string(printable) + b") Tj ET")
     b = PdfBuilder()
-    f1 = b.add(FONT_STD)
+    # WinAnsi -> cp1252 decode: identity on printable ASCII, so the
+    # extracted text is exactly `printable` + "\n" (oracle contract)
+    f1 = b.add(FONT_WINANSI)
     xo_refs = []
     for k in range(n_media):
         xo_refs.append(
@@ -410,4 +412,9 @@ def doc_to_pdf(text: str, n_media: int = 1) -> bytes:
     )
     b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
     root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
-    return b.build(root)
+    info = None
+    if title is not None:
+        info = b.add(
+            b"<< /Title (" + esc_string(title) + b") /Producer (sparkpdf) >>"
+        )
+    return b.build(root, info=info)
