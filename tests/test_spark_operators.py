@@ -1,0 +1,154 @@
+"""Spark-layer tests: extraction pipeline, span operators, scale
+properties (order invariance under repartition, plan shapes), and
+checkpoint resumability. Runs on local[4] over sf0.001."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(60).cache()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, docs):
+    from sparkpdf.operators.extract import synthesize_pdf_corpus
+
+    return synthesize_pdf_corpus(docs).cache()
+
+
+@pytest.fixture(scope="module")
+def spans(spark, corpus):
+    from sparkpdf.operators.extract import extract_spans
+
+    return extract_spans(corpus).cache()
+
+
+def test_extraction_end_to_end(spark, docs, spans):
+    rows = spans.collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert r.error is None
+        assert r.n_pages == 1
+        kinds = [s.kind for s in r.spans]
+        assert kinds == ["text", "media_ref"]
+        offsets = [s.offset for s in r.spans]
+        assert offsets == [0, 1]
+        assert r.spans[0].text.endswith("\n")
+        assert r.spans[1].media_ref == "img00"
+
+
+def test_full_text_matches_source(docs, spans):
+    from sparkpdf.operators.spans import doc_full_text
+
+    got = {r.doc_id: r.full_text for r in doc_full_text(spans).collect()}
+    for r in docs.collect():
+        want = "".join(ch if " " <= ch <= "~" else "?" for ch in r.text) + "\n"
+        assert got[str(r.doc_id)] == want
+
+
+def test_order_invariant_under_repartition(spark, corpus):
+    """Span order must not depend on parallelism (SURVEY §5.2 property):
+    1-partition and 13-partition runs produce identical span arrays."""
+    from sparkpdf.operators.extract import extract_spans
+
+    one = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in extract_spans(corpus.coalesce(1)).collect()
+    }
+    many = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in extract_spans(corpus.repartition(13)).collect()
+    }
+    assert one == many
+
+
+def test_remove_and_merge_operators(spans):
+    from sparkpdf.operators.spans import merge_docs, remove_images, remove_text
+
+    rt = remove_text(spans).select(F.explode("spans").alias("s")).collect()
+    assert all(r.s.kind == "media_ref" for r in rt)
+    assert all(r.s.offset == 0 for r in rt)  # renumbered
+    ri = remove_images(spans).select(F.explode("spans").alias("s")).collect()
+    assert all(r.s.kind == "text" for r in ri)
+    merged = merge_docs(spans, spans).collect()
+    for r in merged:
+        assert r.doc_id.endswith("+")
+        assert [s.offset for s in r.spans] == [0, 1, 2, 3]
+        assert [s.kind for s in r.spans] == [
+            "text", "media_ref", "text", "media_ref",
+        ]
+
+
+def test_salting_plan(spark, corpus):
+    from sparkpdf.plans.salting import plan_salted_partitions, skew_report
+
+    salted = plan_salted_partitions(
+        corpus, target_bytes=32 << 10, big_doc_bytes=8 << 10, min_partitions=4
+    )
+    assert salted.count() == corpus.count()
+    assert set(salted.columns) == set(corpus.columns)
+    rep = skew_report(corpus, 8)
+    assert rep["skew_ratio"] >= 1.0
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path):
+    """Crash mid-run, resume, and verify: no lost slices, no duplicate
+    docs, manifest carries throughput metrics (north-rule lineage)."""
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = str(tmp_path / "ckpt")
+    ck = CheckpointedExtraction(out, n_batches=4)
+    with pytest.raises(RuntimeError):
+        ck.run(corpus, extract_spans, fail_on_parts={2})
+    done_first = ck.completed_parts()
+    assert done_first == {0, 1}
+    ck2 = CheckpointedExtraction(out, n_batches=4)
+    processed = ck2.run(corpus, extract_spans)
+    assert sorted(processed) == [2, 3]
+    result = ck2.result(spark)
+    assert result.count() == corpus.count()
+    assert result.select("doc_id").distinct().count() == corpus.count()
+    with open(ck2.manifest_path) as f:
+        import json
+
+        recs = [json.loads(l) for l in f]
+    assert {r["part_id"] for r in recs} == {0, 1, 2, 3}
+    assert all(r["docs_per_sec"] > 0 for r in recs)
+
+
+def test_broadcast_join_plan(spark):
+    """font_join must be a broadcast hash join (SURVEY §2.4 J2)."""
+    import __spark_entry__ as e
+
+    plan = e.q_font_join(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown(spark):
+    """Predicate + projection must reach the parquet scan."""
+    import __spark_entry__ as e
+
+    df = e.q_form_text_filter(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+    assert "l_orderkey" in plan and "l_comment" not in plan
+
+
+def test_media_features_stub(spark, docs):
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    feats = extract_media_features(synthesize_media(docs)).collect()
+    assert len(feats) == 60
+    for r in feats:
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert r.n_bytes == 32
