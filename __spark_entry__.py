@@ -47,19 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # --- query implementations ---------------------------------------------------
 
 def q_extract_spans(spark, sf_dir):
-    from sparkpdf.operators.spans import doc_full_text, span_counts
-
+    # single pass over the extraction output: counts + ordered text are
+    # all array expressions on `spans` (no self-join, no recompute)
     spans = _spans(spark, sf_dir)
-    counts = span_counts(spans)
-    text = doc_full_text(spans)
-    return (
-        counts.join(text, "doc_id")
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            "n_text",
-            "n_media",
-            "full_text",
-        )
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter("spans", lambda s: s["kind"] == F.lit("media_ref"))
+    return spans.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(text_spans).alias("n_text"),
+        F.size(media_spans).alias("n_media"),
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), ""
+        ).alias("full_text"),
     )
 
 

@@ -1,0 +1,249 @@
+"""Benchmark harness — prints ONE JSON line per BASELINE.md contract.
+
+    {"metric": "span_extraction_throughput", "value": <total sec>,
+     "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+     "extraction": {docs, mb, docs_per_sec, mb_per_sec},
+     "scaling": {cpus_lo, cpus_hi, eff, ...}}  (scaling: north-rule
+     two-cluster-size evidence — same job at local[8] and local[32])
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARKPDF_BENCH_MULT corpus replication (default 32),
+     SPARKPDF_BENCH_SCALING=0 to skip the two-size runs.
+
+Internal: `python bench.py --scaling-worker N` runs ONLY the timed
+extraction job on local[N] and prints its own small JSON (subprocess
+isolation — Spark local master size can't change within one JVM).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# larger Arrow batches amortize JVM<->python IPC on small-doc corpora;
+# set BEFORE the session is created (harmless if the user overrides)
+os.environ.setdefault("SPARKPDF_ARROW_BATCH", "2048")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+MULT = int(os.environ.get("SPARKPDF_BENCH_MULT", "32"))
+TEXT_REP = int(os.environ.get("SPARKPDF_BENCH_TEXT_REP", "8"))
+
+
+def bench_corpus(spark, sf_dir: str, mult: int):
+    """Replicated deterministic corpus: mult copies of each document,
+    text expanded TEXT_REP x so per-doc work is realistic."""
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.extract import synthesize_pdf_corpus
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", F.expr(f"repeat(text, {TEXT_REP})").alias("text")
+    )
+    if mult > 1:
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"), "text"
+        )
+    return synthesize_pdf_corpus(docs)
+
+
+def timed_extraction(
+    spark, sf_dir: str, mult: int, cpus: int, iterations: int = 2
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.extract import extract_spans
+
+    corpus = bench_corpus(spark, sf_dir, mult).repartition(cpus * 4).persist()
+    n_docs = corpus.count()  # materialize BEFORE timing: extraction only
+    n_mb = (
+        corpus.agg(F.sum(F.length("pdf_bytes"))).collect()[0][0] or 0
+    ) / 1e6
+    # warm ALL python workers with an untimed quarter-pass (each worker
+    # pays interpreter+imports on its first task; a pmod filter keeps
+    # the partition spread, unlike limit())
+    extract_spans(
+        corpus.filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0)
+    ).write.format("noop").mode("overwrite").save()
+    wall = None
+    for _ in range(iterations):
+        t0 = time.time()
+        out = extract_spans(corpus)
+        errs = out.agg(
+            F.sum((F.col("error").isNotNull()).cast("long")).alias("e"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        dt = time.time() - t0
+        wall = dt if wall is None else min(wall, dt)
+        assert int(errs.n) == n_docs
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "mb": round(n_mb, 1),
+        "errors": int(errs.e or 0),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_mb / wall, 2),
+    }
+
+
+def scaling_worker(cpus: int, corpus_path: str):
+    """Timed extraction over a pre-built parquet corpus (shared by all
+    parallelism levels so every run does IDENTICAL work): quarter-pass
+    warmup, then best-of-3 full passes through the noop sink."""
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.session import get_spark
+
+    spark = get_spark(f"bench-scaling-{cpus}", cpus=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = spark.read.parquet(corpus_path)
+    n_docs = corpus.count()
+    n_mb = (
+        corpus.agg(F.sum(F.length("pdf_bytes"))).collect()[0][0] or 0
+    ) / 1e6
+    df = extract_spans(corpus)
+    extract_spans(
+        corpus.filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0)
+    ).write.format("noop").mode("overwrite").save()
+    wall = None
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        wall = dt if wall is None else min(wall, dt)
+    spark.stop()
+    print(json.dumps({
+        "docs": n_docs,
+        "mb": round(n_mb, 1),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_mb / wall, 2),
+    }))
+
+
+# headline suite: extraction + one representative per operator family.
+# dedup_minhash_lsh is correctness-checked but NOT a headline: the
+# synthetic corpus's tiny vocabulary makes LSH candidate sets
+# quadratic, which benchmarks the data generator, not the engine.
+HEADLINE = [
+    "extract_spans",
+    "font_join",
+    "obj_join",
+    "text_agg",
+    "events_window",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "token_count",
+    "quality_score",
+]
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from sparkpdf.session import get_spark
+
+    spark = get_spark("bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+    per_query = {}
+    total = 0.0
+    # warm python workers + parquet footers once, outside the timings
+    queries["extract_spans"](spark, SF_DIR).limit(64).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # headline relational/dedup/extraction queries at SF_DIR
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 2)
+        total += dt
+    # dedicated extraction throughput measurement (replicated corpus)
+    extraction = timed_extraction(spark, SF_DIR, MULT, CPUS)
+    total += extraction["wall_sec"]
+    per_query["bench_extraction"] = extraction["wall_sec"]
+    spark.stop()
+    result = {
+        "metric": "span_extraction_throughput",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "extraction": extraction,
+    }
+    # north-rule scaling evidence: identical job at N and 4N parallelism.
+    # Two pairs are reported: (2,8) runs in the regime where the single
+    # shared JVM + OS still have free cores — the honest analog of
+    # adding executor NODES — and (8,32) saturates every core of this
+    # one box with worker threads AND the JVM's own arrow/shuffle work,
+    # which a real 4N-node cluster would not (see BENCH/BASELINE.md).
+    if os.environ.get("SPARKPDF_BENCH_SCALING", "1") != "0":
+        import shutil
+        import tempfile
+
+        corpus_dir = os.path.join(tempfile.gettempdir(), "sparkpdf_bench_corpus")
+        spark2 = get_spark("bench-corpus", cpus=CPUS)
+        spark2.sparkContext.setLogLevel("ERROR")
+        bench_corpus(spark2, SF_DIR, MULT * 2).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(corpus_dir)
+        spark2.stop()
+
+        def run_worker(c: int) -> dict:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker", str(c), corpus_dir],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARKPDF_BENCH_SCALING": "0"},
+            )
+            line = (
+                proc.stdout.strip().splitlines()[-1]
+                if proc.stdout.strip()
+                else "{}"
+            )
+            return json.loads(line)
+
+        # one corpus, three parallelism levels -> two N-vs-4N pairs
+        runs = {c: run_worker(c) for c in (2, 8, 32)}
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        pairs = {}
+        for lo_cpus, hi_cpus in ((2, 8), (8, 32)):
+            lo, hi = runs[lo_cpus], runs[hi_cpus]
+            if lo.get("docs_per_sec") and hi.get("docs_per_sec"):
+                eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
+                    hi_cpus / lo_cpus
+                )
+                pairs[f"{lo_cpus}to{hi_cpus}"] = {
+                    "cpus_lo": lo_cpus,
+                    "cpus_hi": hi_cpus,
+                    "docs_per_sec_lo": lo["docs_per_sec"],
+                    "docs_per_sec_hi": hi["docs_per_sec"],
+                    "mb_per_sec_lo": lo["mb_per_sec"],
+                    "mb_per_sec_hi": hi["mb_per_sec"],
+                    "efficiency": round(eff, 3),
+                }
+        if pairs:
+            headline = pairs.get("2to8") or next(iter(pairs.values()))
+            result["scaling"] = {**headline, "pairs": pairs}
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main()

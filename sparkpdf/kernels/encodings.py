@@ -208,10 +208,17 @@ def decode_builtin(data: bytes, encoding_name: str) -> str:
         return data.decode("latin-1", "replace")
 
 
+_TRANS_CACHE: Dict[int, Dict[int, str]] = {}
+
+
 def decode_with_table(data: bytes, table: List[str]) -> str:
-    """Vectorized 256-entry table decode: numpy take over a char array."""
+    """Vectorized 256-entry table decode: latin-1 (byte->chr identity)
+    then one C-level str.translate pass with a cached mapping."""
     if not data:
         return ""
-    arr = np.frombuffer(data, dtype=np.uint8)
-    lut = np.array(table, dtype=object)
-    return "".join(lut[arr])
+    key = id(table)
+    trans = _TRANS_CACHE.get(key)
+    if trans is None:
+        trans = str.maketrans({i: table[i] for i in range(256)})
+        _TRANS_CACHE[key] = trans
+    return data.decode("latin-1").translate(trans)

@@ -115,25 +115,40 @@ def _read_table_section(buf: bytes, pos: int, xref: XRef) -> Optional[int]:
             break
         first, count = int(m.group(1)), int(m.group(2))
         pos = m.end()
-        # fast path: a clean block of count 20-byte rows
+        # fast path: a clean block of count 20-byte rows. Small tables
+        # (the common case) decode by direct slicing; big tables (linear
+        # xrefs with 10^5+ rows) via one numpy pass.
         block = buf[pos : pos + 20 * count]
         rows_done = 0
         if count and len(block) == 20 * count:
-            arr = np.frombuffer(block, dtype=np.uint8).reshape(count, 20)
-            # all rows shaped "NNNNNNNNNN GGGGG t.." with t in {n,f}?
-            digits_ok = ((arr[:, :10] >= 48) & (arr[:, :10] <= 57)).all() and (
-                (arr[:, 11:16] >= 48) & (arr[:, 11:16] <= 57)
-            ).all()
-            types = arr[:, 17]
-            if digits_ok and np.isin(types, (110, 102)).all():
-                offs = np.zeros(count, dtype=np.int64)
-                for d in range(10):
-                    offs = offs * 10 + (arr[:, d].astype(np.int64) - 48)
-                for i in range(count):
-                    if types[i] == 110:  # 'n'
-                        xref._add_offset(first + i, int(offs[i]))
-                rows_done = count
-                pos += 20 * count
+            if count < 512:
+                try:
+                    for i in range(count):
+                        base = i * 20
+                        t = block[base + 17]
+                        if t == 110:  # 'n'
+                            xref._add_offset(first + i, int(block[base : base + 10]))
+                        elif t != 102:  # not 'f' -> bail to tolerant path
+                            raise ValueError
+                    rows_done = count
+                    pos += 20 * count
+                except ValueError:
+                    rows_done = 0
+            else:
+                arr = np.frombuffer(block, dtype=np.uint8).reshape(count, 20)
+                digits_ok = ((arr[:, :10] >= 48) & (arr[:, :10] <= 57)).all() and (
+                    (arr[:, 11:16] >= 48) & (arr[:, 11:16] <= 57)
+                ).all()
+                types = arr[:, 17]
+                if digits_ok and ((types == 110) | (types == 102)).all():
+                    offs = np.zeros(count, dtype=np.int64)
+                    for d in range(10):
+                        offs = offs * 10 + (arr[:, d].astype(np.int64) - 48)
+                    mask = types == 110
+                    for i in np.nonzero(mask)[0]:
+                        xref._add_offset(first + int(i), int(offs[i]))
+                    rows_done = count
+                    pos += 20 * count
         if rows_done < count:
             # tolerant path: rows with short/odd EOLs (_reader.py:1081-1098)
             for i in range(rows_done, count):

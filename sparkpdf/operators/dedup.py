@@ -50,7 +50,11 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 4) -> DataFrame:
     """Word-shingle MinHash: sig_i = min over tokens of
     substr(md5(token || ':' || i), 1, 8) — lexicographic min over hex is
     deterministic and engine-portable."""
-    toks = documents.select(
+    # explicit repartition before the ~50x explode: a one-file scan
+    # would otherwise run the expansion single-task (same rationale as
+    # synthesize_pdf_corpus)
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    toks = documents.repartition(n_parts, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(F.array_distinct(_norm_tokens("text"))).alias("tok"),
     )
@@ -100,7 +104,8 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
     Bits are read from the hex digest nibble-wise so the DuckDB oracle
     can reproduce them without hex->int casts."""
-    toks = documents.select(
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    toks = documents.repartition(n_parts, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_norm_tokens("text")).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok").cast("binary")))

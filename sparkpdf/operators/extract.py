@@ -146,16 +146,27 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def synthesize_pdf_corpus(documents: DataFrame) -> DataFrame:
+def synthesize_pdf_corpus(
+    documents: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
     """documents(doc_id, text, ...) -> pdf_raw(doc_id, pdf_bytes).
 
     Deterministic: doc_to_pdf is pure, so the corpus is reproducible on
     any cluster size; used by entry(), the oracle queries, and bench.
+
+    Repartitions BEFORE the kernel: a small parquet scan arrives as 1-2
+    tasks, which would serialize the per-doc Python work — the explicit
+    shuffle buys full-cluster parallelism for the expensive stage.
     """
     docs = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
     )
-    return docs.mapInPandas(_synth_batches, schema=PDF_RAW_SCHEMA)
+    if n_partitions is None:
+        spark = documents.sparkSession
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+    return docs.repartition(n_partitions, "doc_id").mapInPandas(
+        _synth_batches, schema=PDF_RAW_SCHEMA
+    )
 
 
 # --- metadata-only projection (P1: getDocumentInfo analog) -------------------

@@ -28,8 +28,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # cap Arrow batch rows: one giant doc must not blow executor
         # memory; the byte-budget salting (plans/salting.py) handles the
-        # byte dimension (SURVEY §4.3)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # byte dimension (SURVEY §4.3). Larger batches amortize IPC:
+        # bench uses 2048 via SPARKPDF_ARROW_BATCH on small-doc corpora.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARKPDF_ARROW_BATCH", "512"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting
         .config("spark.sql.adaptive.enabled", "true")
