@@ -132,6 +132,46 @@ def q_media_catalog(spark, sf_dir):
     )
 
 
+def q_form_fields(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_form_fields
+
+    return extract_form_fields(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "name",
+        "ft",
+        "value",
+        "flags",
+    )
+
+
+def q_named_dests(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_named_dests
+
+    return extract_named_dests(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "name", "page_no", "fit"
+    )
+
+
+def q_outlines(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_outlines
+
+    return extract_outlines(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "title", "level", "page_no"
+    )
+
+
+def q_overlay_pages(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_page_spans
+    from sparkpdf.operators.spans import overlay_pages
+
+    pages = extract_page_spans(_corpus(spark, sf_dir))
+    return overlay_pages(pages, pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page_no",
+        F.size("spans").alias("n_spans"),
+    )
+
+
 # --- relational analogs on the TPC-H-ish tables ------------------------------
 
 def q_form_text_filter(spark, sf_dir):
@@ -375,6 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_docs": q_split_docs,
         "page_count": q_page_count,
         "media_catalog": q_media_catalog,
+        "form_fields": q_form_fields,
+        "named_dests": q_named_dests,
+        "outlines": q_outlines,
+        "overlay_pages": q_overlay_pages,
         # relational analogs (SURVEY §2.3-2.7)
         "form_text_filter": q_form_text_filter,
         "obj_join": q_obj_join,
@@ -457,6 +501,29 @@ def oracle_sql() -> dict[str, str]:
     sql["media_catalog"] = """
         SELECT doc_id, 'img00' AS media_ref, CAST(1 AS BIGINT) AS n_uses,
                CAST(1 AS INTEGER) AS first_offset
+        FROM documents
+    """
+    sql["form_fields"] = """
+        SELECT doc_id,
+               'fld-doc-' || CAST(doc_id AS VARCHAR) AS name,
+               '/Tx' AS ft,
+               'v-doc-' || CAST(doc_id AS VARCHAR) AS value,
+               CAST(0 AS INTEGER) AS flags
+        FROM documents
+    """
+    sql["named_dests"] = """
+        SELECT doc_id, 'top' AS name, CAST(0 AS INTEGER) AS page_no,
+               '/Fit' AS fit
+        FROM documents
+    """
+    sql["outlines"] = """
+        SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               CAST(0 AS INTEGER) AS level, CAST(0 AS INTEGER) AS page_no
+        FROM documents
+    """
+    sql["overlay_pages"] = """
+        SELECT doc_id, CAST(0 AS INTEGER) AS page_no,
+               CAST(4 AS INTEGER) AS n_spans
         FROM documents
     """
     sql["form_text_filter"] = """

@@ -197,6 +197,190 @@ class PdfDocument:
         return b""
 
 
+    # -- interactive-document projections (SURVEY §2.3 P2/P4/P5) -------------
+
+    def form_fields(self) -> List[dict]:
+        """AcroForm fields, recursively through /Kids; field key is /TM
+        else /T (parity: getFields/_buildField, _reader.py:355-450)."""
+        acro = self.resolve(self.root.get("/AcroForm"))
+        if not isinstance(acro, dict):
+            return []
+        out: List[dict] = []
+        stack = list(reversed(self.resolve(acro.get("/Fields")) or []))
+        seen: set = set()
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Ref):
+                if node.idnum in seen:
+                    continue
+                seen.add(node.idnum)
+            field = self.resolve(node)
+            if not isinstance(field, dict):
+                continue
+            kids = self.resolve(field.get("/Kids"))
+            if kids:
+                stack.extend(reversed(kids))
+            name = field.get("/TM") or field.get("/T")
+            if name is None:
+                continue
+            out.append(
+                {
+                    "name": _as_str(name),
+                    "ft": _as_str(field.get("/FT")),
+                    "value": _as_str(self.resolve(field.get("/V"))),
+                    "default": _as_str(self.resolve(field.get("/DV"))),
+                    "flags": int(self.resolve(field.get("/Ff")) or 0),
+                }
+            )
+        return out
+
+    def form_text_values(self) -> dict:
+        """{name: value} for /FT == /Tx fields (parity:
+        getFormTextFields, _reader.py:452-462)."""
+        return {
+            f["name"]: f["value"]
+            for f in self.form_fields()
+            if f["ft"] == "/Tx"
+        }
+
+    def named_destinations(self) -> List[dict]:
+        """Flattened /Dests dict or /Names name tree (parity:
+        getNamedDestinations, _reader.py:464-503)."""
+        root = self.root
+        tree = self.resolve(root.get("/Dests"))
+        if not isinstance(tree, dict):
+            names = self.resolve(root.get("/Names"))
+            tree = (
+                self.resolve(names.get("/Dests"))
+                if isinstance(names, dict)
+                else None
+            )
+        if not isinstance(tree, dict):
+            return []
+        out: List[dict] = []
+        page_no = self._page_number_map()
+        stack = [tree]
+        while stack:
+            node = stack.pop()
+            for kid in reversed(self.resolve(node.get("/Kids")) or []):
+                kid = self.resolve(kid)
+                if isinstance(kid, dict):
+                    stack.append(kid)
+            names = self.resolve(node.get("/Names")) or []
+            for i in range(0, len(names) - 1, 2):
+                key = self.resolve(names[i])
+                dest = self.resolve(names[i + 1])
+                if isinstance(dest, dict):
+                    dest = self.resolve(dest.get("/D"))
+                if not isinstance(dest, list) or not dest:
+                    continue
+                page_ref = dest[0]
+                out.append(
+                    {
+                        "name": _as_str(key),
+                        "page_no": page_no.get(
+                            page_ref.idnum if isinstance(page_ref, Ref) else -1
+                        ),
+                        "fit": _as_str(dest[1]) if len(dest) > 1 else None,
+                    }
+                )
+        return out
+
+    def outlines(self) -> List[dict]:
+        """Flattened bookmark tree via /First-/Next chains with level
+        (parity: getOutlines/_buildOutline, _reader.py:513-558; broken
+        refs tolerated)."""
+        root_ol = self.resolve(self.root.get("/Outlines"))
+        if not isinstance(root_ol, dict):
+            return []
+        out: List[dict] = []
+        page_no = self._page_number_map()
+        seen: set = set()
+
+        def walk(node_ref, level: int):
+            node = node_ref
+            while node is not None:
+                if isinstance(node, Ref):
+                    if node.idnum in seen:
+                        return
+                    seen.add(node.idnum)
+                node = self.resolve(node)
+                if not isinstance(node, dict):
+                    return
+                dest = self.resolve(node.get("/Dest"))
+                if dest is None:
+                    action = self.resolve(node.get("/A"))
+                    if isinstance(action, dict):
+                        dest = self.resolve(action.get("/D"))
+                pno = None
+                if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
+                    pno = page_no.get(dest[0].idnum)
+                title = node.get("/Title")
+                if title is not None:
+                    out.append(
+                        {
+                            "title": _as_str(title),
+                            "level": level,
+                            "page_no": pno,
+                        }
+                    )
+                first = node.get("/First")
+                if first is not None:
+                    walk(first, level + 1)
+                node = node.get("/Next")
+
+        walk(root_ol.get("/First"), 0)
+        return out
+
+    def _page_number_map(self) -> Dict[int, int]:
+        """page object idnum -> page index, built once per doc (parity:
+        _pageId2Num build/probe, _reader.py:560-603)."""
+        m: Dict[int, int] = {}
+        top = self.resolve(self.root.get("/Pages"))
+        if not isinstance(top, dict):
+            return m
+        idx = 0
+        stack = [self.root.get("/Pages")]
+        while stack:
+            node_ref = stack.pop()
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                continue
+            if node.get("/Type") == "/Page" or (
+                "/Kids" not in node and node.get("/Type") != "/Pages"
+            ):
+                if isinstance(node_ref, Ref):
+                    m[node_ref.idnum] = idx
+                idx += 1
+            else:
+                for kid in reversed(self.resolve(node.get("/Kids")) or []):
+                    stack.append(kid)
+        return m
+
+
+def decode_permissions(p: int) -> dict:
+    """Permission bit unpack (parity: _reader.py:1311-1324; PDF 32000
+    Table 22 bit positions)."""
+    return {
+        "print": bool(p & (1 << 2)),
+        "modify": bool(p & (1 << 3)),
+        "copy": bool(p & (1 << 4)),
+        "annotations": bool(p & (1 << 5)),
+        "forms": bool(p & (1 << 8)),
+        "accessability": bool(p & (1 << 9)),
+        "assemble": bool(p & (1 << 10)),
+        "print_high_quality": bool(p & (1 << 11)),
+    }
+
+
+def _as_str(v) -> Optional[str]:
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.decode("latin-1", "replace")
+    return str(v)
+
+
 def _read_int(data: bytes, pos: int) -> Tuple[int, int]:
     m = re.compile(rb"[\x00\t\n\x0c\r ]*(\d+)").match(data, pos)
     if not m:

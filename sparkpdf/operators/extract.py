@@ -219,3 +219,92 @@ def extract_docinfo(pdf_raw: DataFrame) -> DataFrame:
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
         _docinfo_batches, schema=DOCINFO_SCHEMA
     )
+
+
+# --- interactive-document projections (P2/P4/P5) -----------------------------
+
+FORM_FIELDS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("name", StringType()),
+        StructField("ft", StringType()),
+        StructField("value", StringType()),
+        StructField("flags", IntegerType()),
+    ]
+)
+
+NAMED_DESTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("name", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("fit", StringType()),
+    ]
+)
+
+OUTLINES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("title", StringType()),
+        StructField("level", IntegerType()),
+        StructField("page_no", IntegerType()),
+    ]
+)
+
+
+def _projection_batches(project):
+    """Factory for doc->rows projection kernels (fields/dests/outlines)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.document import PdfDocument
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                try:
+                    doc = PdfDocument(bytes(blob))
+                    for rec in project(doc):
+                        rows.append({"doc_id": str(doc_id), **rec})
+                except Exception:
+                    continue  # quarantine: skip unparseable docs
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def extract_form_fields(pdf_raw: DataFrame) -> DataFrame:
+    """AcroForm projection (parity: getFields, _reader.py:355-450 —
+    whose Field ctor is dead code in the reference; we implement the
+    intended semantics, see kernels/document.form_fields)."""
+    kernel = _projection_batches(
+        lambda doc: (
+            {
+                "name": f["name"],
+                "ft": f["ft"],
+                "value": f["value"],
+                "flags": f["flags"],
+            }
+            for f in doc.form_fields()
+        )
+    )
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=FORM_FIELDS_SCHEMA
+    )
+
+
+def extract_named_dests(pdf_raw: DataFrame) -> DataFrame:
+    """Name-tree destinations (parity: getNamedDestinations,
+    _reader.py:464-503)."""
+    kernel = _projection_batches(lambda doc: iter(doc.named_destinations()))
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=NAMED_DESTS_SCHEMA
+    )
+
+
+def extract_outlines(pdf_raw: DataFrame) -> DataFrame:
+    """Bookmark tree flattened with level (parity: getOutlines,
+    _reader.py:513-558)."""
+    kernel = _projection_batches(lambda doc: iter(doc.outlines()))
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=OUTLINES_SCHEMA
+    )

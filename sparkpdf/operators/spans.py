@@ -117,3 +117,21 @@ def media_catalog(df: DataFrame) -> DataFrame:
     return exploded.groupBy("doc_id", F.col("s.media_ref").alias("media_ref")).agg(
         F.count("*").alias("n_uses"), F.min("s.offset").alias("first_offset")
     )
+
+
+def overlay_pages(base: DataFrame, overlay: DataFrame) -> DataFrame:
+    """Page overlay (parity: mergePage + transformed variants,
+    _page.py:338-664): the overlay page's spans render AFTER the base
+    page's (q/Q isolation keeps them independent; at span granularity
+    that is ordered concatenation). Join on (doc_id, page_no)."""
+    b = base.select(
+        "doc_id", "page_no", F.col("spans").alias("spans_base")
+    )
+    o = overlay.select(
+        "doc_id", "page_no", F.col("spans").alias("spans_over")
+    )
+    return b.join(o, ["doc_id", "page_no"], "inner").select(
+        "doc_id",
+        "page_no",
+        _renumber(F.concat("spans_base", "spans_over")).alias("spans"),
+    )

@@ -411,7 +411,34 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
         b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page
     )
     b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
-    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    # interactive features, all deterministic functions of `title`:
+    # one /Tx form field, one named destination, one outline bookmark
+    extra_root = b""
+    if title is not None:
+        t = esc_string(title)
+        field = b.add(
+            b"<< /FT /Tx /T (fld-" + t + b") /V (v-" + t + b") /Ff 0 >>"
+        )
+        names = b.add(
+            b"<< /Dests << /Names [(top) [%d 0 R /Fit]] >> >>" % page
+        )
+        ol_root_num = len(b.bodies) + 2  # bookmark added first
+        bookmark = b.add(
+            b"<< /Title (" + t + b") /Parent %d 0 R" % ol_root_num
+            + b" /Dest [%d 0 R /Fit] >>" % page
+        )
+        ol_root = b.add(
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count 1 >>"
+            % (bookmark, bookmark)
+        )
+        assert ol_root == ol_root_num
+        extra_root = (
+            b" /AcroForm << /Fields [%d 0 R] >> /Names %d 0 R"
+            b" /Outlines %d 0 R" % (field, names, ol_root)
+        )
+    root = b.add(
+        b"<< /Type /Catalog /Pages %d 0 R" % pages + extra_root + b" >>"
+    )
     info = None
     if title is not None:
         info = b.add(

@@ -1,0 +1,105 @@
+"""Parity tests for the interactive-document projections (SURVEY §2.3
+P2/P4/P5), geometry (G1-G2), page ranges (P11/O3), permissions (C5)."""
+
+import io
+
+import pytest
+
+from sparkpdf.kernels.document import PdfDocument, decode_permissions
+from sparkpdf.kernels.geometry import Transformation, page_indices, parse_page_range
+from sparkpdf.testing.pdfgen import doc_to_pdf
+from sparkpdf.testing.reference import load_reference
+
+
+@pytest.fixture(scope="module")
+def sample():
+    pdf = doc_to_pdf("Interactive sample", 1, title="doc-42")
+    return pdf, PdfDocument(pdf)
+
+
+def _ref_reader(pdf):
+    ref = load_reference()
+    return ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+
+
+def test_named_dests_parity(sample):
+    pdf, doc = sample
+    mine = doc.named_destinations()
+    rd = _ref_reader(pdf)
+    theirs = rd.getNamedDestinations()
+    assert {d["name"] for d in mine} == {
+        k.decode() if isinstance(k, bytes) else k for k in theirs
+    }
+    for d in mine:
+        ref_dest = theirs[
+            d["name"].encode() if isinstance(next(iter(theirs)), bytes) else d["name"]
+        ]
+        assert rd.getDestinationPageNumber(ref_dest) == d["page_no"]
+
+
+def test_outlines_parity(sample):
+    pdf, doc = sample
+    mine = doc.outlines()
+    rd = _ref_reader(pdf)
+    theirs = rd.getOutlines()
+    flat = [
+        (o.title.decode() if isinstance(o.title, bytes) else o.title,
+         rd.getDestinationPageNumber(o))
+        for o in theirs
+    ]
+    assert [(m["title"], m["page_no"]) for m in mine] == flat
+
+
+def test_form_fields_divergence(sample):
+    """The reference's getFields is dead code: Field.__init__ assigns
+    raw None for missing attributes and DictionaryObject.__setitem__
+    rejects it (generic.py:1430-1433 + 770-774). We implement the
+    intended projection."""
+    pdf, doc = sample
+    assert doc.form_fields() == [
+        {
+            "name": "fld-doc-42",
+            "ft": "/Tx",
+            "value": "v-doc-42",
+            "default": None,
+            "flags": 0,
+        }
+    ]
+    assert doc.form_text_values() == {"fld-doc-42": "v-doc-42"}
+    with pytest.raises(ValueError):
+        _ref_reader(pdf).getFields()
+
+
+@pytest.mark.parametrize(
+    "spec", ["0", "3", "-1", "1:5", ":4", "2:", "::2", "1:9:3", "-3:", ":-1"]
+)
+def test_page_range_parity(spec):
+    ref = load_reference()
+    n = 11
+    ref_slice = ref.PageRange(spec).to_slice()
+    assert page_indices(spec, n) == list(range(n))[ref_slice]
+
+
+def test_transformation_parity():
+    ref = load_reference()
+    mine = Transformation().translate(3, 4).scale(2, 0.5).rotate(90)
+    theirs = ref.Transformation().translate(3, 4).scale(2, 0.5).rotate(90)
+    for a, b in zip(mine.ctm, theirs.ctm):
+        assert abs(a - float(b)) < 1e-9
+    # rect mapping sanity
+    box = mine.apply_rect((0, 0, 10, 20))
+    assert box[0] <= box[2] and box[1] <= box[3]
+
+
+def test_decode_permissions_parity():
+    ref = load_reference()
+    import io as _io
+
+    from sparkpdf.testing.fixtures import encrypt_rc4_40
+
+    rd = ref.PdfFileReader(_io.BytesIO(encrypt_rc4_40()), strict=False)
+    rd.decrypt("")
+    p = -44
+    assert decode_permissions(p & 0xFFFFFFFF) == rd.decode_permissions(
+        p & 0xFFFFFFFF
+    )
