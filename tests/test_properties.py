@@ -1,0 +1,164 @@
+"""Property tests (SURVEY §5.2): randomized inputs, reference as oracle.
+
+* literal-string lexing == reference byte-for-byte
+* content-stream tokenization == reference (operators + operands)
+* filter encode->decode round-trips, including through the REFERENCE
+  decoder (cross-implementation compatibility)
+* span order invariant: extraction is a pure function of bytes
+"""
+
+import io
+
+from hypothesis import given, settings, strategies as st
+
+from sparkpdf.kernels import cos, filters
+from sparkpdf.kernels.content import tokenize
+from sparkpdf.testing import pdfgen
+from sparkpdf.testing.reference import load_reference
+
+
+# bytes that may appear inside a literal string once escaped
+_raw_bytes = st.binary(min_size=0, max_size=64)
+
+
+@given(_raw_bytes)
+@settings(max_examples=200, deadline=None)
+def test_literal_string_roundtrip(data):
+    """esc_string(data) must lex back to exactly `data` in BOTH lexers
+    (unless it BOM-sniffs to text, which both then decode the same)."""
+    enc = b"(" + pdfgen.esc_string(data) + b")"
+    mine, pos = cos.parse_literal_string(enc, 0)
+    assert pos == len(enc)
+    ref = load_reference()
+    theirs = ref.generic.readStringFromStream(io.BytesIO(enc))
+    if isinstance(mine, bytes):
+        assert mine == data
+        assert bytes(theirs) == data
+    else:  # BOM path: both produced unicode
+        assert isinstance(theirs, str)
+        assert mine == str(theirs)
+
+
+_octal = st.integers(min_value=0, max_value=511)
+
+
+@given(st.lists(_octal, min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_octal_escape_overflow_parity(codes):
+    """1-3 digit octal escapes with high-order overflow mod 256
+    (generic.py:569-605)."""
+    enc = b"(" + b"".join(b"\\%o" % c for c in codes) + b")"
+    mine, _ = cos.parse_literal_string(enc, 0)
+    ref = load_reference()
+    theirs = ref.generic.readStringFromStream(io.BytesIO(enc))
+    want = bytes(c % 256 for c in codes)
+    assert (mine if isinstance(mine, bytes) else mine.encode()) == want
+    assert bytes(theirs) == want
+
+
+_word = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz ABC0123()\\%",
+    min_size=0,
+    max_size=20,
+)
+_num = st.integers(min_value=-99999, max_value=99999)
+
+
+@st.composite
+def _content_stream(draw):
+    """A random-but-valid content stream: text ops with string/number
+    operands, graphics ops, comments."""
+    parts = [b"BT /F1 12 Tf"]
+    n = draw(st.integers(min_value=0, max_value=12))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["Tj", "TJ", "T*", "'", '"', "cm", "%"]))
+        if kind == "Tj":
+            parts.append(b"(" + pdfgen.esc_string(draw(_word)) + b") Tj")
+        elif kind == "'":
+            parts.append(b"(" + pdfgen.esc_string(draw(_word)) + b") '")
+        elif kind == '"':
+            parts.append(
+                b"%d %d (" % (draw(_num), draw(_num))
+                + pdfgen.esc_string(draw(_word))
+                + b') "'
+            )
+        elif kind == "TJ":
+            els = []
+            for _ in range(draw(st.integers(min_value=0, max_value=4))):
+                if draw(st.booleans()):
+                    els.append(b"(" + pdfgen.esc_string(draw(_word)) + b")")
+                else:
+                    els.append(b"%d" % draw(_num))
+            parts.append(b"[" + b" ".join(els) + b"] TJ")
+        elif kind == "T*":
+            parts.append(b"T*")
+        elif kind == "cm":
+            parts.append(
+                b"%d %d %d %d %d %d cm"
+                % tuple(draw(_num) for _ in range(6))
+            )
+        else:
+            parts.append(b"% a comment\n")
+    parts.append(b"ET")
+    return b" ".join(parts)
+
+
+@given(_content_stream())
+@settings(max_examples=100, deadline=None)
+def test_tokenizer_parity(stream_bytes):
+    """(operands, operator) sequences match the reference tokenizer."""
+    mine = tokenize(stream_bytes)
+    ref = load_reference()
+    # build a minimal one-page doc around the content and re-lex with
+    # the reference's ContentStream
+    pdf = pdfgen.simple_pdf([stream_bytes])
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    page = rd.getPage(0)
+    contents = page["/Contents"].getObject()
+    cs = ref.generic.ContentStream(contents, rd)
+    theirs = cs.operations
+    assert len(mine) == len(theirs), (mine, theirs)
+    for (m_ops, m_op), (t_ops, t_op) in zip(mine, theirs):
+        assert m_op == t_op.decode("latin-1")
+        assert len(m_ops) == len(t_ops)
+        for mv, tv in zip(m_ops, t_ops):
+            if isinstance(mv, bytes):
+                assert bytes(tv) == mv
+            elif isinstance(mv, str):
+                assert str(tv) == mv
+            elif isinstance(mv, float):
+                assert abs(float(tv) - mv) < 1e-9
+            else:
+                assert tv == mv
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=50, deadline=None)
+def test_filter_cross_roundtrip(data):
+    """Our encoders are decodable by BOTH decoders; chains included."""
+    ref = load_reference()
+    for enc_name, my_enc, ref_dec in (
+        ("FlateDecode", pdfgen.flate_encode, ref.filters.FlateDecode.decode),
+        ("LZWDecode", pdfgen.lzw_encode, ref.filters.LZWDecode.decode),
+        ("ASCIIHexDecode", pdfgen.ahx_encode, ref.filters.ASCIIHexDecode.decode),
+        ("ASCII85Decode", pdfgen.a85_encode, ref.filters.ASCII85Decode.decode),
+    ):
+        enc = my_enc(data)
+        mine = filters._DECODERS["/" + enc_name](enc, None)
+        assert mine == data, enc_name
+        theirs = ref_dec(enc, None)
+        assert bytes(theirs) == data, enc_name
+
+
+@given(st.text(max_size=200), st.integers(min_value=0, max_value=3))
+@settings(max_examples=50, deadline=None)
+def test_extraction_is_pure(text, n_media):
+    from sparkpdf.kernels import extract_doc
+
+    pdf = pdfgen.doc_to_pdf(text, n_media=n_media, title="t")
+    a = extract_doc(pdf)
+    b = extract_doc(pdf)
+    assert a == b
+    assert a["error"] is None
+    offsets = [s["offset"] for s in a["spans"]]
+    assert offsets == sorted(offsets) == list(range(len(offsets)))
