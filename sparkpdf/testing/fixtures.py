@@ -488,6 +488,42 @@ def docinfo() -> bytes:
     return b.build(root, info=info)
 
 
+_XMP_XML = b"""<?xpacket begin='' id='W5M0MpCehiHzreSzNTczkc9d'?>
+<x:xmpmeta xmlns:x="adobe:ns:meta/">
+ <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">
+  <rdf:Description rdf:about=""
+      xmlns:dc="http://purl.org/dc/elements/1.1/"
+      xmlns:xmp="http://ns.adobe.com/xap/1.0/"
+      xmlns:pdf="http://ns.adobe.com/pdf/1.3/">
+   <dc:title><rdf:Alt><rdf:li xml:lang="x-default">Fixture Title</rdf:li></rdf:Alt></dc:title>
+   <dc:creator><rdf:Seq><rdf:li>Ada</rdf:li><rdf:li>Grace</rdf:li></rdf:Seq></dc:creator>
+   <dc:subject><rdf:Bag><rdf:li>spark</rdf:li><rdf:li>pdf</rdf:li></rdf:Bag></dc:subject>
+   <pdf:Producer>sparkpdf-fixture</pdf:Producer>
+   <xmp:CreateDate>2026-01-02T03:04:05Z</xmp:CreateDate>
+  </rdf:Description>
+ </rdf:RDF>
+</x:xmpmeta>
+<?xpacket end='w'?>"""
+
+
+def xmp_metadata() -> bytes:
+    b = PdfBuilder()
+    f1 = b.add(FONT_STD)
+    cref = b.add_stream(b"", b"BT /F1 12 Tf (has xmp) Tj ET")
+    meta = b.add_stream(b"/Type /Metadata /Subtype /XML", _XMP_XML)
+    res = b"<< /Font << /F1 %d 0 R >> >>" % f1
+    page = b.add(
+        b"<< /Type /Page /Parent {p} 0 R /Resources " + res
+        + b" /MediaBox [0 0 612 792] /Contents %d 0 R >>" % cref
+    )
+    pages = b.add(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page)
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
+    root = b.add(
+        b"<< /Type /Catalog /Pages %d 0 R /Metadata %d 0 R >>" % (pages, meta)
+    )
+    return b.build(root)
+
+
 # --- encryption --------------------------------------------------------------
 
 def _encrypted(rev: int, keylen: int) -> bytes:
@@ -568,6 +604,7 @@ ALL = {
     "stream-len-indirect": stream_len_indirect,
     "stream-len-long": stream_len_long,
     "docinfo": docinfo,
+    "xmp-metadata": xmp_metadata,
     "encrypt-rc4-40": encrypt_rc4_40,
     "encrypt-rc4-128": encrypt_rc4_128,
 }

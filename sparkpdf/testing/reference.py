@@ -25,6 +25,9 @@ def load_reference():
     mod = importlib.util.module_from_spec(spec)
     sys.modules["PyPDF2"] = mod
     spec.loader.exec_module(mod)
+    # xmp.py imports PyPDF2.utils, which only exists as the _utils alias
+    if "PyPDF2._utils" in sys.modules:
+        sys.modules.setdefault("PyPDF2.utils", sys.modules["PyPDF2._utils"])
     return mod
 
 

