@@ -152,3 +152,26 @@ def test_media_features_stub(spark, docs):
     for r in feats:
         assert 1 <= r.width <= 64 and 1 <= r.height <= 64
         assert r.n_bytes == 32
+
+
+def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
+    """File-source streaming: drain with availableNow, add more files,
+    drain again — every doc extracted exactly once (checkpointed)."""
+    from sparkpdf.streaming.ingest import stream_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    half_a = corpus.filter(F.pmod(F.hash("doc_id"), F.lit(2)) == 0)
+    half_b = corpus.filter(F.pmod(F.hash("doc_id"), F.lit(2)) == 1)
+    half_a.write.mode("append").parquet(in_dir)
+    q = stream_extract(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == half_a.count()
+    half_b.write.mode("append").parquet(in_dir)
+    q2 = stream_extract(spark, in_dir, out_dir, ck_dir)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == corpus.count()
+    assert out.select("doc_id").distinct().count() == corpus.count()
