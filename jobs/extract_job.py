@@ -1,0 +1,64 @@
+"""Production span-extraction job.
+
+    spark-submit --py-files sparkpdf.zip jobs/extract_job.py \
+        --input  /data/pdf_raw          (parquet: doc_id, pdf_bytes) \
+        --output /data/documents_interleaved \
+        --batches 64                    (checkpoint slices) \
+        [--no-salting] [--resume]
+
+Pipeline: scan -> byte-size-aware salting (skew defence, SURVEY §4.3)
+-> checkpointed per-slice extraction with a _progress manifest
+(restart with --resume skips completed slices; north-rule lineage).
+On a cluster, drop the local[] master and let spark-submit supply it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--batches", type=int, default=64)
+    ap.add_argument("--target-bytes", type=int, default=64 << 20)
+    ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
+    ap.add_argument("--no-salting", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("sparkpdf-extract").getOrCreate()
+
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+    from sparkpdf.plans.salting import plan_salted_partitions, skew_report
+
+    pdf_raw = spark.read.parquet(args.input)
+    if not args.no_salting:
+        report = skew_report(pdf_raw, args.batches)
+        pdf_raw = plan_salted_partitions(
+            pdf_raw,
+            target_bytes=args.target_bytes,
+            big_doc_bytes=args.big_doc_bytes,
+        )
+        print(json.dumps({"skew_before": report}))
+
+    ck = CheckpointedExtraction(args.output, n_batches=args.batches)
+    done = ck.run(pdf_raw, extract_spans)
+    result = ck.result(spark)
+    summary = {
+        "slices_processed": done,
+        "total_docs": result.count(),
+        "errored_docs": result.filter("error IS NOT NULL").count(),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
