@@ -45,24 +45,26 @@ def plan_salted_partitions(
     ).collect()[0]
     n_small = max(min_partitions, -(-int(stats.small_bytes) // target_bytes))
     n_big = int(stats.n_big)
-    small_salt = F.pmod(F.hash("doc_id"), F.lit(n_small))
-    if n_big:
-        # rank big docs (tiny window: only whales) into private slots
-        w = Window.orderBy("doc_id")
-        big = (
-            sized.filter(F.col("_doc_bytes") > big_doc_bytes)
-            .withColumn("_salt", F.lit(n_small) + F.row_number().over(w) - 1)
-        )
-        small = sized.filter(F.col("_doc_bytes") <= big_doc_bytes).withColumn(
-            "_salt", small_salt
-        )
-        salted = small.unionByName(big)
-    else:
-        salted = sized.withColumn("_salt", small_salt)
-    return (
-        salted.repartition(n_small + n_big, "_salt")
-        .drop("_salt", "_doc_bytes")
+    # NOTE: repartition(n, col) HASHES the column, so one shared
+    # repartition cannot pin whales to private partitions (hash
+    # collisions with small-doc salts). Instead each side is
+    # partitioned separately and unioned — UnionExec concatenates
+    # child partitions without a shuffle, preserving both layouts.
+    small = (
+        sized.filter(F.col("_doc_bytes") <= big_doc_bytes)
+        .repartition(n_small, "doc_id")
+        .drop("_doc_bytes")
     )
+    if not n_big:
+        return small
+    # range-partitioning n_big distinct keys into n_big partitions
+    # gives exactly one whale per partition (full sample at this size)
+    big = (
+        sized.filter(F.col("_doc_bytes") > big_doc_bytes)
+        .repartitionByRange(n_big, "doc_id")
+        .drop("_doc_bytes")
+    )
+    return small.unionByName(big)
 
 
 def skew_report(pdf_raw: DataFrame, n_partitions: int) -> dict:

@@ -175,3 +175,65 @@ def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == corpus.count()
     assert out.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_quarantine_corrupt_docs(spark, corpus):
+    """Poisoned documents must not kill the partition: they surface in
+    the error column, healthy docs still extract (SURVEY §4.1)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.extract import PDF_RAW_SCHEMA, extract_spans
+
+    bad = spark.createDataFrame(
+        [
+            Row(doc_id="bad-empty", pdf_bytes=b""),
+            Row(doc_id="bad-garbage", pdf_bytes=b"\x00\xffnot a pdf at all"),
+            Row(doc_id="bad-truncated", pdf_bytes=b"%PDF-1.4\n1 0 obj\n<< /T"),
+        ],
+        schema=PDF_RAW_SCHEMA,
+    )
+    out = extract_spans(corpus.unionByName(bad)).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == corpus.count() + 3
+    for bad_id in ("bad-empty", "bad-garbage", "bad-truncated"):
+        assert by_id[bad_id].error is not None
+        assert by_id[bad_id].spans == []
+    healthy_errors = [r for r in out if not r.doc_id.startswith("bad-") and r.error]
+    assert healthy_errors == []
+
+
+def test_whale_doc_private_partition(spark, docs):
+    """A multi-MB whale among 4 KB docs gets its own partition after
+    byte-size-aware salting, and still extracts correctly."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.extract import PDF_RAW_SCHEMA, extract_spans, synthesize_pdf_corpus
+    from sparkpdf.plans.salting import plan_salted_partitions
+    from sparkpdf.testing.pdfgen import doc_to_pdf
+
+    import hashlib
+
+    # incompressible ~1.1 MB of text (flate can't shrink digest chains)
+    chunks, seed = [], b"whale"
+    for _ in range(16000):
+        seed = hashlib.sha256(seed).digest()
+        chunks.append(seed.hex())
+    whale_pdf = doc_to_pdf(" ".join(chunks), n_media=2, title="whale")
+    small = synthesize_pdf_corpus(docs)
+    whale = spark.createDataFrame(
+        [Row(doc_id="whale-1", pdf_bytes=whale_pdf)], schema=PDF_RAW_SCHEMA
+    )
+    mixed = small.unionByName(whale)
+    salted = plan_salted_partitions(
+        mixed, target_bytes=64 << 10, big_doc_bytes=32 << 10, min_partitions=2
+    )
+    # whale must be alone in its partition
+    from pyspark.sql import functions as FF
+
+    with_pid = salted.withColumn("pid", FF.spark_partition_id())
+    whale_pid = with_pid.filter("doc_id = 'whale-1'").select("pid").collect()[0].pid
+    mates = with_pid.filter(FF.col("pid") == whale_pid).count()
+    assert mates == 1
+    res = {r.doc_id: r for r in extract_spans(salted).collect()}
+    assert res["whale-1"].error is None
+    assert [s.media_ref for s in res["whale-1"].spans if s.kind == "media_ref"] == [
+        "img00", "img01",
+    ]
