@@ -172,6 +172,62 @@ def q_overlay_pages(spark, sf_dir):
     )
 
 
+def _paged(spark, sf_dir, n_pages=3):
+    from sparkpdf.operators.extract import (
+        extract_page_spans,
+        synthesize_paged_corpus,
+    )
+
+    return extract_page_spans(
+        synthesize_paged_corpus(_t(spark, sf_dir, "documents"), n_pages)
+    )
+
+
+def _page_text_col():
+    return F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+
+
+def q_split_docs_multi(spark, sf_dir):
+    # D5 at page granularity: 3-page docs -> 3 single-page docs each,
+    # page text preserved
+    pages = _paged(spark, sf_dir)
+    from sparkpdf.operators.spans import split_pages
+
+    return split_pages(pages).select("doc_id", _page_text_col().alias("page_text"))
+
+
+def q_page_range_extract(spark, sf_dir):
+    # P11/O3 over real extracted pages: 0:3:2 keeps pages 0 and 2
+    from sparkpdf.operators.spans import page_range
+
+    pages = _paged(spark, sf_dir)
+    return page_range(pages, 0, 3, 2).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page_no",
+        _page_text_col().alias("page_text"),
+    )
+
+
+def q_insert_page(spark, sf_dir):
+    # O4 positional insert: splice each doc's page 0 copy at position 1
+    from sparkpdf.operators.spans import insert_pages
+
+    pages = _paged(spark, sf_dir).select("doc_id", "page_no", "spans")
+    first = pages.filter(F.col("page_no") == 0)
+    out = insert_pages(pages, first, position=1)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page_no",
+        _page_text_col().alias("page_text"),
+    )
+
+
 # --- relational analogs on the TPC-H-ish tables ------------------------------
 
 def q_form_text_filter(spark, sf_dir):
@@ -419,6 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "named_dests": q_named_dests,
         "outlines": q_outlines,
         "overlay_pages": q_overlay_pages,
+        "split_docs_multi": q_split_docs_multi,
+        "page_range_extract": q_page_range_extract,
+        "insert_page": q_insert_page,
         # relational analogs (SURVEY §2.3-2.7)
         "form_text_filter": q_form_text_filter,
         "obj_join": q_obj_join,
@@ -502,6 +561,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, 'img00' AS media_ref, CAST(1 AS BIGINT) AS n_uses,
                CAST(1 AS INTEGER) AS first_offset
         FROM documents
+    """
+    chunked = f"""
+        WITH s AS (
+            SELECT doc_id, {_SANITIZED} AS t FROM documents
+        ), kk AS (
+            SELECT doc_id, t,
+                   greatest(1, (length(t) + 2) // 3) AS k
+            FROM s
+        ), pg AS (
+            SELECT doc_id, 0 AS page_no, substr(t, 1, k) AS chunk FROM kk
+            UNION ALL
+            SELECT doc_id, 1, substr(t, k + 1, k) FROM kk
+            UNION ALL
+            SELECT doc_id, 2, substr(t, 2 * k + 1, k) FROM kk
+        )
+    """
+    sql["split_docs_multi"] = chunked + """
+        SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(page_no AS VARCHAR)
+                   AS doc_id,
+               chunk || chr(10) AS page_text
+        FROM pg
+    """
+    sql["page_range_extract"] = chunked + """
+        SELECT doc_id, CAST(page_no AS INTEGER) AS page_no,
+               chunk || chr(10) AS page_text
+        FROM pg WHERE page_no IN (0, 2)
+    """
+    sql["insert_page"] = chunked + """
+        SELECT doc_id,
+               CAST(CASE WHEN page_no = 0 THEN 0 ELSE page_no + 1 END
+                    AS INTEGER) AS page_no,
+               chunk || chr(10) AS page_text
+        FROM pg
+        UNION ALL
+        SELECT doc_id, CAST(1 AS INTEGER), chunk || chr(10)
+        FROM pg WHERE page_no = 0
     """
     sql["form_fields"] = """
         SELECT doc_id,

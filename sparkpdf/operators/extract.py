@@ -169,6 +169,36 @@ def synthesize_pdf_corpus(
     )
 
 
+def _synth_paged_batches(n_pages: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.pdfgen import doc_to_pdf_paged
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(str(doc_id))
+                out["pdf_bytes"].append(
+                    doc_to_pdf_paged(text if text is not None else "", n_pages)
+                )
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def synthesize_paged_corpus(
+    documents: DataFrame, n_pages: int = 3, n_partitions: int | None = None
+) -> DataFrame:
+    """Multi-page variant of synthesize_pdf_corpus (page ops at scale)."""
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+    if n_partitions is None:
+        n_partitions = documents.sparkSession.sparkContext.defaultParallelism * 2
+    return docs.repartition(n_partitions, "doc_id").mapInPandas(
+        _synth_paged_batches(n_pages), schema=PDF_RAW_SCHEMA
+    )
+
+
 # --- metadata-only projection (P1: getDocumentInfo analog) -------------------
 
 DOCINFO_SCHEMA = StructType(

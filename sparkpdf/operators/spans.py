@@ -119,6 +119,31 @@ def media_catalog(df: DataFrame) -> DataFrame:
     )
 
 
+def insert_pages(
+    pages: DataFrame, to_insert: DataFrame, position: int
+) -> DataFrame:
+    """Positional page insert (parity: insertPage/merge(position=...),
+    _writer.py:164-173, _merger.py:189-190): order-key arithmetic
+    (base pages at 2*page_no, inserted block at 2*position-1), then a
+    per-doc window renumber — the shuffle is on doc_id only."""
+    from pyspark.sql import Window
+
+    base = pages.select(
+        "doc_id", "spans", (F.col("page_no") * 2).alias("_k")
+    )
+    ins = to_insert.select(
+        "doc_id",
+        "spans",
+        (F.lit(position * 2 - 1) + F.col("page_no") / F.lit(1e6)).alias("_k"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("_k")
+    return (
+        base.unionByName(ins)
+        .withColumn("page_no", (F.row_number().over(w) - 1).cast("int"))
+        .select("doc_id", "page_no", "spans")
+    )
+
+
 def overlay_pages(base: DataFrame, overlay: DataFrame) -> DataFrame:
     """Page overlay (parity: mergePage + transformed variants,
     _page.py:338-664): the overlay page's spans render AFTER the base

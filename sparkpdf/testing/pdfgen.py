@@ -367,6 +367,20 @@ def text_content(lines: Sequence[Union[str, bytes]], font: bytes = b"/F1") -> by
 
 # --- the distributed corpus builder (entry()/bench path) ---------------------
 
+def doc_to_pdf_paged(text: str, n_pages: int, title: Optional[str] = None) -> bytes:
+    """Multi-page corpus doc: the sanitized text splits into n_pages
+    equal substrings (K = ceil(len/n)), one Tj per page — page i's
+    extracted text is substr(printable, i*K, K) + "\n", reproducible in
+    ANSI SQL for the oracle."""
+    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    k = max(1, -(-len(printable) // n_pages))
+    chunks = [printable[i * k : (i + 1) * k] for i in range(n_pages)]
+    return simple_pdf(
+        [text_content([chunk], font=b"/F1") for chunk in chunks],
+        fonts={b"/F1": FONT_WINANSI},
+    )
+
+
 def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> bytes:
     """One deterministic PDF per corpus document.
 
