@@ -160,6 +160,17 @@ def q_outlines(spark, sf_dir):
     )
 
 
+def q_link_annotations(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_links
+
+    return extract_links(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page_no",
+        "uri",
+        F.coalesce("dest_page", F.lit(-1)).alias("dest_page"),
+    )
+
+
 def q_overlay_pages(spark, sf_dir):
     from sparkpdf.operators.extract import extract_page_spans
     from sparkpdf.operators.spans import overlay_pages
@@ -475,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "named_dests": q_named_dests,
         "outlines": q_outlines,
         "overlay_pages": q_overlay_pages,
+        "link_annotations": q_link_annotations,
         "split_docs_multi": q_split_docs_multi,
         "page_range_extract": q_page_range_extract,
         "insert_page": q_insert_page,
@@ -614,6 +626,12 @@ def oracle_sql() -> dict[str, str]:
     sql["outlines"] = """
         SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS title,
                CAST(0 AS INTEGER) AS level, CAST(0 AS INTEGER) AS page_no
+        FROM documents
+    """
+    sql["link_annotations"] = """
+        SELECT doc_id, CAST(0 AS INTEGER) AS page_no,
+               'https://example.org/doc-' || CAST(doc_id AS VARCHAR) AS uri,
+               CAST(-1 AS INTEGER) AS dest_page
         FROM documents
     """
     sql["overlay_pages"] = """

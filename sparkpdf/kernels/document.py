@@ -332,6 +332,53 @@ class PdfDocument:
         walk(root_ol.get("/First"), 0)
         return out
 
+    def page_layout(self) -> Optional[str]:
+        """Catalog /PageLayout (parity: getPageLayout, _reader.py:654-673)."""
+        return _as_str(self.resolve(self.root.get("/PageLayout")))
+
+    def page_mode(self) -> Optional[str]:
+        """Catalog /PageMode (parity: getPageMode, _reader.py:675-693)."""
+        return _as_str(self.resolve(self.root.get("/PageMode")))
+
+    def page_meta(self, page: dict, page_no: int) -> dict:
+        """Per-page scalar projection: rotation (inherited via flatten,
+        _reader.py:696-701) and media box."""
+        rotate = self.resolve(page.get("/Rotate"))
+        box = self.resolve(page.get("/MediaBox"))
+        return {
+            "page_no": page_no,
+            "rotate": int(rotate) if isinstance(rotate, (int, float)) else 0,
+            "mediabox": [float(self.resolve(v)) for v in box]
+            if isinstance(box, list)
+            else None,
+        }
+
+    def link_annotations(self) -> List[dict]:
+        """Link annotations per page: URI actions and internal /Dest
+        (the projection behind removeLinks, _writer.py:871-877)."""
+        out: List[dict] = []
+        page_no_map = self._page_number_map()
+        for page_no, page in enumerate(self.pages()):
+            annots = self.resolve(page.get("/Annots")) or []
+            for a in annots:
+                a = self.resolve(a)
+                if not isinstance(a, dict) or a.get("/Subtype") != "/Link":
+                    continue
+                uri = None
+                dest_page = None
+                action = self.resolve(a.get("/A"))
+                if isinstance(action, dict):
+                    uri = _as_str(self.resolve(action.get("/URI")))
+                    d = self.resolve(action.get("/D"))
+                else:
+                    d = self.resolve(a.get("/Dest"))
+                if isinstance(d, list) and d and isinstance(d[0], Ref):
+                    dest_page = page_no_map.get(d[0].idnum)
+                out.append(
+                    {"page_no": page_no, "uri": uri, "dest_page": dest_page}
+                )
+        return out
+
     def _page_number_map(self) -> Dict[int, int]:
         """page object idnum -> page index, built once per doc (parity:
         _pageId2Num build/probe, _reader.py:560-603)."""

@@ -338,3 +338,22 @@ def extract_outlines(pdf_raw: DataFrame) -> DataFrame:
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
         kernel, schema=OUTLINES_SCHEMA
     )
+
+
+LINKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("page_no", IntegerType()),
+        StructField("uri", StringType()),
+        StructField("dest_page", IntegerType()),
+    ]
+)
+
+
+def extract_links(pdf_raw: DataFrame) -> DataFrame:
+    """Link-annotation projection (the read side of removeLinks,
+    _writer.py:871-877)."""
+    kernel = _projection_batches(lambda doc: iter(doc.link_annotations()))
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=LINKS_SCHEMA
+    )

@@ -426,10 +426,18 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
     )
     b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
     # interactive features, all deterministic functions of `title`:
-    # one /Tx form field, one named destination, one outline bookmark
+    # one /Tx form field, one named destination, one outline bookmark,
+    # one URI link annotation on the page
     extra_root = b""
     if title is not None:
         t = esc_string(title)
+        link = b.add(
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20]"
+            b" /A << /S /URI /URI (https://example.org/" + t + b") >> >>"
+        )
+        b.bodies[page - 1] = b.bodies[page - 1].replace(
+            b" /MediaBox", b" /Annots [%d 0 R] /MediaBox" % link
+        )
         field = b.add(
             b"<< /FT /Tx /T (fld-" + t + b") /V (v-" + t + b") /Ff 0 >>"
         )

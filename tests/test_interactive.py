@@ -125,3 +125,21 @@ def test_xmp_parity():
     assert rx.dc_subject == info.dc_subject
     assert rx.pdf_producer == info.pdf_producer
     assert rx.xmp_createDate == info.xmp_create_date.replace(tzinfo=None) or True
+
+
+def test_page_meta_and_links():
+    from sparkpdf.testing.fixtures import pagetree_deep
+
+    doc = PdfDocument(pagetree_deep())
+    metas = [doc.page_meta(p, i) for i, p in enumerate(doc.pages())]
+    # page 0 under top (no rotate), pages 1-2 under mid (/Rotate 90),
+    # page 2 overrides with /Rotate 180 (inheritance, _reader.py:696-701)
+    assert [m["rotate"] for m in metas] == [0, 90, 180]
+    assert all(m["mediabox"] == [0.0, 0.0, 612.0, 792.0] for m in metas)
+
+    corpus_doc = PdfDocument(doc_to_pdf("x", title="doc-9"))
+    links = corpus_doc.link_annotations()
+    assert links == [
+        {"page_no": 0, "uri": "https://example.org/doc-9", "dest_page": None}
+    ]
+    assert corpus_doc.page_layout() is None and corpus_doc.page_mode() is None

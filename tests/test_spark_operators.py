@@ -237,3 +237,23 @@ def test_whale_doc_private_partition(spark, docs):
     assert [s.media_ref for s in res["whale-1"].spans if s.kind == "media_ref"] == [
         "img00", "img01",
     ]
+
+
+def test_fixture_corpus_through_spark(spark):
+    """Every feature-matrix fixture must survive the DISTRIBUTED path
+    (Arrow transport of odd byte patterns included), not just the
+    kernel-level parity suite."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.extract import PDF_RAW_SCHEMA, extract_spans
+    from sparkpdf.testing.fixtures import all_fixtures
+
+    fx = all_fixtures()
+    df = spark.createDataFrame(
+        [Row(doc_id=tag, pdf_bytes=data) for tag, data in fx.items()],
+        schema=PDF_RAW_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in extract_spans(df.repartition(7)).collect()}
+    assert len(rows) == len(fx)
+    for tag, r in rows.items():
+        assert r.error is None, f"{tag}: {r.error}"
+        assert r.n_pages >= 1, tag
