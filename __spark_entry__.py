@@ -239,6 +239,18 @@ def q_insert_page(spark, sf_dir):
     )
 
 
+def q_write_roundtrip(spark, sf_dir):
+    # K1 inverse: extract -> WRITE real PDFs -> re-extract; full text
+    # must equal the direct-extraction oracle
+    from sparkpdf.operators.extract import extract_spans, write_pdfs
+    from sparkpdf.operators.spans import doc_full_text
+
+    again = extract_spans(write_pdfs(_spans(spark, sf_dir)))
+    return doc_full_text(again).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "full_text"
+    )
+
+
 # --- relational analogs on the TPC-H-ish tables ------------------------------
 
 def q_form_text_filter(spark, sf_dir):
@@ -487,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlines": q_outlines,
         "overlay_pages": q_overlay_pages,
         "link_annotations": q_link_annotations,
+        "write_roundtrip": q_write_roundtrip,
         "split_docs_multi": q_split_docs_multi,
         "page_range_extract": q_page_range_extract,
         "insert_page": q_insert_page,
@@ -539,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
     sql["extract_full_text"] = f"""
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
     """
+    sql["write_roundtrip"] = sql["extract_full_text"]
     sql["docinfo_project"] = """
         SELECT doc_id,
                'doc-' || CAST(doc_id AS VARCHAR) AS title,

@@ -357,3 +357,52 @@ def extract_links(pdf_raw: DataFrame) -> DataFrame:
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
         kernel, schema=LINKS_SCHEMA
     )
+
+
+# --- write side: spans -> PDF bytes (SURVEY §2.2 K1 inverse) ------------------
+
+def _write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.write import spans_to_pdf
+
+    for pdf in batches:
+        out = {"doc_id": [], "pdf_bytes": []}
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            page = [
+                {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+                for s in spans
+            ]
+            out["doc_id"].append(str(doc_id))
+            out["pdf_bytes"].append(spans_to_pdf([page]))
+        yield pd.DataFrame(out)
+
+
+def write_pdfs(interleaved: DataFrame) -> DataFrame:
+    """documents_interleaved -> pdf_raw (single-page docs). The inverse
+    of extract_spans: extract(write(spans)) == spans, and the REFERENCE
+    reads the written files (tests/test_write.py)."""
+    return interleaved.select("doc_id", "spans").mapInPandas(
+        _write_batches, schema=PDF_RAW_SCHEMA
+    )
+
+
+def _write_paged_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    from ..kernels.write import spans_to_pdf
+
+    pdf = pdf.sort_values("page_no")
+    pages = [
+        [
+            {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+            for s in spans
+        ]
+        for spans in pdf["spans"]
+    ]
+    return pd.DataFrame({"doc_id": [key[0]], "pdf_bytes": [spans_to_pdf(pages)]})
+
+
+def write_paged_pdfs(page_df: DataFrame) -> DataFrame:
+    """Page-level span table -> multi-page PDFs (one per doc_id) via
+    applyInPandas — the grouped write that makes merge/split physically
+    round-trippable (full PdfFileMerger/Writer replacement)."""
+    return page_df.select("doc_id", "page_no", "spans").groupBy("doc_id").applyInPandas(
+        _write_paged_group, schema=PDF_RAW_SCHEMA
+    )

@@ -257,3 +257,32 @@ def test_fixture_corpus_through_spark(spark):
     for tag, r in rows.items():
         assert r.error is None, f"{tag}: {r.error}"
         assert r.n_pages >= 1, tag
+
+
+def test_physical_merge_write_roundtrip(spark, corpus):
+    """merge two docs' pages -> WRITE one multi-page PDF -> re-extract:
+    page texts are pages(a) ++ pages(b) (the complete PdfFileMerger
+    replacement, now byte-producing)."""
+    from sparkpdf.operators.extract import (
+        extract_page_spans,
+        extract_spans,
+        write_paged_pdfs,
+    )
+
+    pages = extract_page_spans(corpus.limit(8))
+    b_pages = pages.select(
+        "doc_id", (F.col("page_no") + 1000).alias("page_no"), "spans"
+    )
+    merged_pages = pages.select("doc_id", "page_no", "spans").unionByName(b_pages)
+    pdfs = write_paged_pdfs(merged_pages)
+    res = {r.doc_id: r for r in extract_spans(pdfs).collect()}
+    orig = {r.doc_id: r for r in extract_spans(corpus.limit(8)).collect()}
+    assert len(res) == len(orig)
+    for doc_id, r in res.items():
+        assert r.error is None
+        assert r.n_pages == 2 * orig[doc_id].n_pages
+        texts = [
+            (s.kind, s.text, s.media_ref) for s in r.spans
+        ]
+        single = [(s.kind, s.text, s.media_ref) for s in orig[doc_id].spans]
+        assert texts == single + single
