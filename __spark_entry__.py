@@ -450,6 +450,18 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_simhash_pairs(spark, sf_dir):
+    from sparkpdf.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+
+
+def q_sessionize(spark, sf_dir):
+    from sparkpdf.operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))
+
+
 def q_lang_id(spark, sf_dir):
     from sparkpdf.operators.text import lang_id
 
@@ -520,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "sessionize": q_sessionize,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -779,6 +793,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
         FROM toks GROUP BY doc_id
+    """
+    sh_body = sql["dedup_simhash"].strip()
+    sql["simhash_pairs"] = f"""
+        WITH sh AS ({sh_body}),
+        halves AS (
+            SELECT doc_id, simhash,
+                   simhash % 256 AS lo, simhash // 256 AS hi
+            FROM sh
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM halves a JOIN halves b
+          ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """
+    sql["sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER w AS INTEGER) AS session_idx
+            FROM flagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM sess GROUP BY user_id, session_idx
     """
     sql["ngram_jaccard"] = f"""
         WITH t AS (

@@ -158,3 +158,40 @@ def ngram_jaccard_pairs(
         F.col("b.doc_id").alias("doc_b"),
         F.round(jac, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash: bucket-join on either 8-bit
+    half (pigeonhole: any pair within hamming distance 1 shares a half;
+    wider distances are still mostly caught), then EXACT hamming verify
+    with bit_count(xor) — the classic two-stage shape that avoids the
+    quadratic cross join at 100 TB."""
+    sh = simhash(documents, bits=bits)
+    halves = sh.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("lo"),
+        F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    cand = a.join(
+        b,
+        (
+            (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+        )
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    dist = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        cand.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -143,3 +143,20 @@ def test_page_meta_and_links():
         {"page_no": 0, "uri": "https://example.org/doc-9", "dest_page": None}
     ]
     assert corpus_doc.page_layout() is None and corpus_doc.page_mode() is None
+
+
+def test_cli_pagerange_parity():
+    from sparkpdf.functions.pagerange_cli import parse_filename_page_ranges
+
+    ref = load_reference()
+    args = ["a.pdf", "1:5", "::2", "b.pdf", "c.pdf", "-1"]
+    theirs = [
+        (f, r.to_slice() if hasattr(r, "to_slice") else r)
+        for f, r in ref.parse_filename_page_ranges(list(args))
+    ]
+    mine = parse_filename_page_ranges(list(args))
+    assert mine == theirs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_filename_page_ranges(["1:5", "a.pdf"])

@@ -33,7 +33,7 @@ def test_roundtrip_fixture(tag, fixture_pdfs):
     )
 
 
-@pytest.mark.parametrize("tag", ["op-tj", "op-tj-array", "enc-symbol", "str-utf16bom", "pagetree-deep"])
+@pytest.mark.parametrize("tag", sorted(ALL))
 def test_reference_reads_written(tag, fixture_pdfs):
     """The reference's own extractText on an engine-written file must
     equal the engine's text — interoperability, not just self-parity."""
