@@ -160,3 +160,18 @@ def test_cli_pagerange_parity():
 
     with _pytest.raises(ValueError):
         parse_filename_page_ranges(["1:5", "a.pdf"])
+
+
+def test_no_per_row_python_udfs():
+    """input_hint mandate: no per-row Python anywhere — only
+    pandas/Arrow batch kernels (SURVEY §7.2 CI grep)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for py in (root / "sparkpdf").rglob("*.py"):
+        src = py.read_text()
+        for needle in ("F.udf(", "functions.udf(", "@udf", ".rdd.map(", "foreach("):
+            if needle in src:
+                offenders.append((str(py), needle))
+    assert offenders == []
