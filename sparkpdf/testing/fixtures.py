@@ -148,6 +148,96 @@ def xref_objstm() -> bytes:
     return bytes(out)
 
 
+def xref_hybrid() -> bytes:
+    """Hybrid-reference file: classic table + trailer /XRefStm pointing
+    at an xref stream (entries redundant with the table so pre-1.5
+    readers — including the reference, which has no /XRefStm support —
+    still resolve everything; our engine parses both sections)."""
+    base = _hello()
+    m = _STARTXREF_RE.search(base)
+    table_off = int(m.group(1))
+    out = bytearray(base[: m.start()])
+    # xref stream object: type-1 entries for objects 0..n duplicated
+    import re as _re
+
+    nums = [int(x) for x in _re.findall(rb"(\d+) 0 obj", base)]
+    top = max(nums)
+    offsets = {
+        int(mm.group(1)): mm.start()
+        for mm in _re.finditer(rb"(\d+) 0 obj", base)
+    }
+    entries = bytearray(b"\x00\x00\x00\x00\x00\xff\xff")
+    for i in range(1, top + 1):
+        entries += b"\x01" + offsets[i].to_bytes(4, "big") + b"\x00\x00"
+    xraw = zlib.compress(bytes(entries))
+    stm_num = top + 1
+    stm_off = len(out)
+    nl = b"\n"
+    out += b"%d 0 obj" % stm_num + nl
+    out += (
+        b"<< /Type /XRef /W [1 4 2] /Size %d"
+        b" /Filter /FlateDecode /Length %d >>" % (stm_num, len(xraw))
+    )
+    out += nl + b"stream" + nl + xraw + nl + b"endstream" + nl + b"endobj" + nl
+    # re-emit the classic table with /XRefStm in the trailer
+    table = base[table_off : m.start()]
+    new_table_off = len(out)
+    table = table.replace(
+        b"trailer" + nl + b"<< ",
+        b"trailer" + nl + b"<< /XRefStm %d " % stm_off,
+        1,
+    )
+    out += table
+    out += b"startxref" + nl + b"%d" % new_table_off + nl + b"%%EOF" + nl
+    return bytes(out)
+
+
+_CMAP_MIXED = b"""/CIDInit /ProcSet findresource begin
+begincmap
+2 begincodespacerange
+<00> <7F>
+<8000> <FFFF>
+endcodespacerange
+1 beginbfchar
+<41> <0058>
+endbfchar
+1 beginbfrange
+<8040> <807F> <0061>
+endbfrange
+endcmap
+end
+"""
+
+
+def enc_cmap_mixed_codespace() -> bytes:
+    """1-byte and 2-byte codes in one font (toUnicode.py:118-121
+    codelength list semantics)."""
+    b = PdfBuilder()
+    font = _cmap_font(b, _CMAP_MIXED)
+    content = b"BT /F1 12 Tf <41> Tj <80408041> Tj <41804241> Tj ET"
+    cref = b.add_stream(b"", content)
+    res = b"<< /Font << /F1 %d 0 R >> >>" % font
+    page = b.add(
+        b"<< /Type /Page /Parent {p} 0 R /Resources " + res
+        + b" /MediaBox [0 0 612 792] /Contents %d 0 R >>" % cref
+    )
+    pages = b.add(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page)
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    return b.build(root)
+
+
+def enc_type3() -> bytes:
+    """Type3 font: the reference returns encoding=None and extractText
+    crashes on the assert (toUnicode.py:861-864 + _page.py:808); the
+    engine falls back to StandardEncoding (documented divergence)."""
+    font = (
+        b"<< /Type /Font /Subtype /Type3 /FontBBox [0 0 1 1]"
+        b" /FontMatrix [1 0 0 1 0 0] /CharProcs << >> >>"
+    )
+    return simple_pdf([text_content([b"type3 text"])], fonts={b"/F1": font})
+
+
 # --- filters -----------------------------------------------------------------
 
 def _filtered(tag: str, filters) -> bytes:
@@ -571,6 +661,7 @@ ALL = {
     "xref-objstm": xref_objstm,
     "xref-prev-chain": xref_prev_chain,
     "xref-broken-startxref": xref_broken_startxref,
+    "xref-hybrid": xref_hybrid,
     "xref-rebuild": xref_rebuild,
     "filter-flate": filter_flate,
     "filter-flate-pred12": filter_flate_pred12,
@@ -591,6 +682,8 @@ ALL = {
     "enc-differences": enc_differences,
     "enc-cmap-bfchar": enc_cmap_bfchar,
     "enc-cmap-bfrange": enc_cmap_bfrange,
+    "enc-cmap-mixed-codespace": enc_cmap_mixed_codespace,
+    "enc-type3": enc_type3,
     "op-tj": op_tj,
     "op-quote": op_quote,
     "op-dquote": op_dquote,
@@ -615,6 +708,9 @@ REFERENCE_DIVERGENT = {
     # as_text dict path reads an undefined var (toUnicode.py:763):
     # reference yields "?" per byte; we implement intended semantics
     "enc-differences",
+    # Type3: reference crashes (encoding None -> assert); engine falls
+    # back to StandardEncoding
+    "enc-type3",
 }
 
 

@@ -72,6 +72,14 @@ def test_divergent_fixtures(fixture_pdfs):
     assert eng == "αβγ?ä—€???\n"
     ref = reference_extract(fixture_pdfs["enc-differences"])
     assert ref["texts"][0] is None or set(ref["texts"][0].rstrip("\n")) <= {"?"}
+    # enc-type3: reference gets encoding=None and crashes on the assert
+    # (_page.py:808); engine falls back to StandardEncoding
+    res3 = extract_doc(fixture_pdfs["enc-type3"])
+    assert page_text(res3["spans"], 0) == "type3\xa0text\n"
+    ref3 = reference_extract(fixture_pdfs["enc-type3"])
+    assert ref3["texts"][0] is None and "AssertionError" in (
+        ref3["errors"][0] or ""
+    )
 
 
 def test_encrypted_docs(fixture_pdfs):
