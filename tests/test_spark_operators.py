@@ -286,3 +286,21 @@ def test_physical_merge_write_roundtrip(spark, corpus):
         ]
         single = [(s.kind, s.text, s.media_ref) for s in orig[doc_id].spans]
         assert texts == single + single
+
+
+def test_binaryfile_source(spark, tmp_path):
+    """Directory-of-PDFs ingestion via the binaryFile source."""
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.sources.pdf_source import read_pdf_dir
+    from sparkpdf.testing.fixtures import op_tj, op_tstar
+
+    d = tmp_path / "pdfs"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(op_tj())
+    (d / "b.pdf").write_bytes(op_tstar())
+    (d / "ignored.txt").write_bytes(b"not a pdf")
+    raw = read_pdf_dir(spark, str(d))
+    assert raw.count() == 2
+    rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in extract_spans(raw).collect()}
+    assert rows["a.pdf"].error is None and rows["b.pdf"].error is None
+    assert len(rows["a.pdf"].spans) == 2
