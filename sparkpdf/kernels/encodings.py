@@ -176,8 +176,11 @@ _TABLES: Dict[str, List[str]] = {
     "PDFDocEncoding": PDFDOC_ENCODING,
     "Symbol": SYMBOL_ENCODING,
     "ZapfDingbats": ZAPF_DINGBATS_ENCODING,
+    # mac_roman codec, but control bytes are UNMAPPED in the Adobe
+    # vector (reference maps 0x00-0x1F and 0x7F to NUL)
     "MacRomanEncoding": [
-        bytes([i]).decode("mac_roman", "replace") for i in range(256)
+        _R if (i < 32 or i == 127) else bytes([i]).decode("mac_roman", "replace")
+        for i in range(256)
     ],
 }
 _CODECS: Dict[str, str] = {

@@ -1,0 +1,89 @@
+"""Randomized whole-document parity: hypothesis composes PDFs from
+random feature combinations (xref style, filters, fonts, page counts,
+string forms, kerning arrays) and the engine must match the reference's
+extractText byte-for-byte on every one — generalizing the fixed
+46-fixture matrix to the cartesian feature space."""
+
+import io
+
+from hypothesis import given, settings, strategies as st
+
+from sparkpdf.kernels import extract_doc, page_text
+from sparkpdf.testing import pdfgen
+from sparkpdf.testing.reference import load_reference
+
+_words = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC 0123()%\\éü",
+    min_size=0,
+    max_size=24,
+)
+
+_fonts = st.sampled_from(
+    [pdfgen.FONT_STD, pdfgen.FONT_WINANSI, pdfgen.FONT_MACROMAN, pdfgen.FONT_SYMBOL]
+)
+_filters = st.sampled_from(
+    [
+        (),
+        ("FlateDecode",),
+        ("FlatePred12",),
+        ("LZWDecode",),
+        ("ASCIIHexDecode",),
+        ("ASCII85Decode",),
+        ("ASCII85Decode", "FlateDecode"),
+    ]
+)
+_xref = st.sampled_from(["table", "stream"])
+
+
+@st.composite
+def _random_page(draw):
+    ops = [b"BT /F1 12 Tf"]
+    for _ in range(draw(st.integers(min_value=0, max_value=6))):
+        kind = draw(st.sampled_from(["Tj", "TJ", "T*", "'", "hex"]))
+        if kind == "Tj":
+            ops.append(b"(" + pdfgen.esc_string(draw(_words)) + b") Tj")
+        elif kind == "'":
+            ops.append(b"(" + pdfgen.esc_string(draw(_words)) + b") '")
+        elif kind == "T*":
+            ops.append(b"T*")
+        elif kind == "hex":
+            raw = draw(st.binary(min_size=0, max_size=8))
+            ops.append(b"<" + raw.hex().encode() + b"> Tj")
+        else:
+            els = []
+            for _ in range(draw(st.integers(min_value=0, max_value=3))):
+                if draw(st.booleans()):
+                    els.append(b"(" + pdfgen.esc_string(draw(_words)) + b")")
+                else:
+                    els.append(b"%d" % draw(st.integers(-200, 200)))
+            ops.append(b"[" + b" ".join(els) + b"] TJ")
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+@given(
+    pages=st.lists(_random_page(), min_size=1, max_size=4),
+    font=_fonts,
+    filters=_filters,
+    xref_style=_xref,
+    startxref_delta=st.sampled_from([0, 0, 0, 3]),
+)
+@settings(max_examples=120, deadline=None)
+def test_random_pdf_parity(pages, font, filters, xref_style, startxref_delta):
+    kwargs = {}
+    if xref_style == "table" and startxref_delta:
+        kwargs["startxref_delta"] = startxref_delta
+    pdf = pdfgen.simple_pdf(
+        pages,
+        fonts={b"/F1": font},
+        content_filters=list(filters),
+        xref_style=xref_style,
+        **kwargs,
+    )
+    res = extract_doc(pdf)
+    assert res["error"] is None
+    ref = load_reference()
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    assert rd.getNumPages() == res["n_pages"] == len(pages)
+    for p in range(len(pages)):
+        assert rd.getPage(p).extractText() == page_text(res["spans"], p)
