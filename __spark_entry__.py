@@ -239,6 +239,18 @@ def q_insert_page(spark, sf_dir):
     )
 
 
+def q_extract_stats(spark, sf_dir):
+    from sparkpdf.operators.extract import extract_stats
+
+    return extract_stats(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_pages",
+        "n_text",
+        "n_media",
+        "n_chars",
+    )
+
+
 def q_write_roundtrip(spark, sf_dir):
     # K1 inverse: extract -> WRITE real PDFs -> re-extract; full text
     # must equal the direct-extraction oracle
@@ -512,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_pages": q_overlay_pages,
         "link_annotations": q_link_annotations,
         "write_roundtrip": q_write_roundtrip,
+        "extract_stats": q_extract_stats,
         "split_docs_multi": q_split_docs_multi,
         "page_range_extract": q_page_range_extract,
         "insert_page": q_insert_page,
@@ -567,6 +580,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
     """
     sql["write_roundtrip"] = sql["extract_full_text"]
+    sql["extract_stats"] = f"""
+        SELECT doc_id, CAST(1 AS INTEGER) AS n_pages,
+               CAST(1 AS INTEGER) AS n_text, CAST(1 AS INTEGER) AS n_media,
+               CAST(length({_SANITIZED}) + 1 AS BIGINT) AS n_chars
+        FROM documents
+    """
     sql["docinfo_project"] = """
         SELECT doc_id,
                'doc-' || CAST(doc_id AS VARCHAR) AS title,

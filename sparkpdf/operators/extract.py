@@ -406,3 +406,49 @@ def write_paged_pdfs(page_df: DataFrame) -> DataFrame:
     return page_df.select("doc_id", "page_no", "spans").groupBy("doc_id").applyInPandas(
         _write_paged_group, schema=PDF_RAW_SCHEMA
     )
+
+
+# --- transfer-lean stats kernel (metadata-only pipelines at scale) -----------
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_text", IntegerType()),
+        StructField("n_media", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def _stats_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.extract import extract_doc
+
+    for pdf in batches:
+        out = {k.name: [] for k in STATS_SCHEMA.fields}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+            data = bytes(blob) if blob is not None else b""
+            res = extract_doc(data)
+            n_text = sum(1 for s in res["spans"] if s["kind"] == "text")
+            out["doc_id"].append(str(doc_id))
+            out["n_pages"].append(res["n_pages"])
+            out["n_text"].append(n_text)
+            out["n_media"].append(len(res["spans"]) - n_text)
+            out["n_chars"].append(
+                sum(len(s["text"] or "") for s in res["spans"] if s["kind"] == "text")
+            )
+            out["n_bytes"].append(len(data))
+            out["error"].append(res["error"])
+        yield pd.DataFrame(out)
+
+
+def extract_stats(pdf_raw: DataFrame) -> DataFrame:
+    """Corpus statistics WITHOUT shipping span text back over Arrow —
+    Catalyst cannot prune columns inside a mapInPandas output, so
+    stats-only pipelines at 100 TB use this kernel and move ~50x fewer
+    bytes JVM<-python than extract_spans."""
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        _stats_batches, schema=STATS_SCHEMA
+    )

@@ -87,3 +87,13 @@ def test_random_pdf_parity(pages, font, filters, xref_style, startxref_delta):
     assert rd.getNumPages() == res["n_pages"] == len(pages)
     for p in range(len(pages)):
         assert rd.getPage(p).extractText() == page_text(res["spans"], p)
+    # write round-trip on the same random doc: spans -> PDF -> spans
+    from sparkpdf.kernels.write import spans_to_pdf
+
+    by_page = {}
+    for s in res["spans"]:
+        by_page.setdefault(s["page_no"], []).append(s)
+    again = extract_doc(spans_to_pdf([by_page[p] for p in sorted(by_page)] or [[]]))
+    assert again["error"] is None
+    key = lambda r: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+    assert key(again) == key(res)
