@@ -474,6 +474,12 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    from sparkpdf.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"))
+
+
 def q_lang_id(spark, sf_dir):
     from sparkpdf.operators.text import lang_id
 
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_near_dups": q_embedding_near_dups,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -926,6 +933,30 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
+    """
+    sql["embedding_near_dups"] = f"""
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                           list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                   AS u
+            FROM embeddings
+        ), planes AS ({plane_rows}),
+        bucketed AS (
+            SELECT vec_id, u,
+                   CAST(SUM(CASE WHEN list_dot_product(u, w) >= 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                        AS INTEGER) AS bucket
+            FROM unit CROSS JOIN planes
+            GROUP BY vec_id, u
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.u, b.u), 6) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.44
     """
     stop_sql = {
         lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"

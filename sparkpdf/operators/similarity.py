@@ -119,3 +119,51 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.44,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
+    (same random-hyperplane machinery as lsh_bucket_topk), exact cosine
+    verify inside the bucket. At 100 TB the bucket join replaces the
+    quadratic cross join; recall is tuned with n_planes."""
+
+    def plane_weight(j, d):
+        return ((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0
+
+    unit = with_unit_vectors(embeddings)
+
+    def bucket_bit(j):
+        proj = F.aggregate(
+            F.zip_with(
+                "unit",
+                F.array(*[F.lit(plane_weight(j, d)) for d in range(dim)]),
+                lambda v, w: v * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    bucketed = unit.withColumn(
+        "bucket",
+        sum([bucket_bit(j) for j in range(n_planes)], F.lit(0)).cast("int"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
