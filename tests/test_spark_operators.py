@@ -304,3 +304,54 @@ def test_binaryfile_source(spark, tmp_path):
     rows = {r.doc_id.rsplit("/", 1)[-1]: r for r in extract_spans(raw).collect()}
     assert rows["a.pdf"].error is None and rows["b.pdf"].error is None
     assert len(rows["a.pdf"].spans) == 2
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates arriving in LATER
+    micro-batch runs are still flagged (state survives via the
+    streaming checkpoint)."""
+    from pyspark.sql import Row
+    from sparkpdf.streaming.stateful import streaming_exact_dedup
+
+    in_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_out")
+    ck_dir = str(tmp_path / "docs_ck")
+    schema = "doc_id string, text string"
+    batch1 = spark.createDataFrame(
+        [Row(doc_id="a", text="alpha"), Row(doc_id="b", text="beta"),
+         Row(doc_id="a2", text="alpha")],
+        schema=schema,
+    )
+    batch1.write.mode("append").parquet(in_dir)
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            streaming_exact_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # second run, new files: one repeat of "alpha", one new text
+    spark.createDataFrame(
+        [Row(doc_id="a3", text="alpha"), Row(doc_id="c", text="gamma")],
+        schema=schema,
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    ranks = {r.doc_id: r.dup_rank for r in rows}
+    assert len(rows) == 5
+    # "alpha" docs rank 0,1,2 in arrival order batches; a3 (second run)
+    # must see state from the first run -> rank 2
+    alpha_ranks = sorted(ranks[d] for d in ("a", "a2", "a3"))
+    assert alpha_ranks == [0, 1, 2]
+    assert ranks["a3"] == 2  # cross-run state carried by the checkpoint
+    assert ranks["b"] == 0 and ranks["c"] == 0
+    keepers = {r.doc_id for r in rows if r.dup_rank == 0}
+    assert len(keepers) == 3
