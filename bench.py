@@ -154,6 +154,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "token_count",
     "quality_score",
+    "extract_stats",
 ]
 
 

@@ -53,6 +53,7 @@ class CheckpointedExtraction:
         pdf_raw: DataFrame,
         extract_fn: Callable[[DataFrame], DataFrame],
         fail_on_parts: Optional[set] = None,
+        fail_after_write: Optional[set] = None,
     ) -> List[int]:
         """Process every not-yet-done slice; returns part_ids done this
         run. `fail_on_parts` lets tests simulate a mid-run crash."""
@@ -71,6 +72,9 @@ class CheckpointedExtraction:
             out = extract_fn(part_df)
             dest = os.path.join(self.out_dir, f"part={part}")
             out.write.mode("overwrite").parquet(dest)
+            if fail_after_write and part in fail_after_write:
+                # simulated torn commit: data written, manifest row NOT
+                raise RuntimeError(f"simulated post-write crash at {part}")
             stats = (
                 SparkSession.getActiveSession()
                 .read.parquet(dest)

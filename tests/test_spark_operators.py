@@ -355,3 +355,34 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert ranks["b"] == 0 and ranks["c"] == 0
     keepers = {r.doc_id for r in rows if r.dup_rank == 0}
     assert len(keepers) == 3
+
+
+def test_checkpoint_torn_commit(spark, corpus, tmp_path):
+    """Crash AFTER a slice's data write but BEFORE its manifest row:
+    the rerun reprocesses that slice with mode=overwrite — manifest is
+    the source of truth, no duplicate or missing docs."""
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = str(tmp_path / "torn")
+    ck = CheckpointedExtraction(out, n_batches=3)
+    with pytest.raises(RuntimeError):
+        ck.run(corpus, extract_spans, fail_after_write={1})
+    assert ck.completed_parts() == {0}  # part 1 wrote data but no log
+    processed = CheckpointedExtraction(out, n_batches=3).run(
+        corpus, extract_spans
+    )
+    assert sorted(processed) == [1, 2]
+    result = CheckpointedExtraction(out, n_batches=3).result(spark)
+    assert result.count() == corpus.count()
+    assert result.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_dedup_partial_aggregation_plan(spark):
+    """dedup_exact must partial-aggregate before its single shuffle
+    (map-side combine; SURVEY §4.3 'push aggregation partial')."""
+    import __spark_entry__ as e
+
+    plan = e.q_dedup_exact(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_min" in plan or "partial_count" in plan
