@@ -105,3 +105,21 @@ def parse_page_range(spec: str) -> slice:
 
 def page_indices(spec: str, n_pages: int) -> List[int]:
     return list(range(n_pages))[parse_page_range(spec)]
+
+
+# ISO 216 / other standard page sizes in PDF points (parity:
+# papersizes.py:8-48 — public constants)
+PAPER_SIZES = {
+    "A0": (2384, 3370), "A1": (1684, 2384), "A2": (1191, 1684),
+    "A3": (842, 1191), "A4": (595, 842), "A5": (420, 595),
+    "A6": (298, 420), "A7": (210, 298), "A8": (147, 210),
+    "C4": (649, 918),
+}
+
+
+def scale_mediabox(box, sx: float, sy: Optional[float] = None):
+    """Mediabox rescale under page scale (parity: PageObject.scale,
+    _page.py:666-742 applies sx/sy to box corners)."""
+    sy = sx if sy is None else sy
+    llx, lly, urx, ury = (float(v) for v in box)
+    return (llx * sx, lly * sy, urx * sx, ury * sy)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -54,6 +55,8 @@ PAGE_SPAN_SCHEMA = StructType(
         StructField("page_no", IntegerType()),
         StructField("spans", ArrayType(SPAN_STRUCT)),
         StructField("full_text", StringType()),
+        StructField("rotate", IntegerType()),
+        StructField("mediabox", ArrayType(DoubleType())),
         StructField("error", StringType()),
     ]
 )
@@ -90,24 +93,39 @@ def extract_spans(pdf_raw: DataFrame) -> DataFrame:
 
 
 def _extract_page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.cos import PdfError
+    from ..kernels.document import PdfDocument
     from ..kernels.extract import extract_doc, page_text
 
     for pdf in batches:
-        rows = {"doc_id": [], "page_no": [], "spans": [], "full_text": [], "error": []}
+        rows = {
+            "doc_id": [], "page_no": [], "spans": [], "full_text": [],
+            "rotate": [], "mediabox": [], "error": [],
+        }
         for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
             data = bytes(blob) if blob is not None else b""
             res = extract_doc(data)
+            metas: dict = {}
+            try:
+                doc = PdfDocument(data)
+                for i, page in enumerate(doc.pages()):
+                    metas[i] = doc.page_meta(page, i)
+            except (PdfError, Exception):
+                pass
             by_page: dict = {p: [] for p in range(res["n_pages"])}
             for s in res["spans"]:
                 by_page.setdefault(s["page_no"], []).append(s)
             for page_no in sorted(by_page):
                 spans = by_page[page_no]
+                meta = metas.get(page_no, {})
                 rows["doc_id"].append(str(doc_id))
                 rows["page_no"].append(page_no)
                 rows["spans"].append(
                     [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
                 )
                 rows["full_text"].append(page_text(res["spans"], page_no))
+                rows["rotate"].append(meta.get("rotate", 0))
+                rows["mediabox"].append(meta.get("mediabox"))
                 rows["error"].append(res["error"])
         yield pd.DataFrame(rows)
 

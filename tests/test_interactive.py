@@ -175,3 +175,13 @@ def test_no_per_row_python_udfs():
             if needle in src:
                 offenders.append((str(py), needle))
     assert offenders == []
+
+
+def test_paper_sizes_parity():
+    from sparkpdf.kernels.geometry import PAPER_SIZES, scale_mediabox
+
+    ref = load_reference()
+    for name, (w, h) in PAPER_SIZES.items():
+        r = getattr(ref.PaperSize, name)
+        assert (r.width, r.height) == (w, h), name
+    assert scale_mediabox((0, 0, 595, 842), 2) == (0.0, 0.0, 1190.0, 1684.0)

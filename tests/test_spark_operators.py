@@ -386,3 +386,18 @@ def test_dedup_partial_aggregation_plan(spark):
     plan = e.q_dedup_exact(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_page_meta_in_page_table(spark):
+    """extract_page_spans carries rotation + mediabox (inheritance
+    through the page tree)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.extract import PDF_RAW_SCHEMA, extract_page_spans
+    from sparkpdf.testing.fixtures import pagetree_deep
+
+    df = spark.createDataFrame(
+        [Row(doc_id="deep", pdf_bytes=pagetree_deep())], schema=PDF_RAW_SCHEMA
+    )
+    rows = sorted(extract_page_spans(df).collect(), key=lambda r: r.page_no)
+    assert [r.rotate for r in rows] == [0, 90, 180]
+    assert all(list(r.mediabox) == [0.0, 0.0, 612.0, 792.0] for r in rows)
