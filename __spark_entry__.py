@@ -529,6 +529,12 @@ def q_sessionize(spark, sf_dir):
     return sessionize(_t(spark, sf_dir, "events"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    from sparkpdf.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     from sparkpdf.operators.similarity import embedding_near_dups
 
@@ -615,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1028,6 +1035,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
+    """
+    sql["ann_ivf_topk"] = """
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                           list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                   AS u
+            FROM embeddings
+        ), centroids AS (
+            SELECT vec_id AS centroid_id, u AS cu FROM unit WHERE vec_id < 8
+        ), assigned AS (
+            SELECT vec_id, u, centroid_id FROM (
+                SELECT v.vec_id, v.u, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM unit v CROSS JOIN centroids c
+            ) WHERE rk = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.u, c.u) AS sim
+            FROM assigned q JOIN assigned c
+              ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
+            WHERE q.vec_id < 4
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 3
     """
     sql["embedding_near_dups"] = f"""
         WITH unit AS (

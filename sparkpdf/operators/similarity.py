@@ -167,3 +167,65 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assignments(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
+    """IVF coarse quantizer: the first n_lists unit vectors act as the
+    (deterministic) centroid codebook — a seeded k-means stand-in so
+    the oracle can replay it — and every vector joins its nearest
+    centroid's inverted list. Assignment = broadcast centroids ->
+    per-pair cosine -> rank-1 by (sim desc, centroid_id asc)."""
+    from pyspark.sql import Window
+
+    unit = with_unit_vectors(embeddings)
+    centroids = unit.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("centroid_id"), F.col("unit").alias("cunit")
+    )
+    scored = unit.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "unit",
+        "centroid_id",
+        _dot(F.col("unit"), F.col("cunit")).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "unit", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame, n_lists: int = 8, n_queries: int = 4, k: int = 3
+) -> DataFrame:
+    """IVF search (nprobe=1): each query scans ONLY its own inverted
+    list — the join is on centroid_id, so at 100 TB the fan-in per
+    query is corpus/n_lists instead of the whole corpus."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assignments(embeddings, n_lists)
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("unit").alias("qunit"),
+        F.col("centroid_id").alias("qlist"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(assigned, F.col("qlist") == F.col("centroid_id"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _dot(F.col("qunit"), F.col("unit")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
