@@ -97,3 +97,48 @@ def test_random_pdf_parity(pages, font, filters, xref_style, startxref_delta):
     assert again["error"] is None
     key = lambda r: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
     assert key(again) == key(res)
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_never_crashes_on_garbage(data):
+    """extract_doc must QUARANTINE, never raise — a poisoned doc at
+    10^12 scale must not kill its partition (SURVEY §4.1)."""
+    res = extract_doc(data)
+    assert isinstance(res["spans"], list)
+    assert res["error"] is None or isinstance(res["error"], str)
+
+
+@st.composite
+def _mutated_pdf(draw):
+    from sparkpdf.testing.fixtures import ALL
+
+    tag = draw(st.sampled_from(sorted(ALL)))
+    pdf = bytearray(ALL[tag]())
+    mode = draw(st.sampled_from(["truncate", "flip", "splice", "zero"]))
+    if mode == "truncate":
+        cut = draw(st.integers(min_value=0, max_value=len(pdf)))
+        pdf = pdf[:cut]
+    elif mode == "flip":
+        for _ in range(draw(st.integers(min_value=1, max_value=8))):
+            i = draw(st.integers(min_value=0, max_value=max(len(pdf) - 1, 0)))
+            pdf[i] ^= draw(st.integers(min_value=1, max_value=255))
+    elif mode == "splice":
+        i = draw(st.integers(min_value=0, max_value=max(len(pdf) - 1, 0)))
+        pdf[i:i] = draw(st.binary(min_size=1, max_size=64))
+    else:
+        i = draw(st.integers(min_value=0, max_value=max(len(pdf) - 1, 0)))
+        j = min(len(pdf), i + draw(st.integers(min_value=1, max_value=64)))
+        pdf[i:j] = b"\x00" * (j - i)
+    return bytes(pdf)
+
+
+@given(_mutated_pdf())
+@settings(max_examples=200, deadline=None)
+def test_never_crashes_on_corrupted_pdfs(pdf):
+    """Mutated real PDFs (truncation, bit flips, splices, zero runs):
+    quarantine or recover, never raise."""
+    res = extract_doc(pdf)
+    assert isinstance(res["spans"], list)
+    for s in res["spans"]:
+        assert s["kind"] in ("text", "media_ref")
