@@ -1,0 +1,112 @@
+"""Edge-branch unit tests: salvage/recovery paths that the fixture
+matrix exercises only indirectly."""
+
+import struct
+import zlib
+
+import pytest
+
+from sparkpdf.kernels import cos, crypto, filters
+from sparkpdf.kernels.extract import extract_doc, page_text
+from sparkpdf.testing import pdfgen
+
+
+def test_flate_salvage_partial():
+    """Corrupted tail: decompress whatever prefix survives
+    (filters.py:55-66 byte-wise salvage)."""
+    good = zlib.compress(b"A" * 100)
+    corrupt = good[:-4] + b"\xde\xad\xbe\xef"
+    out = filters.flate_decode(corrupt, None)
+    assert out.startswith(b"A")
+
+
+def test_run_length_decode():
+    # literal run (l<128), repeat run (l>128), EOD (128)
+    enc = bytes([2]) + b"abc" + bytes([254]) + b"z" + bytes([128]) + b"junk"
+    assert filters.run_length_decode(enc) == b"abc" + b"z" * 3
+
+
+def test_ccitt_wrap_is_tiff():
+    data = b"\x01\x02\x03"
+    out = filters.ccitt_fax_wrap(data, {"/K": -1, "/Columns": 1728, "/Rows": 2})
+    assert out.startswith(b"II") and out.endswith(data)
+    assert struct.unpack("<h", out[2:4])[0] == 42  # TIFF magic
+
+
+def test_unknown_filter_quarantines_doc():
+    pdf = pdfgen.simple_pdf([b"BT /F1 12 Tf (x) Tj ET"])
+    bad = pdf.replace(b"<<  /Length", b"<< /Filter /NoSuchFilter /Length")
+    res = extract_doc(bad)
+    assert res["error"] is not None  # quarantined, not raised
+
+
+def test_crypt_identity_filter_passthrough():
+    s = cos.StreamObj({"/Filter": cos.Name("/Crypt")}, b"payload")
+    assert filters.decode_stream(s) == b"payload"
+    s2 = cos.StreamObj(
+        {"/Filter": cos.Name("/Crypt"), "/DecodeParms": {"/Name": cos.Name("/Other")}},
+        b"x",
+    )
+    with pytest.raises(cos.PdfError):
+        filters.decode_stream(s2)
+
+
+def test_encrypt_v4_rejected():
+    with pytest.raises(cos.PdfError):
+        crypto.StandardDecryptor(
+            {"/Filter": cos.Name("/Standard"), "/V": 4, "/R": 4,
+             "/O": b"x" * 32, "/U": b"y" * 32, "/P": -1},
+            b"id",
+        )
+
+
+def test_wrong_password_detected():
+    from sparkpdf.testing.fixtures import encrypt_rc4_40
+    from sparkpdf.kernels.document import PdfDocument
+
+    with pytest.raises(cos.PdfError):
+        PdfDocument(encrypt_rc4_40(), password=b"wrong-password")
+
+
+def test_duplicate_dict_keys_first_wins():
+    d, _ = cos.parse_dict(b"<< /K 1 /K 2 >>", 0)
+    assert d == {"/K": 1}
+
+
+def test_number_edge_cases():
+    assert cos.parse_object(b".5", 0)[0] == 0.5
+    assert cos.parse_object(b"-.25", 0)[0] == -0.25
+    assert cos.parse_object(b"17.", 0)[0] == 17.0
+    # indirect-ref guard: "1 0 Rx" is a number then junk, not a Ref
+    v, pos = cos.parse_object(b"1 0 Rx", 0)
+    assert v == 1 and pos == 1
+
+
+def test_trailer_less_rebuild():
+    """File with garbage startxref AND no trailer keyword: catalog
+    found by scanning object bodies (xref.py rebuild fallback)."""
+    pdf = pdfgen.simple_pdf([b"BT /F1 12 Tf (rebuilt) Tj ET"],
+                            startxref_garbage=True)
+    # remove the trailer section entirely (keep startxref pointer)
+    t = pdf.index(b"trailer")
+    sx = pdf.index(b"startxref")
+    pdf2 = pdf[:t] + pdf[sx:]
+    res = extract_doc(pdf2)
+    assert res["error"] is None
+    assert page_text(res["spans"], 0) == "rebuilt\n"
+
+
+def test_objstm_tolerant_index_mismatch():
+    """Type-2 entry with a wrong in-stream index still resolves by
+    scanning the member list (document.py:_from_object_stream)."""
+    from sparkpdf.testing.fixtures import xref_objstm
+    from sparkpdf.kernels.document import PdfDocument
+
+    pdf = xref_objstm()
+    doc = PdfDocument(pdf)
+    # force wrong indices, drop caches, re-resolve
+    doc.xref.in_objstm = {k: (s, (i + 1) % 3) for k, (s, i) in doc.xref.in_objstm.items()}
+    doc._cache.clear()
+    doc._objstm_cache.clear()
+    doc._pages = None
+    assert doc.num_pages() == 1
