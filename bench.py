@@ -226,11 +226,18 @@ def main():
             return json.loads(line)
 
         # one corpus, three parallelism levels -> two N-vs-4N pairs;
-        # noise handling lives in each worker (best-of-N passes)
-        runs = {c: run_worker(c) for c in (2, 8, 32)}
+        # noise handling lives in each worker (best-of-N passes).
+        # Levels derive from the session's CPU budget (N, N/4, N/16).
+        hi = max(CPUS, 4)
+        mid = max(hi // 4, 2)
+        lo = max(mid // 4, 1)
+        levels = sorted({lo, mid, hi})
+        runs = {c: run_worker(c) for c in levels}
         shutil.rmtree(corpus_dir, ignore_errors=True)
         pairs = {}
-        for lo_cpus, hi_cpus in ((2, 8), (8, 32)):
+        for lo_cpus, hi_cpus in ((lo, mid), (mid, hi)):
+            if lo_cpus == hi_cpus:
+                continue
             lo, hi = runs[lo_cpus], runs[hi_cpus]
             if lo.get("docs_per_sec") and hi.get("docs_per_sec"):
                 eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
@@ -246,7 +253,7 @@ def main():
                     "efficiency": round(eff, 3),
                 }
         if pairs:
-            headline = pairs.get("2to8") or next(iter(pairs.values()))
+            headline = pairs.get(f"{lo}to{mid}") or next(iter(pairs.values()))
             result["scaling"] = {**headline, "pairs": pairs}
     print(json.dumps(result))
 
