@@ -60,3 +60,21 @@ def test_split_then_merge_roundtrip():
     for i, single in enumerate(singles):
         pages = _engine_pages(single)
         assert pages == [all_pages[i]]
+
+
+def test_engine_reads_reference_encrypted():
+    """The reference WRITER encrypts (RC4, _writer.py:443-496); the
+    engine must decrypt and extract its output — crypto interop in the
+    direction the fixtures don't cover."""
+    ref = load_reference()
+    src = op_tj()
+    rd = ref.PdfFileReader(io.BytesIO(src), strict=False)
+    for user_pwd in ("", "s3cret"):
+        w = ref.PdfFileWriter()
+        w.addPage(rd.getPage(0))
+        w.encrypt(user_pwd, use_128bit=True)
+        buf = io.BytesIO()
+        w.write(buf)
+        res = extract_doc(buf.getvalue(), password=user_pwd.encode())
+        assert res["error"] is None, res["error"]
+        assert page_text(res["spans"], 0) == "one\ntwo\n"
