@@ -366,13 +366,16 @@ def q_text_agg(spark, sf_dir):
 
 def q_procset_union(spark, sf_dir):
     # A3/U3: set union of per-group name arrays
+    # joined to a comma string: the driver canonicalizer sorts pandas
+    # frames and cannot hash raw ARRAY cells (round-1 red row)
     c = _t(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
         .agg(
-            F.array_sort(F.array_distinct(F.collect_list("c_mktsegment"))).alias(
-                "segments"
-            )
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("c_mktsegment"))),
+                ",",
+            ).alias("segments")
         )
     )
 
@@ -805,7 +808,8 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["procset_union"] = """
         SELECT c_nationkey,
-               list_sort(list_distinct(list(c_mktsegment))) AS segments
+               array_to_string(list_sort(list_distinct(list(c_mktsegment))),
+                               ',') AS segments
         FROM customer GROUP BY c_nationkey
     """
     sql["page_range_filter"] = """

@@ -47,8 +47,18 @@ class PdfDocument:
     # -- object resolution ----------------------------------------------------
 
     def resolve(self, obj):
-        """Follow a Ref (one hop); non-refs pass through."""
+        """Follow Ref chains; non-refs pass through.  A visited set guards
+        against Ref cycles (A -> B -> A), which must quarantine as PdfError
+        rather than wedge an executor task (invariant 2)."""
+        seen = None
         while isinstance(obj, Ref):
+            key = (obj.idnum, obj.gen)
+            if seen is None:
+                seen = {key}
+            elif key in seen:
+                raise PdfError(f"indirect reference cycle at {obj.idnum} {obj.gen} R")
+            else:
+                seen.add(key)
             obj = self.get_object(obj.idnum, obj.gen)
         return obj
 
@@ -388,8 +398,13 @@ class PdfDocument:
             return m
         idx = 0
         stack = [self.root.get("/Pages")]
+        seen: set = set()  # cyclic /Kids guard (mirrors pages())
         while stack:
             node_ref = stack.pop()
+            if isinstance(node_ref, Ref):
+                if node_ref.idnum in seen:
+                    continue
+                seen.add(node_ref.idnum)
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 continue

@@ -239,6 +239,9 @@ def decode_stream(stream: StreamObj, resolve: Optional[Callable] = None) -> byte
         parms = resolve(parms)
     if not isinstance(parms, list):
         parms = [parms] * len(filters)
+    elif len(parms) < len(filters):
+        # short /DecodeParms array must not drop trailing filters
+        parms = parms + [None] * (len(filters) - len(parms))
     data = stream.raw
     for f, p in zip(filters, parms):
         if isinstance(p, Ref) and resolve:

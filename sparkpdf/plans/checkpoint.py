@@ -31,22 +31,70 @@ class CheckpointedExtraction:
     def __init__(self, out_dir: str, n_batches: int = 8):
         self.out_dir = out_dir
         self.n_batches = n_batches
-        self.manifest_path = os.path.join(out_dir, "_progress.jsonl")
+        self.manifest_path = out_dir.rstrip("/") + "/_progress.jsonl"
+
+    # -- manifest I/O via the Hadoop FileSystem API -----------------------
+    # The manifest must live next to the data on whatever filesystem
+    # out_dir names (s3a://, hdfs://, file:) — a driver-local open() would
+    # silently diverge from the data location on a real cluster.
+
+    def _hadoop_fs(self):
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None, None
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(self.manifest_path)
+        fs = path.getFileSystem(hconf)
+        return fs, path
+
+    def _read_manifest(self) -> str:
+        fs, path = self._hadoop_fs()
+        if fs is None:  # no active session: local-path fallback
+            if not os.path.exists(self.manifest_path):
+                return ""
+            with open(self.manifest_path) as f:
+                return f.read()
+        if not fs.exists(path):
+            return ""
+        stream = fs.open(path)
+        try:
+            # commons-io ships with Hadoop; py4j can't do fill-a-buffer
+            # reads (byte[] args pass by value), so drain JVM-side
+            jvm = SparkSession.getActiveSession()._jvm
+            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def _append_manifest(self, line: str):
+        fs, path = self._hadoop_fs()
+        if fs is None:
+            os.makedirs(self.out_dir, exist_ok=True)
+            with open(self.manifest_path, "a") as f:
+                f.write(line)
+            return
+        # Object stores lack append; read-modify-write the (small) manifest.
+        # Single-driver writer, so no concurrent-append race.
+        prev = self._read_manifest()
+        stream = fs.create(path, True)
+        try:
+            stream.write(bytearray((prev + line).encode("utf-8")))
+        finally:
+            stream.close()
 
     def completed_parts(self) -> set:
         done = set()
-        if os.path.exists(self.manifest_path):
-            with open(self.manifest_path) as f:
-                for line in f:
-                    rec = json.loads(line)
-                    if rec.get("status") == "ok":
-                        done.add(rec["part_id"])
+        for raw in self._read_manifest().splitlines():
+            if not raw.strip():
+                continue
+            rec = json.loads(raw)
+            if rec.get("status") == "ok":
+                done.add(rec["part_id"])
         return done
 
     def _log(self, rec: dict):
-        os.makedirs(self.out_dir, exist_ok=True)
-        with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        self._append_manifest(json.dumps(rec) + "\n")
 
     def run(
         self,

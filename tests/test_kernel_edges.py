@@ -110,3 +110,56 @@ def test_objstm_tolerant_index_mismatch():
     doc._objstm_cache.clear()
     doc._pages = None
     assert doc.num_pages() == 1
+
+
+def test_ref_cycle_quarantines_not_hangs():
+    """A 0 R -> B 0 R -> A 0 R must raise PdfError (quarantined by
+    extract_doc), never spin an executor task forever (ADVICE r1 high)."""
+    from sparkpdf.kernels.cos import PdfError, Ref
+    from sparkpdf.kernels.document import PdfDocument
+
+    b = pdfgen.PdfBuilder()
+    b.add(b"2 0 R")  # obj 1 -> obj 2
+    b.add(b"1 0 R")  # obj 2 -> obj 1 (cycle)
+    b.add(b"<< /Type /Page /Parent 4 0 R /Contents 1 0 R >>")  # obj 3
+    b.add(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")  # obj 4
+    root = b.add(b"<< /Type /Catalog /Pages 4 0 R >>")
+    pdf = b.build(root)
+
+    doc = PdfDocument(pdf)
+    with pytest.raises(PdfError):
+        doc.resolve(Ref(1, 0))
+    res = extract_doc(pdf)  # cycle hit resolving page contents
+    assert res["error"] is not None and "cycle" in res["error"]
+
+
+def test_cyclic_page_tree_page_number_map():
+    """/Pages node listing itself in /Kids: _page_number_map must
+    terminate like pages() does (ADVICE r1 medium)."""
+    from sparkpdf.kernels.document import PdfDocument
+
+    b = pdfgen.PdfBuilder()
+    b.add_stream(b"", b"BT /F1 12 Tf (x) Tj ET")  # obj 1
+    b.add(b"<< /Type /Page /Parent 3 0 R /Contents 1 0 R >>")  # obj 2
+    b.add(b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>")  # obj 3: self-kid
+    root = b.add(b"<< /Type /Catalog /Pages 3 0 R >>")
+    pdf = b.build(root)
+
+    doc = PdfDocument(pdf)
+    m = doc._page_number_map()
+    assert m == {2: 0}
+
+
+def test_decode_parms_shorter_than_filter_chain():
+    """/DecodeParms list shorter than /Filter must pad with None, not
+    silently skip trailing filters (ADVICE r1 low)."""
+    payload = b"padded-parms-roundtrip"
+    raw = pdfgen.ahx_encode(pdfgen.flate_encode(payload))
+    s = cos.StreamObj(
+        {
+            "/Filter": [cos.Name("/ASCIIHexDecode"), cos.Name("/FlateDecode")],
+            "/DecodeParms": [None],  # one entry for two filters
+        },
+        raw,
+    )
+    assert filters.decode_stream(s) == payload
