@@ -523,7 +523,7 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     from sparkpdf.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=2)
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_sessionize(spark, sf_dir):
@@ -926,20 +926,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
         FROM toks GROUP BY doc_id
     """
-    sh_body = sql["dedup_simhash"].strip()
+    # 64-bit banded simhash (4 x 16-bit bands, pigeonhole for hamming<=3)
+    band_terms = []
+    for j in range(4):
+        terms = []
+        for i in range(16):
+            bb = j * 16 + i
+            nibexpr = nib.format(pos=bb // 4 + 1)
+            bit = f"(({nibexpr} // {1 << (3 - bb % 4)}) % 2)"
+            terms.append(
+                f"CASE WHEN SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0"
+                f" THEN {1 << i} ELSE 0 END"
+            )
+        band_terms.append(" + ".join(terms))
+    ham64 = " + ".join(
+        f"bit_count(xor(a.band{j}, b.band{j}))" for j in range(4)
+    )
     sql["simhash_pairs"] = f"""
-        WITH sh AS ({sh_body}),
-        halves AS (
-            SELECT doc_id, simhash,
-                   simhash % 256 AS lo, simhash // 256 AS hi
-            FROM sh
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CAST({band_terms[0]} AS BIGINT) AS band0,
+                   CAST({band_terms[1]} AS BIGINT) AS band1,
+                   CAST({band_terms[2]} AS BIGINT) AS band2,
+                   CAST({band_terms[3]} AS BIGINT) AS band3
+            FROM toks GROUP BY doc_id
+        ), stacked AS (
+            SELECT doc_id, band0, band1, band2, band3,
+                   0 AS band_no, band0 AS band_val FROM sh
+            UNION ALL SELECT doc_id, band0, band1, band2, band3,
+                   1, band1 FROM sh
+            UNION ALL SELECT doc_id, band0, band1, band2, band3,
+                   2, band2 FROM sh
+            UNION ALL SELECT doc_id, band0, band1, band2, band3,
+                   3, band3 FROM sh
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
-                   AS hamming
-        FROM halves a JOIN halves b
-          ON (a.lo = b.lo OR a.hi = b.hi) AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+               CAST({ham64} AS INTEGER) AS hamming
+        FROM stacked a JOIN stacked b
+          ON a.band_no = b.band_no AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE {ham64} <= 3
     """
     sql["sessionize"] = """
         WITH flagged AS (
@@ -1074,6 +1102,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         ) WHERE rank <= 3
     """
+    # banded near-dups: 8 bands x 8 planes (global plane index
+    # band*8 + j), bucket-size cap mirrored with a window count
+    planes64 = []
+    for j in range(64):
+        ws = ", ".join(
+            str(((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0)
+            for d in range(64)
+        )
+        planes64.append(f"SELECT {j} AS j, [{ws}]::DOUBLE[] AS w")
+    plane_rows64 = " UNION ALL ".join(planes64)
     sql["embedding_near_dups"] = f"""
         WITH unit AS (
             SELECT vec_id,
@@ -1083,20 +1121,26 @@ def oracle_sql() -> dict[str, str]:
                                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
                    AS u
             FROM embeddings
-        ), planes AS ({plane_rows}),
+        ), planes AS ({plane_rows64}),
         bucketed AS (
-            SELECT vec_id, u,
+            SELECT vec_id, u, CAST(j // 8 AS INTEGER) AS band_no,
                    CAST(SUM(CASE WHEN list_dot_product(u, w) >= 0
-                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                            THEN CAST(pow(2, j % 8) AS BIGINT) ELSE 0 END)
                         AS INTEGER) AS bucket
             FROM unit CROSS JOIN planes
-            GROUP BY vec_id, u
+            GROUP BY vec_id, u, j // 8
+        ), counted AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY band_no, bucket)
+                       AS bucket_n
+            FROM bucketed
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_dot_product(a.u, b.u), 6) AS cosine
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.u, b.u), 6) >= 0.44
+        FROM counted a JOIN counted b
+          ON a.band_no = b.band_no AND a.bucket = b.bucket
+         AND a.vec_id < b.vec_id
+        WHERE a.bucket_n <= 10000 AND b.bucket_n <= 10000
+          AND ROUND(list_dot_product(a.u, b.u), 6) >= 0.44
     """
     stop_sql = {
         lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"

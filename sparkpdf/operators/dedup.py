@@ -160,34 +160,93 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash_pairs(
-    documents: DataFrame, max_hamming: int = 2, bits: int = 16
+def simhash_bands(
+    documents: DataFrame, n_bands: int = 4, band_bits: int = 16
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash: bucket-join on either 8-bit
-    half (pigeonhole: any pair within hamming distance 1 shares a half;
-    wider distances are still mostly caught), then EXACT hamming verify
-    with bit_count(xor) — the classic two-stage shape that avoids the
-    quadratic cross join at 100 TB."""
-    sh = simhash(documents, bits=bits)
-    halves = sh.select(
-        "doc_id",
-        "simhash",
-        (F.col("simhash") % 256).alias("lo"),
-        F.floor(F.col("simhash") / 256).cast("long").alias("hi"),
-    )
-    a, b = halves.alias("a"), halves.alias("b")
-    cand = a.join(
-        b,
-        (
-            (F.col("a.lo") == F.col("b.lo")) | (F.col("a.hi") == F.col("b.hi"))
+    """64-bit SimHash emitted as `n_bands` separate `band_bits`-wide
+    integer columns (band0..bandN). Bit j of the simhash is the sign of
+    the +1/-1 token votes on bit j of md5(token) — same vote rule as
+    simhash(), widened to n_bands*band_bits bits and left unpacked so no
+    signed-long overflow games are needed and each band is directly a
+    16-bit join key (cardinality 2^16, uniform by construction)."""
+    total_bits = n_bands * band_bits
+    assert total_bits <= 128  # md5 budget
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    toks = documents.repartition(n_parts, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_norm_tokens("text")).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok").cast("binary")))
+
+    def nibble(col, idx):
+        return F.instr(F.lit("0123456789abcdef"), F.substring(col, idx + 1, 1)) - 1
+
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(nibble(F.col("h"), b // 4), 3 - (b % 4)) % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(total_bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bands = []
+    for j in range(n_bands):
+        packed = reduce(
+            lambda acc, i: acc
+            + F.when(F.col(f"v{j * band_bits + i}") > 0, F.lit(1 << i)).otherwise(0),
+            range(band_bits),
+            F.lit(0),
         )
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bands.append(packed.cast("long").alias(f"band{j}"))
+    return agg.select("doc_id", *bands)
+
+
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash, banded: a pair within hamming
+    distance <= n_bands - 1 must share at least one exact 16-bit band
+    (pigeonhole), so candidates come from a UNION of n_bands equi-joins
+    on (band_no, band_value) — a proper shuffle hash join on a 2^16-value
+    key per band, never a nested-loop OR-join — followed by the EXACT
+    hamming verify bit_count(xor) summed across bands.
+
+    Scale: candidate fan-in per bucket is ~N/2^16 per band (uniform md5
+    bits), versus the round-1 8-bit half scheme's N/256 quadratic blowup.
+    Exact recall for hamming <= 3 at the default parameters."""
+    assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs more bands"
+    sh = simhash_bands(documents, n_bands=n_bands, band_bits=band_bits)
+    band_names = [f"band{j}" for j in range(n_bands)]
+    stacked = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            sh.select(
+                "doc_id",
+                *band_names,
+                F.lit(j).alias("band_no"),
+                F.col(f"band{j}").alias("band_val"),
+            )
+            for j in range(n_bands)
+        ],
     )
-    dist = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    dist = reduce(
+        lambda acc, j: acc
+        + F.bit_count(F.col(f"a.band{j}").bitwiseXOR(F.col(f"b.band{j}"))),
+        range(1, n_bands),
+        F.bit_count(F.col("a.band0").bitwiseXOR(F.col("b.band0"))),
     )
     return (
-        cand.select(
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             dist.cast("int").alias("hamming"),

@@ -121,27 +121,27 @@ def lsh_bucket_topk(
     )
 
 
-def embedding_near_dups(
-    embeddings: DataFrame,
-    threshold: float = 0.44,
-    n_planes: int = 4,
-    dim: int = 64,
+def _plane_weight(j, d):
+    # fixed LCG, reproducible in ANSI SQL for the oracle
+    return ((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0
+
+
+def banded_lsh_buckets(
+    embeddings: DataFrame, n_bands: int, n_planes: int, dim: int = 64
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
-    (same random-hyperplane machinery as lsh_bucket_topk), exact cosine
-    verify inside the bucket. At 100 TB the bucket join replaces the
-    quadratic cross join; recall is tuned with n_planes."""
-
-    def plane_weight(j, d):
-        return ((1103515245 * (j * 1024 + d) + 12345) % 2001 - 1000) / 1000.0
-
+    """Multi-band random-hyperplane LSH: band b hashes with its OWN
+    n_planes hyperplanes (global plane index b*n_planes+j), giving
+    n_bands independent bucket tables stacked as (band_no, bucket).
+    Banding trades replication (x n_bands rows) for recall exactly like
+    MinHash-LSH: P(candidate) = 1 - (1 - p^n_planes)^n_bands with
+    p = 1 - theta/pi."""
     unit = with_unit_vectors(embeddings)
 
-    def bucket_bit(j):
+    def bucket_bit(g, j):
         proj = F.aggregate(
             F.zip_with(
                 "unit",
-                F.array(*[F.lit(plane_weight(j, d)) for d in range(dim)]),
+                F.array(*[F.lit(_plane_weight(g, d)) for d in range(dim)]),
                 lambda v, w: v * w,
             ),
             F.lit(0.0),
@@ -149,15 +149,70 @@ def embedding_near_dups(
         )
         return F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
 
-    bucketed = unit.withColumn(
-        "bucket",
-        sum([bucket_bit(j) for j in range(n_planes)], F.lit(0)).cast("int"),
+    bands = [
+        sum(
+            [bucket_bit(b * n_planes + j, j) for j in range(n_planes)],
+            F.lit(0),
+        ).cast("int").alias(f"bucket{b}")
+        for b in range(n_bands)
+    ]
+    all_bands = unit.select("vec_id", "unit", *bands)
+    from functools import reduce
+
+    return reduce(
+        lambda x, y: x.unionByName(y),
+        [
+            all_bands.select(
+                "vec_id",
+                "unit",
+                F.lit(b).alias("band_no"),
+                F.col(f"bucket{b}").alias("bucket"),
+            )
+            for b in range(n_bands)
+        ],
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.44,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: banded LSH candidates,
+    exact cosine verify inside each (band_no, bucket), distinct across
+    bands.
+
+    Scale design (vs the round-1 single 16-bucket table):
+      * n_bands independent plane sets x 2^n_planes buckets each — the
+        within-bucket self-join is all-pairs/2^n_planes per band, and
+        n_planes (selectivity) tunes independently of recall (n_bands).
+      * bucket_cap: any (band_no, bucket) with more than `bucket_cap`
+        members is excluded from the self-join (skew/degenerate-vector
+        guard); use near_dup_overflow() to account for what was skipped.
+        The cap bounds the worst bucket's join at cap^2 rows.
+      * recall = 1-(1-p^n_planes)^n_bands, p = 1-theta/pi: the defaults
+        give ~0.99 at cosine 0.95, ~0.85 at 0.85, but only ~0.22 at the
+        0.44 threshold the oracle query uses (63-degree angles are not
+        LSH-friendly; measured numbers in BENCH/BASELINE.md). For a
+        production near-dup sweep at cosine>=0.9 use n_planes=16,
+        n_bands=24 (recall ~0.88, buckets of N/65536)."""
+    stacked = banded_lsh_buckets(embeddings, n_bands, n_planes, dim)
+    counts = stacked.groupBy("band_no", "bucket").agg(
+        F.count("*").alias("bucket_n")
+    )
+    capped = stacked.join(
+        F.broadcast(counts.filter(F.col("bucket_n") <= bucket_cap)),
+        ["band_no", "bucket"],
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -166,6 +221,26 @@ def embedding_near_dups(
             F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def near_dup_overflow(
+    embeddings: DataFrame,
+    n_bands: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Overflow accounting for embedding_near_dups: the (band_no,
+    bucket, bucket_n) rows whose buckets exceeded bucket_cap and were
+    skipped — at 100 TB these go to a quarantine sweep (sample-verify or
+    a higher-planes re-hash), never silently dropped."""
+    stacked = banded_lsh_buckets(embeddings, n_bands, n_planes, dim)
+    return (
+        stacked.groupBy("band_no", "bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > bucket_cap)
     )
 
 
