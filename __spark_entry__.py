@@ -171,6 +171,67 @@ def q_link_annotations(spark, sf_dir):
     )
 
 
+def q_xmp_project(spark, sf_dir):
+    # P7: XMP metadata projection (reference xmp.py:57-397)
+    from sparkpdf.operators.extract import extract_xmp
+
+    return extract_xmp(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "xmp_title",
+        "xmp_producer",
+        "create_date",
+        "modify_date",
+    )
+
+
+def q_viewer_prefs(spark, sf_dir):
+    # P6: catalog /PageLayout + /PageMode (getPageLayout/getPageMode)
+    from sparkpdf.operators.extract import extract_viewer_prefs
+
+    return extract_viewer_prefs(_corpus(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "page_layout",
+        "page_mode",
+    )
+
+
+def q_remove_links(spark, sf_dir):
+    # P10: removeLinks — rewritten docs carry ZERO link annotations
+    # while full_text is preserved byte-for-byte
+    from sparkpdf.operators.extract import extract_links
+    from sparkpdf.operators.spans import doc_full_text, remove_links
+
+    corpus = _corpus(spark, sf_dir)
+    before = (
+        extract_links(corpus)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("links_before"))
+    )
+    cleaned = remove_links(corpus)
+    after_links = (
+        extract_links(cleaned)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("links_after"))
+    )
+    from sparkpdf.operators.extract import extract_spans
+
+    after_text = doc_full_text(extract_spans(cleaned)).select(
+        "doc_id", "full_text"
+    )
+    return (
+        before.join(after_text, "doc_id")
+        .join(after_links, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("links_before").cast("long").alias("links_before"),
+            F.coalesce(F.col("links_after"), F.lit(0))
+            .cast("long")
+            .alias("links_after"),
+            "full_text",
+        )
+    )
+
+
 def q_overlay_pages(spark, sf_dir):
     from sparkpdf.operators.extract import extract_page_spans
     from sparkpdf.operators.spans import overlay_pages
@@ -576,6 +637,19 @@ def q_multimodal_features(spark, sf_dir):
     ).select("doc_id", "media_ref", "width", "height", "n_bytes", "sha8")
 
 
+def q_media_dims(spark, sf_dir):
+    # REAL header decode: dims parsed from the PNG IHDR / JPEG SOF bytes
+    # (kernels/media.py); the oracle restates them by formula
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_image_media,
+    )
+
+    return extract_media_features(
+        synthesize_image_media(_t(spark, sf_dir, "documents"))
+    ).select("doc_id", F.col("format").alias("fmt"), "width", "height")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # extraction family (SURVEY §2.12/§2.13/§3.2)
@@ -630,6 +704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
+        "media_dims": q_media_dims,
+        "xmp_project": q_xmp_project,
+        "viewer_prefs": q_viewer_prefs,
+        "remove_links": q_remove_links,
     }
 
 
@@ -1230,11 +1308,47 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         )
         SELECT doc_id, media_ref,
-               CAST(1 + b0 % 64 AS INTEGER) AS width,
-               CAST(1 + b1 % 64 AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
                CAST(32 AS INTEGER) AS n_bytes,
                substr(d, 1, 8) AS sha8
         FROM v
+    """
+    # xmp/viewer prefs: deterministic functions of length(text) baked
+    # into the corpus builder (testing/pdfgen.doc_to_pdf)
+    sql["xmp_project"] = """
+        SELECT doc_id,
+               'doc-' || CAST(doc_id AS VARCHAR) AS xmp_title,
+               'sparkpdf' AS xmp_producer,
+               '2020-01-' || lpad(CAST(1 + length(text) % 28 AS VARCHAR),
+                                  2, '0') || 'T00:00:00' AS create_date,
+               '2020-01-' || lpad(CAST(1 + length(text) % 28 AS VARCHAR),
+                                  2, '0') || 'T06:30:00' AS modify_date
+        FROM documents
+    """
+    sql["viewer_prefs"] = """
+        SELECT doc_id,
+               CASE WHEN length(text) % 2 = 0 THEN '/SinglePage'
+                    ELSE '/TwoColumnLeft' END AS page_layout,
+               CASE WHEN length(text) % 3 = 0 THEN '/UseNone'
+                    ELSE '/UseOutlines' END AS page_mode
+        FROM documents
+    """
+    sql["remove_links"] = f"""
+        SELECT doc_id,
+               CAST(1 AS BIGINT) AS links_before,
+               CAST(0 AS BIGINT) AS links_after,
+               {_SANITIZED} || chr(10) AS full_text
+        FROM documents
+    """
+    # media_dims: expected dims restated by formula; the engine must
+    # parse the real PNG/JPEG headers to match
+    sql["media_dims"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+               CAST(16 + doc_id % 32 AS INTEGER) AS width,
+               CAST(8 + doc_id % 16 AS INTEGER) AS height
+        FROM documents
     """
     return {k: v.strip() for k, v in sql.items()}
 

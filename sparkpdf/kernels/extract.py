@@ -103,8 +103,12 @@ def extract_page_spans(doc: PdfDocument, page: dict, page_no: int) -> List[dict]
     return spans
 
 
-def extract_doc(pdf_bytes: bytes, password: bytes = b"") -> dict:
-    """Whole-document kernel: bytes -> {spans, n_pages, error}.
+def extract_doc(
+    pdf_bytes: bytes, password: bytes = b"", with_page_meta: bool = False
+) -> dict:
+    """Whole-document kernel: bytes -> {spans, n_pages, error}
+    (+ page_meta when requested — emitted from the SAME parse, so the
+    page-granular operators never pay a second PdfDocument build).
 
     Never raises: malformed docs yield error != None with whatever spans
     were recovered (doc-level quarantine, SURVEY §4.1 — a poisoned doc
@@ -113,12 +117,18 @@ def extract_doc(pdf_bytes: bytes, password: bytes = b"") -> dict:
     spans: List[dict] = []
     n_pages = 0
     error: Optional[str] = None
+    page_meta: Dict[int, dict] = {}
     try:
         doc = PdfDocument(pdf_bytes, password=password)
         pages = doc.pages()
         n_pages = len(pages)
         offset = 0
         for page_no, page in enumerate(pages):
+            if with_page_meta:
+                try:
+                    page_meta[page_no] = doc.page_meta(page, page_no)
+                except (PdfError, Exception):
+                    pass
             try:
                 page_spans = extract_page_spans(doc, page, page_no)
             except PdfError as exc:
@@ -133,7 +143,10 @@ def extract_doc(pdf_bytes: bytes, password: bytes = b"") -> dict:
         error = str(exc)
     except Exception as exc:  # absolute backstop: quarantine, don't kill
         error = f"{type(exc).__name__}: {exc}"
-    return {"spans": spans, "n_pages": n_pages, "error": error}
+    out = {"spans": spans, "n_pages": n_pages, "error": error}
+    if with_page_meta:
+        out["page_meta"] = page_meta
+    return out
 
 
 def page_text(spans: List[dict], page_no: int) -> str:

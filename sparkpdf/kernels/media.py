@@ -1,0 +1,120 @@
+"""Image header introspection — true dimensions for the media payloads
+the extractor carries (VERDICT r1 #5).
+
+Pure Python, no codec libraries: dimensions live in fixed header
+structures — JPEG's SOFn segment, PNG's IHDR chunk, GIF's logical
+screen descriptor, TIFF's IFD tags 256/257. Pixel decode stays out of
+scope (the reference also hands DCT payloads through undecoded,
+reference filters.py:321-330); TIFF support matters because our own
+CCITT path (kernels/filters.py ccitt_fax_wrap) emits TIFF containers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# JPEG SOFn markers that carry frame dimensions: C0-CF minus DHT (C4),
+# JPG-extension (C8) and DAC (CC)
+_SOF_MARKERS = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def png_dims(b: bytes) -> Optional[dict]:
+    """PNG: width/height are the first 8 bytes of the IHDR chunk, which
+    the spec requires to be the first chunk after the signature."""
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        return {
+            "format": "png",
+            "width": int.from_bytes(b[16:20], "big"),
+            "height": int.from_bytes(b[20:24], "big"),
+        }
+    return None
+
+
+def jpeg_dims(b: bytes) -> Optional[dict]:
+    """JPEG: walk the segment chain from SOI to the first SOFn frame
+    header; height/width are bytes 3-6 of its payload."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1  # tolerate padding/garbage between segments
+            continue
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _SOF_MARKERS:
+            if i + 9 > len(b):
+                return None
+            return {
+                "format": "jpeg",
+                "height": int.from_bytes(b[i + 5:i + 7], "big"),
+                "width": int.from_bytes(b[i + 7:i + 9], "big"),
+            }
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def gif_dims(b: bytes) -> Optional[dict]:
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        return {
+            "format": "gif",
+            "width": int.from_bytes(b[6:8], "little"),
+            "height": int.from_bytes(b[8:10], "little"),
+        }
+    return None
+
+
+def tiff_dims(b: bytes) -> Optional[dict]:
+    """TIFF: IFD tags 256 (ImageWidth) / 257 (ImageLength). Handles both
+    byte orders; reads SHORT(3) and LONG(4) tag values."""
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    bo = "little" if b[:2] == b"II" else "big"
+    if int.from_bytes(b[2:4], bo) != 42:
+        return None
+    ifd = int.from_bytes(b[4:8], bo)
+    if ifd + 2 > len(b):
+        return None
+    n = int.from_bytes(b[ifd:ifd + 2], bo)
+    width = height = None
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            break
+        tag = int.from_bytes(b[e:e + 2], bo)
+        typ = int.from_bytes(b[e + 2:e + 4], bo)
+        if typ == 3:  # SHORT: value left-justified in the 4-byte field
+            val = int.from_bytes(b[e + 8:e + 10], bo)
+        elif typ == 4:
+            val = int.from_bytes(b[e + 8:e + 12], bo)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+    if width is not None and height is not None:
+        return {"format": "tiff", "width": width, "height": height}
+    return None
+
+
+def image_dims(b: bytes) -> Optional[dict]:
+    """Sniff the container by magic and return
+    {format, width, height}, or None for unrecognised payloads."""
+    if not b:
+        return None
+    return png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)

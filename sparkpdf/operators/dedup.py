@@ -49,24 +49,37 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def minhash_signatures(documents: DataFrame, n_hashes: int = 4) -> DataFrame:
     """Word-shingle MinHash: sig_i = min over tokens of
     substr(md5(token || ':' || i), 1, 8) — lexicographic min over hex is
-    deterministic and engine-portable."""
-    # explicit repartition before the ~50x explode: a one-file scan
-    # would otherwise run the expansion single-task (same rationale as
-    # synthesize_pdf_corpus)
+    deterministic and engine-portable.
+
+    ZERO-shuffle plan: the min folds over the token array per row with
+    array_min(transform(...)) in whole-stage codegen — the round-1
+    explode+groupBy shape shuffled one row per doc and replicated each
+    token n_hashes times through the aggregate. Docs with no tokens are
+    dropped (matching explode semantics and the unnest-based oracle).
+    The repartition spreads the md5 work across the cluster (a small
+    scan otherwise arrives as 1-2 tasks)."""
     n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
-    toks = documents.repartition(n_parts, "doc_id").select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(F.array_distinct(_norm_tokens("text"))).alias("tok"),
-    )
-    sigs = [
-        F.min(
-            F.substring(
-                F.md5(F.concat(F.col("tok"), F.lit(f":{i}")).cast("binary")), 1, 8
+    toks = F.array_distinct(_norm_tokens("text"))
+    def _sig(i):
+        # NB: the lambda must stay single-arg — F.transform treats a
+        # two-arg lambda as (element, index)
+        suffix = f":{i}"
+        return F.array_min(
+            F.transform(
+                F.col("toks"),
+                lambda t: F.substring(
+                    F.md5(F.concat(t, F.lit(suffix)).cast("binary")), 1, 8
+                ),
             )
         ).alias(f"sig{i}")
-        for i in range(n_hashes)
-    ]
-    return toks.groupBy("doc_id").agg(*sigs)
+
+    sigs = [_sig(i) for i in range(n_hashes)]
+    return (
+        documents.repartition(n_parts, "doc_id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", *sigs)
+    )
 
 
 def minhash_lsh_pairs(

@@ -93,8 +93,6 @@ def extract_spans(pdf_raw: DataFrame) -> DataFrame:
 
 
 def _extract_page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..kernels.cos import PdfError
-    from ..kernels.document import PdfDocument
     from ..kernels.extract import extract_doc, page_text
 
     for pdf in batches:
@@ -104,14 +102,10 @@ def _extract_page_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
         }
         for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
             data = bytes(blob) if blob is not None else b""
-            res = extract_doc(data)
-            metas: dict = {}
-            try:
-                doc = PdfDocument(data)
-                for i, page in enumerate(doc.pages()):
-                    metas[i] = doc.page_meta(page, i)
-            except (PdfError, Exception):
-                pass
+            # single parse: page metas come from extract_doc's own
+            # PdfDocument (round-1 parsed every doc twice here)
+            res = extract_doc(data, with_page_meta=True)
+            metas: dict = res["page_meta"]
             by_page: dict = {p: [] for p in range(res["n_pages"])}
             for s in res["spans"]:
                 by_page.setdefault(s["page_no"], []).append(s)
@@ -374,6 +368,69 @@ def extract_links(pdf_raw: DataFrame) -> DataFrame:
     kernel = _projection_batches(lambda doc: iter(doc.link_annotations()))
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
         kernel, schema=LINKS_SCHEMA
+    )
+
+
+XMP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("xmp_title", StringType()),
+        StructField("xmp_producer", StringType()),
+        StructField("create_date", StringType()),
+        StructField("modify_date", StringType()),
+    ]
+)
+
+
+def extract_xmp(pdf_raw: DataFrame) -> DataFrame:
+    """XMP metadata projection (parity: getXmpMetadata + XmpInformation
+    properties, reference xmp.py:57-397): dc:title, pdf:Producer and the
+    xmp create/modify dates as ISO strings."""
+
+    def project(doc):
+        from ..kernels.xmp import doc_xmp
+
+        info = doc_xmp(doc)
+        if info is None:
+            return
+        d = info.as_dict()
+        fmt = "%Y-%m-%dT%H:%M:%S"
+        yield {
+            "xmp_title": d["title"],
+            "xmp_producer": d["producer"],
+            "create_date": d["create_date"].strftime(fmt)
+            if d["create_date"]
+            else None,
+            "modify_date": d["modify_date"].strftime(fmt)
+            if d["modify_date"]
+            else None,
+        }
+
+    kernel = _projection_batches(project)
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=XMP_SCHEMA
+    )
+
+
+VIEWER_PREFS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("page_layout", StringType()),
+        StructField("page_mode", StringType()),
+    ]
+)
+
+
+def extract_viewer_prefs(pdf_raw: DataFrame) -> DataFrame:
+    """Catalog /PageLayout + /PageMode projection (parity:
+    getPageLayout/getPageMode, _reader.py:654-693)."""
+    kernel = _projection_batches(
+        lambda doc: iter(
+            [{"page_layout": doc.page_layout(), "page_mode": doc.page_mode()}]
+        )
+    )
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=VIEWER_PREFS_SCHEMA
     )
 
 

@@ -42,6 +42,7 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", StringType()),
         StructField("media_ref", StringType()),
         StructField("modality", StringType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_bytes", IntegerType()),
@@ -50,12 +51,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_decode_image(payload: bytes) -> dict:
-    """Deterministic stand-in for a real image decoder: 'dimensions'
-    derive from the payload digest. Replace with PIL/libjpeg when
-    available — the Spark plumbing around it does not change."""
-    d = hashlib.sha256(payload).digest()
-    return {"width": 1 + d[0] % 64, "height": 1 + d[1] % 64}
+def _decode_image(payload: bytes) -> dict:
+    """REAL header decode: true width/height parsed from the JPEG SOF /
+    PNG IHDR / GIF LSD / TIFF IFD structures (kernels/media.py) — no
+    codec library needed. Unrecognised payloads report no dimensions
+    (pixel decode would need PIL/libjpeg; the header is ground truth
+    either way)."""
+    from ..kernels.media import image_dims
+
+    return image_dims(payload) or {}
 
 
 def _unsupported(payload: bytes) -> dict:
@@ -65,7 +69,7 @@ def _unsupported(payload: bytes) -> dict:
 
 
 DECODERS = {
-    "image": _fake_decode_image,
+    "image": _decode_image,
     "audio": _unsupported,
     "video": _unsupported,
 }
@@ -84,6 +88,34 @@ def synthesize_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_image_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL image per doc (PNG for even doc_id, JPEG
+    for odd) with formula dimensions width = 16 + doc_id % 32,
+    height = 8 + doc_id % 16 — so the oracle can state the expected
+    dims in pure SQL while the engine must actually parse the binary
+    headers to reproduce them."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_jpeg, make_png
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 16 + d % 32, 8 + d % 16
+                payload = make_png(w, h) if d % 2 == 0 else make_jpeg(w, h)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"img-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in FEATURE_SCHEMA.fields}
@@ -97,6 +129,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["doc_id"].append(row.doc_id)
             out["media_ref"].append(row.media_ref)
             out["modality"].append(row.modality)
+            out["format"].append(meta.get("format"))
             out["width"].append(meta.get("width"))
             out["height"].append(meta.get("height"))
             out["n_bytes"].append(len(payload))

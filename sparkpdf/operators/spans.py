@@ -160,3 +160,16 @@ def overlay_pages(base: DataFrame, overlay: DataFrame) -> DataFrame:
         "page_no",
         _renumber(F.concat("spans_base", "spans_over")).alias("spans"),
     )
+
+
+def remove_links(pdf_raw: DataFrame) -> DataFrame:
+    """removeLinks in the span data model (parity: _writer.py:871-877,
+    which strips /Annots from every page during write): re-emit each
+    document through the span writer, which carries the full ordered
+    text+media content but no annotation dictionaries — so the output
+    PDFs provably contain zero link annotations while full_text is
+    byte-identical (write_roundtrip contract). One extraction pass + one
+    write pass, both mapInPandas, no shuffle."""
+    from .extract import extract_spans, write_pdfs
+
+    return write_pdfs(extract_spans(pdf_raw))

@@ -458,8 +458,36 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
             b" /AcroForm << /Fields [%d 0 R] >> /Names %d 0 R"
             b" /Outlines %d 0 R" % (field, names, ol_root)
         )
+    # XMP metadata + viewer prefs, deterministic functions of the text
+    # length so the oracle can restate them in SQL (length(text) is the
+    # same in Python and DuckDB: sanitization replaces, never deletes)
+    n = len(printable)
+    day = 1 + n % 28
+    xmp = (
+        b'<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        b'<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        b'<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        b'<rdf:Description rdf:about=""'
+        b' xmlns:dc="http://purl.org/dc/elements/1.1/"'
+        b' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
+        b' xmlns:pdf="http://ns.adobe.com/pdf/1.3/">\n'
+        b"<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">"
+        + esc_string(title if title is not None else "untitled")
+        .replace(b"<", b"&lt;")
+        + b"</rdf:li></rdf:Alt></dc:title>\n"
+        b"<pdf:Producer>sparkpdf</pdf:Producer>\n"
+        b"<xmp:CreateDate>2020-01-%02dT00:00:00Z</xmp:CreateDate>\n" % day
+        + b"<xmp:ModifyDate>2020-01-%02dT06:30:00Z</xmp:ModifyDate>\n" % day
+        + b"</rdf:Description>\n</rdf:RDF>\n</x:xmpmeta>\n"
+        b'<?xpacket end="w"?>'
+    )
+    meta = b.add_stream(b"/Type /Metadata /Subtype /XML", xmp)
+    layout = b"/SinglePage" if n % 2 == 0 else b"/TwoColumnLeft"
+    mode = b"/UseNone" if n % 3 == 0 else b"/UseOutlines"
     root = b.add(
-        b"<< /Type /Catalog /Pages %d 0 R" % pages + extra_root + b" >>"
+        b"<< /Type /Catalog /Pages %d 0 R /Metadata %d 0 R" % (pages, meta)
+        + b" /PageLayout " + layout + b" /PageMode " + mode
+        + extra_root + b" >>"
     )
     info = None
     if title is not None:

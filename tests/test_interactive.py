@@ -142,7 +142,15 @@ def test_page_meta_and_links():
     assert links == [
         {"page_no": 0, "uri": "https://example.org/doc-9", "dest_page": None}
     ]
-    assert corpus_doc.page_layout() is None and corpus_doc.page_mode() is None
+    # len("x") == 1: odd -> TwoColumnLeft, 1 % 3 != 0 -> UseOutlines
+    # (doc_to_pdf's deterministic viewer prefs, oracle contract)
+    assert corpus_doc.page_layout() == "/TwoColumnLeft"
+    assert corpus_doc.page_mode() == "/UseOutlines"
+    from sparkpdf.kernels.xmp import doc_xmp
+
+    x = doc_xmp(corpus_doc).as_dict()
+    assert x["title"] == "doc-9" and x["producer"] == "sparkpdf"
+    assert x["create_date"].day == 2  # 1 + len("x") % 28
 
 
 def test_cli_pagerange_parity():

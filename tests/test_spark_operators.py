@@ -141,17 +141,27 @@ def test_filter_pushdown(spark):
     assert "l_orderkey" in plan and "l_comment" not in plan
 
 
-def test_media_features_stub(spark, docs):
+def test_media_features_real_decode(spark, docs):
+    """md5-hex payloads are not images -> no dims (honest decode);
+    real PNG/JPEG payloads -> true header dimensions (VERDICT r1 #5)."""
     from sparkpdf.operators.multimodal import (
         extract_media_features,
+        synthesize_image_media,
         synthesize_media,
     )
 
     feats = extract_media_features(synthesize_media(docs)).collect()
     assert len(feats) == 60
     for r in feats:
-        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert r.width is None and r.height is None and r.format is None
         assert r.n_bytes == 32
+
+    dims = extract_media_features(synthesize_image_media(docs)).collect()
+    assert len(dims) == 60
+    for r in dims:
+        d = int(r.doc_id)
+        assert r.format == ("png" if d % 2 == 0 else "jpeg")
+        assert r.width == 16 + d % 32 and r.height == 8 + d % 16
 
 
 def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
