@@ -637,6 +637,19 @@ def q_multimodal_features(spark, sf_dir):
     ).select("doc_id", "media_ref", "width", "height", "n_bytes", "sha8")
 
 
+def q_ccitt_ink_ratio(spark, sf_dir):
+    # F8 closed: full T.6 MMR pixel decode of Group-4 TIFF payloads;
+    # the oracle restates the planted black-rectangle ratio by formula
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_g4_media,
+    )
+
+    return extract_media_features(
+        synthesize_g4_media(_t(spark, sf_dir, "documents"))
+    ).select("doc_id", "width", "height", "ink_ratio")
+
+
 def q_media_dims(spark, sf_dir):
     # REAL header decode: dims parsed from the PNG IHDR / JPEG SOF bytes
     # (kernels/media.py); the oracle restates them by formula
@@ -705,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "media_dims": q_media_dims,
+        "ccitt_ink_ratio": q_ccitt_ink_ratio,
         "xmp_project": q_xmp_project,
         "viewer_prefs": q_viewer_prefs,
         "remove_links": q_remove_links,
@@ -1339,6 +1353,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS links_before,
                CAST(0 AS BIGINT) AS links_after,
                {_SANITIZED} || chr(10) AS full_text
+        FROM documents
+    """
+    sql["ccitt_ink_ratio"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(16 + doc_id % 32 AS INTEGER) AS width,
+               CAST(8 + doc_id % 16 AS INTEGER) AS height,
+               ROUND(CAST((8 + doc_id % 16) // 2 AS DOUBLE)
+                     / (8 + doc_id % 16), 6) AS ink_ratio
         FROM documents
     """
     # media_dims: expected dims restated by formula; the engine must

@@ -238,18 +238,18 @@ def main():
         for lo_cpus, hi_cpus in ((lo, mid), (mid, hi)):
             if lo_cpus == hi_cpus:
                 continue
-            lo, hi = runs[lo_cpus], runs[hi_cpus]
-            if lo.get("docs_per_sec") and hi.get("docs_per_sec"):
-                eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (
+            r_lo, r_hi = runs[lo_cpus], runs[hi_cpus]
+            if r_lo.get("docs_per_sec") and r_hi.get("docs_per_sec"):
+                eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (
                     hi_cpus / lo_cpus
                 )
                 pairs[f"{lo_cpus}to{hi_cpus}"] = {
                     "cpus_lo": lo_cpus,
                     "cpus_hi": hi_cpus,
-                    "docs_per_sec_lo": lo["docs_per_sec"],
-                    "docs_per_sec_hi": hi["docs_per_sec"],
-                    "mb_per_sec_lo": lo["mb_per_sec"],
-                    "mb_per_sec_hi": hi["mb_per_sec"],
+                    "docs_per_sec_lo": r_lo["docs_per_sec"],
+                    "docs_per_sec_hi": r_hi["docs_per_sec"],
+                    "mb_per_sec_lo": r_lo["mb_per_sec"],
+                    "mb_per_sec_hi": r_hi["mb_per_sec"],
                     "efficiency": round(eff, 3),
                 }
         if pairs:

@@ -118,3 +118,51 @@ def image_dims(b: bytes) -> Optional[dict]:
     if not b:
         return None
     return png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
+
+
+def _tiff_tag(b: bytes, want: int) -> Optional[int]:
+    bo = "little" if b[:2] == b"II" else "big"
+    ifd = int.from_bytes(b[4:8], bo)
+    n = int.from_bytes(b[ifd:ifd + 2], bo)
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        tag = int.from_bytes(b[e:e + 2], bo)
+        if tag != want:
+            continue
+        typ = int.from_bytes(b[e + 2:e + 4], bo)
+        if typ == 3:
+            return int.from_bytes(b[e + 8:e + 10], bo)
+        return int.from_bytes(b[e + 8:e + 12], bo)
+    return None
+
+
+def tiff_g4_pixels(b: bytes):
+    """Pixel rows (1=black) from a single-strip Group-4 TIFF — the
+    container our own ccitt_fax_wrap emits. Returns None unless the
+    file is TIFF with Compression=4 (T.6). Full MMR pixel decode via
+    kernels/ccitt_g4 (the reference's Fax decoder, filters.py:434-899,
+    mis-decodes everything beyond all-white vertical streams — see
+    tests/test_kernel_edges.py)."""
+    d = tiff_dims(b)
+    if d is None or _tiff_tag(b, 259) != 4:
+        return None
+    off = _tiff_tag(b, 273)
+    size = _tiff_tag(b, 279)
+    if off is None or size is None or off + size > len(b):
+        return None
+    from .ccitt_g4 import g4_decode
+
+    return g4_decode(b[off:off + size], d["width"], d["height"])
+
+
+def ink_ratio(b: bytes) -> Optional[float]:
+    """Black-pixel fraction of a G4 TIFF payload (scanned-corpus quality
+    signal: near-0 = blank page, near-1 = saturated scan)."""
+    rows = tiff_g4_pixels(b)
+    if not rows:
+        return None
+    total = sum(len(r) for r in rows)
+    black = sum(sum(r) for r in rows)
+    return black / total if total else None

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     MapType,
     StringType,
@@ -47,6 +48,7 @@ FEATURE_SCHEMA = StructType(
         StructField("height", IntegerType()),
         StructField("n_bytes", IntegerType()),
         StructField("sha8", StringType()),
+        StructField("ink_ratio", DoubleType()),
     ]
 )
 
@@ -54,12 +56,17 @@ FEATURE_SCHEMA = StructType(
 def _decode_image(payload: bytes) -> dict:
     """REAL header decode: true width/height parsed from the JPEG SOF /
     PNG IHDR / GIF LSD / TIFF IFD structures (kernels/media.py) — no
-    codec library needed. Unrecognised payloads report no dimensions
-    (pixel decode would need PIL/libjpeg; the header is ground truth
-    either way)."""
-    from ..kernels.media import image_dims
+    codec library needed. Group-4 TIFF payloads additionally get a full
+    MMR pixel decode (kernels/ccitt_g4) and report ink_ratio.
+    Unrecognised payloads report no dimensions."""
+    from ..kernels.media import image_dims, ink_ratio
 
-    return image_dims(payload) or {}
+    meta = image_dims(payload) or {}
+    if meta.get("format") == "tiff":
+        r = ink_ratio(payload)
+        if r is not None:
+            meta["ink_ratio"] = round(r, 6)
+    return meta
 
 
 def _unsupported(payload: bytes) -> dict:
@@ -116,6 +123,37 @@ def synthesize_image_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_g4_media(documents: DataFrame) -> DataFrame:
+    """documents -> one Group-4 TIFF per doc: width = 16 + doc_id % 32,
+    height = 8 + doc_id % 16, the top half(height//2 rows) solid black —
+    so the expected ink_ratio is (height//2)/height, SQL-restatable,
+    while the engine must really run the T.6 MMR decode to measure it."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.ccitt_g4 import g4_encode
+        from ..kernels.filters import ccitt_fax_wrap
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 16 + d % 32, 8 + d % 16
+                bitmap = [[1] * w if r < h // 2 else [0] * w for r in range(h)]
+                payload = ccitt_fax_wrap(
+                    g4_encode(bitmap, w), {"/K": -1, "/Columns": w, "/Rows": h}
+                )
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"scan-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in FEATURE_SCHEMA.fields}
@@ -134,6 +172,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["height"].append(meta.get("height"))
             out["n_bytes"].append(len(payload))
             out["sha8"].append(hashlib.sha256(payload).hexdigest()[:8])
+            out["ink_ratio"].append(meta.get("ink_ratio"))
         yield pd.DataFrame(out)
 
 

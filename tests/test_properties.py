@@ -52,7 +52,18 @@ def test_octal_escape_overflow_parity(codes):
     ref = load_reference()
     theirs = ref.generic.readStringFromStream(io.BytesIO(enc))
     want = bytes(c % 256 for c in codes)
-    assert (mine if isinstance(mine, bytes) else mine.encode()) == want
+    if want[:2] == b"\xfe\xff":
+        # valid-BOM strings decode to str at OUR parse layer (the
+        # reference defers the same sniff to createStringObject); the
+        # BOM branch parity is asserted in test_literal_string_parity
+        try:
+            assert not isinstance(mine, bytes) or mine == want
+        except UnicodeDecodeError:  # malformed UTF-16: stays bytes
+            pass
+        if isinstance(mine, str):
+            assert mine == want[2:].decode("utf-16-be")
+    else:
+        assert mine == want
     assert bytes(theirs) == want
 
 
