@@ -171,6 +171,49 @@ def q_link_annotations(spark, sf_dir):
     )
 
 
+def q_write_enriched(spark, sf_dir):
+    # D6/A4: write-side bookmarks + URI links + /Info; read everything
+    # back through the projection operators
+    from sparkpdf.operators.extract import (
+        extract_docinfo,
+        extract_links,
+        extract_outlines,
+        extract_spans,
+        write_pdfs_enriched,
+    )
+
+    enriched = write_pdfs_enriched(extract_spans(_corpus(spark, sf_dir)))
+    ol = extract_outlines(enriched).select(
+        "doc_id", F.col("title").alias("bm_title")
+    )
+    ln = extract_links(enriched).select("doc_id", "uri")
+    inf = extract_docinfo(enriched).select("doc_id", "title")
+    return (
+        ol.join(ln, "doc_id")
+        .join(inf, "doc_id")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "bm_title",
+            "uri",
+            "title",
+        )
+    )
+
+
+def q_write_encrypted(spark, sf_dir):
+    # C6: write-side RC4-128 encryption; decrypt-extract round-trip
+    from sparkpdf.operators.extract import extract_spans, write_pdfs_enriched
+    from sparkpdf.operators.spans import doc_full_text
+
+    enc = write_pdfs_enriched(
+        extract_spans(_corpus(spark, sf_dir)), password=b"sparkpdf-pw"
+    )
+    back = extract_spans(enc, password=b"sparkpdf-pw")
+    return doc_full_text(back).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "full_text"
+    )
+
+
 def q_xmp_project(spark, sf_dir):
     # P7: XMP metadata projection (reference xmp.py:57-397)
     from sparkpdf.operators.extract import extract_xmp
@@ -722,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmp_project": q_xmp_project,
         "viewer_prefs": q_viewer_prefs,
         "remove_links": q_remove_links,
+        "write_enriched": q_write_enriched,
+        "write_encrypted": q_write_encrypted,
     }
 
 
@@ -1354,6 +1399,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS links_after,
                {_SANITIZED} || chr(10) AS full_text
         FROM documents
+    """
+    sql["write_enriched"] = """
+        SELECT doc_id,
+               'bm-' || CAST(doc_id AS VARCHAR) AS bm_title,
+               'https://example.org/w/' || CAST(doc_id AS VARCHAR) AS uri,
+               'doc-' || CAST(doc_id AS VARCHAR) AS title
+        FROM documents
+    """
+    sql["write_encrypted"] = f"""
+        SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
     """
     sql["ccitt_ink_ratio"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

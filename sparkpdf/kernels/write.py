@@ -113,18 +113,66 @@ def page_content(spans: Sequence[dict], state: dict) -> bytes:
     return b" ".join(ops)
 
 
-def spans_to_pdf(pages: Sequence[Sequence[dict]], compress: bool = True) -> bytes:
-    """pages = list of span-lists (ordered) -> complete PDF bytes."""
+def spans_to_pdf(
+    pages: Sequence[Sequence[dict]],
+    compress: bool = True,
+    title: Optional[str] = None,
+    bookmarks: Optional[Sequence[Tuple[str, int]]] = None,
+    links: Optional[Sequence[Tuple[int, str]]] = None,
+    user_password: Optional[bytes] = None,
+    owner_password: Optional[bytes] = None,
+) -> bytes:
+    """pages = list of span-lists (ordered) -> complete PDF bytes.
+
+    Write-side enrichment (parity: _writer.py addBookmark:676-751,
+    addURI/addLink:999-1145, /Info) and write-side encryption (parity:
+    _writer.py encrypt:443-496 — RC4 V=2/R=3, 128-bit, strings and
+    streams encrypted per-object, /Encrypt dict exempt):
+      * title       -> /Info /Title + XMP-free trailer metadata
+      * bookmarks   -> flat /Outlines chain of (title, page_idx)
+      * links       -> /Annots URI links of (page_idx, uri)
+      * user_password (+ optional owner_password) -> standard security
+        handler; the file /ID derives from the title so output stays
+        deterministic across executors (a Spark operator must be pure).
+    """
+    import hashlib
+
     bodies: List[bytes] = []
+    enc_key = None
+    file_id = b""
+    if user_password is not None:
+        from . import crypto as _crypto
+
+        file_id = hashlib.md5(
+            b"sparkpdf:" + (title or "").encode("utf-8")
+        ).digest()
+        perms = -3904  # print+extract allowed; modify/annotate denied
+        o_entry, u_entry, enc_key = _crypto.make_encrypt_parts(
+            user_password, owner_password or user_password,
+            perms, file_id, 3, 16,
+        )
 
     def add(body: bytes) -> int:
         bodies.append(body)
         return len(bodies)
 
+    def enc_bytes(idnum: int, data: bytes) -> bytes:
+        if enc_key is None:
+            return data
+        from . import crypto as _crypto
+
+        return _crypto.rc4(_crypto.object_key(enc_key, idnum, 0), data)
+
+    def lit_str(idnum: int, s) -> bytes:
+        """Literal string token, encrypted with the OWNING object's key."""
+        raw = s.encode("cp1252", "replace") if isinstance(s, str) else bytes(s)
+        return b"(" + esc_literal(enc_bytes(idnum, raw)) + b")"
+
     def add_stream(extra: bytes, raw: bytes) -> int:
         if compress:
             raw = zlib.compress(raw)
             extra = extra + b" /Filter /FlateDecode" if extra else b"/Filter /FlateDecode"
+        raw = enc_bytes(len(bodies) + 1, raw)
         return add(
             b"<< " + extra + b" /Length %d >>\nstream\n" % len(raw)
             + raw
@@ -162,14 +210,33 @@ def spans_to_pdf(pages: Sequence[Sequence[dict]], compress: bool = True) -> byte
         res += b" /XObject << " + b" ".join(xo_entries) + b" >>"
     res += b" >>"
 
-    pages_num = len(bodies) + len(content_refs) + 1
-    page_refs = [
-        add(
-            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R >>"
-            % (pages_num, cref)
+    # link annotations (before pages so page bodies can reference them)
+    annots_by_page: Dict[int, List[int]] = {}
+    for page_idx, uri in links or ():
+        idn = len(bodies) + 1
+        ann = add(
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20]"
+            b" /A << /S /URI /URI " + lit_str(idn, uri) + b" >> >>"
         )
-        for cref in content_refs
-    ]
+        annots_by_page.setdefault(page_idx, []).append(ann)
+
+    pages_num = len(bodies) + len(content_refs) + 1
+    page_refs = []
+    for page_idx, cref in enumerate(content_refs):
+        extra = b""
+        if page_idx in annots_by_page:
+            extra = (
+                b" /Annots ["
+                + b" ".join(b"%d 0 R" % a for a in annots_by_page[page_idx])
+                + b"]"
+            )
+        page_refs.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R" % (pages_num, cref)
+                + extra
+                + b" >>"
+            )
+        )
     assert add(
         b"<< /Type /Pages /Kids ["
         + b" ".join(b"%d 0 R" % p for p in page_refs)
@@ -177,7 +244,53 @@ def spans_to_pdf(pages: Sequence[Sequence[dict]], compress: bool = True) -> byte
         + res
         + b" /MediaBox [0 0 612 792] >>"
     ) == pages_num
-    root = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+
+    # flat bookmark chain (after pages: items hold /Dest page refs)
+    outlines_num = None
+    if bookmarks:
+        n_bm = len(bookmarks)
+        first_bm = len(bodies) + 1
+        outlines_num = first_bm + n_bm
+        for k, (bm_title, page_idx) in enumerate(bookmarks):
+            idn = len(bodies) + 1
+            pg = page_refs[min(max(page_idx, 0), len(page_refs) - 1)]
+            parts = [
+                b"<< /Title " + lit_str(idn, bm_title),
+                b"/Parent %d 0 R" % outlines_num,
+                b"/Dest [%d 0 R /Fit]" % pg,
+            ]
+            if k > 0:
+                parts.append(b"/Prev %d 0 R" % (first_bm + k - 1))
+            if k < n_bm - 1:
+                parts.append(b"/Next %d 0 R" % (first_bm + k + 1))
+            add(b" ".join(parts) + b" >>")
+        assert add(
+            b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (first_bm, first_bm + n_bm - 1, n_bm)
+        ) == outlines_num
+
+    root_extra = b""
+    if outlines_num:
+        root_extra = b" /Outlines %d 0 R" % outlines_num
+    root = add(b"<< /Type /Catalog /Pages %d 0 R" % pages_num + root_extra + b" >>")
+
+    info_num = None
+    if title is not None:
+        idn = len(bodies) + 1
+        info_num = add(
+            b"<< /Title " + lit_str(idn, title)
+            + b" /Producer " + lit_str(idn, "sparkpdf") + b" >>"
+        )
+
+    encrypt_num = None
+    if enc_key is not None:
+        # the /Encrypt dict itself is never encrypted (PDF 32000 §7.6.2)
+        encrypt_num = add(
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128"
+            b" /O (" + esc_literal(o_entry) + b")"
+            b" /U (" + esc_literal(u_entry) + b")"
+            b" /P -3904 >>"
+        )
 
     out = bytearray(HEADER)
     offsets: Dict[int, int] = {}
@@ -189,8 +302,13 @@ def spans_to_pdf(pages: Sequence[Sequence[dict]], compress: bool = True) -> byte
     out += b"0000000000 65535 f \n"
     for i in range(1, len(bodies) + 1):
         out += b"%010d 00000 n \n" % offsets[i]
-    out += (
-        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(bodies) + 1, root, xref_pos)
-    )
+    trailer = b"trailer\n<< /Size %d /Root %d 0 R" % (len(bodies) + 1, root)
+    if info_num:
+        trailer += b" /Info %d 0 R" % info_num
+    if encrypt_num:
+        trailer += (
+            b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+            % (encrypt_num, file_id.hex().encode(), file_id.hex().encode())
+        )
+    out += trailer + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -62,33 +62,42 @@ PAGE_SPAN_SCHEMA = StructType(
 )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Kernel adapter: loops DOCS inside an Arrow batch (batch-level
-    Python, not per-row Spark UDFs — SURVEY §2.15)."""
-    from ..kernels.extract import extract_doc
+def _extract_batches_fn(password: bytes = b""):
+    """Kernel adapter factory: loops DOCS inside an Arrow batch
+    (batch-level Python, not per-row Spark UDFs — SURVEY §2.15)."""
 
-    for pdf in batches:
-        out = {"doc_id": [], "spans": [], "n_pages": [], "n_bytes": [], "error": []}
-        for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
-            data = bytes(blob) if blob is not None else b""
-            res = extract_doc(data)
-            out["doc_id"].append(str(doc_id))
-            out["spans"].append(
-                [
-                    (s["kind"], s["text"], s["media_ref"], s["offset"])
-                    for s in res["spans"]
-                ]
-            )
-            out["n_pages"].append(res["n_pages"])
-            out["n_bytes"].append(len(data))
-            out["error"].append(res["error"])
-        yield pd.DataFrame(out)
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.extract import extract_doc
+
+        for pdf in batches:
+            out = {"doc_id": [], "spans": [], "n_pages": [], "n_bytes": [], "error": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                data = bytes(blob) if blob is not None else b""
+                res = extract_doc(data, password=password)
+                out["doc_id"].append(str(doc_id))
+                out["spans"].append(
+                    [
+                        (s["kind"], s["text"], s["media_ref"], s["offset"])
+                        for s in res["spans"]
+                    ]
+                )
+                out["n_pages"].append(res["n_pages"])
+                out["n_bytes"].append(len(data))
+                out["error"].append(res["error"])
+            yield pd.DataFrame(out)
+
+    return gen
 
 
-def extract_spans(pdf_raw: DataFrame) -> DataFrame:
-    """pdf_raw(doc_id, pdf_bytes, ...) -> documents_interleaved."""
+_extract_batches = _extract_batches_fn()  # default: no password
+
+
+def extract_spans(pdf_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """pdf_raw(doc_id, pdf_bytes, ...) -> documents_interleaved.
+    `password` decrypts standard-security-handler docs (C3)."""
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
-        _extract_batches, schema=INTERLEAVED_SCHEMA
+        _extract_batches_fn(password) if password else _extract_batches,
+        schema=INTERLEAVED_SCHEMA,
     )
 
 
@@ -457,6 +466,43 @@ def write_pdfs(interleaved: DataFrame) -> DataFrame:
     reads the written files (tests/test_write.py)."""
     return interleaved.select("doc_id", "spans").mapInPandas(
         _write_batches, schema=PDF_RAW_SCHEMA
+    )
+
+
+def write_pdfs_enriched(
+    interleaved: DataFrame, password: bytes | None = None
+) -> DataFrame:
+    """Write side with the full enrichment surface (C6/D6): per doc a
+    deterministic /Info title 'doc-{id}', one bookmark 'bm-{id}' and one
+    URI link 'https://example.org/w/{id}', optionally RC4-128 encrypted
+    with `password`. The REFERENCE decrypts and reads every feature of
+    the output (tests/test_write.py interop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.write import spans_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                d = str(doc_id)
+                page = [
+                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+                    for s in spans
+                ]
+                out["doc_id"].append(d)
+                out["pdf_bytes"].append(
+                    spans_to_pdf(
+                        [page],
+                        title=f"doc-{d}",
+                        bookmarks=[(f"bm-{d}", 0)],
+                        links=[(0, f"https://example.org/w/{d}")],
+                        user_password=password,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return interleaved.select("doc_id", "spans").mapInPandas(
+        gen, schema=PDF_RAW_SCHEMA
     )
 
 

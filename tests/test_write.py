@@ -64,3 +64,58 @@ def test_unicode_fidelity():
     ref = load_reference()
     rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
     assert rd.getPage(0).extractText() == page_text(res["spans"], 0)
+
+
+def test_write_enriched_encrypted_reference_interop():
+    """C6/D6 closed: write-side /Info + bookmarks + URI links + RC4-128
+    encryption. BOTH engines read every feature back: ours with the
+    password, and the REFERENCE (decrypt + getOutlines + annots +
+    getDocumentInfo) — cross-engine proof the bytes are spec-correct."""
+    import io
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.extract import doc_text, extract_doc
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.testing.reference import load_reference
+
+    pages = [
+        [
+            {"kind": "text", "text": "hello world\n", "media_ref": None},
+            {"kind": "media_ref", "text": None, "media_ref": "img00"},
+        ],
+        [{"kind": "text", "text": "page two\n", "media_ref": None}],
+    ]
+    pdf = spans_to_pdf(
+        pages,
+        title="t-doc",
+        bookmarks=[("ch1", 0), ("ch2", 1)],
+        links=[(0, "https://example.org/a"), (1, "https://example.org/b")],
+        user_password=b"pw",
+    )
+
+    doc = PdfDocument(pdf, password=b"pw")
+    assert [o["title"] for o in doc.outlines()] == ["ch1", "ch2"]
+    assert [o["page_no"] for o in doc.outlines()] == [0, 1]
+    assert [a["uri"] for a in doc.link_annotations()] == [
+        "https://example.org/a", "https://example.org/b"]
+    res = extract_doc(pdf, password=b"pw")
+    assert res["error"] is None
+    assert doc_text(res["spans"]) == "hello world\npage two\n"
+    with pytest.raises(Exception):
+        PdfDocument(pdf, password=b"wrong")
+
+    ref = load_reference()
+    r = ref.PdfFileReader(io.BytesIO(pdf))
+    assert r.decrypt("pw") == 1
+    assert r.getPage(0).extractText() == "hello world\n"
+    assert [o.title for o in r.getOutlines()] == [b"ch1", b"ch2"]
+    assert r.getDocumentInfo()["/Title"] == b"t-doc"
+
+    # determinism: a Spark operator must be pure
+    assert pdf == spans_to_pdf(
+        pages,
+        title="t-doc",
+        bookmarks=[("ch1", 0), ("ch2", 1)],
+        links=[(0, "https://example.org/a"), (1, "https://example.org/b")],
+        user_password=b"pw",
+    )
