@@ -214,6 +214,27 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_overlay_rename(spark, sf_dir):
+    # J7: overlaying a page on itself collides every media_ref; the
+    # rename-map must emit 'img00' + 'img00~1'
+    from sparkpdf.operators.extract import extract_page_spans
+    from sparkpdf.operators.spans import overlay_pages
+
+    pages = extract_page_spans(_corpus(spark, sf_dir))
+    merged = overlay_pages(pages, pages)
+    refs = F.array_join(
+        F.transform(
+            F.filter("spans", lambda s: s["kind"] == "media_ref"),
+            lambda s: s["media_ref"],
+        ),
+        ",",
+    )
+    return merged.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        refs.alias("media_refs"),
+    )
+
+
 def q_xmp_project(spark, sf_dir):
     # P7: XMP metadata projection (reference xmp.py:57-397)
     from sparkpdf.operators.extract import extract_xmp
@@ -767,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_links": q_remove_links,
         "write_enriched": q_write_enriched,
         "write_encrypted": q_write_encrypted,
+        "overlay_rename": q_overlay_rename,
     }
 
 
@@ -1399,6 +1421,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS links_after,
                {_SANITIZED} || chr(10) AS full_text
         FROM documents
+    """
+    sql["overlay_rename"] = """
+        SELECT doc_id, 'img00,img00~1' AS media_refs FROM documents
     """
     sql["write_enriched"] = """
         SELECT doc_id,

@@ -129,6 +129,88 @@ def tokenize(data: bytes) -> List[Tuple[list, str]]:
     return ops
 
 
+_LIT_ESC = {0x5C: b"\\\\", 0x28: b"\\(", 0x29: b"\\)",
+            0x0A: b"\\n", 0x0D: b"\\r", 0x09: b"\\t",
+            0x08: b"\\b", 0x0C: b"\\f"}
+
+
+def _ser_string(raw: bytes) -> bytes:
+    """Literal string with octal escapes for non-printables — every
+    byte round-trips through parse_literal_string."""
+    out = bytearray(b"(")
+    for b in raw:
+        esc = _LIT_ESC.get(b)
+        if esc is not None:
+            out += esc
+        elif 0x20 <= b <= 0x7E:
+            out.append(b)
+        else:
+            out += b"\\%03o" % b
+    out += b")"
+    return bytes(out)
+
+
+def _ser_value(v) -> bytes:
+    """One COS operand -> bytes that tokenize back to an equal value."""
+    if isinstance(v, Name):
+        return str(v).encode("utf-8", "surrogateescape")
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if v is None:
+        return b"null"
+    if isinstance(v, int):
+        return b"%d" % v
+    if isinstance(v, float):
+        s = repr(v)
+        if "e" in s or "E" in s:  # scanner has no exponent syntax
+            s = format(v, ".20f").rstrip("0") or "0."
+        return s.encode()
+    if isinstance(v, str):
+        # text strings re-enter via the literal-string BOM sniff (hex
+        # strings are never sniffed, cos.py parity)
+        return _ser_string(b"\xfe\xff" + v.encode("utf-16-be"))
+    if isinstance(v, (bytes, bytearray)):
+        return _ser_string(bytes(v))
+    if isinstance(v, list):
+        return b"[" + b" ".join(_ser_value(x) for x in v) + b"]"
+    if isinstance(v, dict):
+        parts = []
+        for k, val in v.items():
+            parts.append(_ser_value(k if isinstance(k, Name) else Name(k)))
+            parts.append(_ser_value(val))
+        return b"<< " + b" ".join(parts) + b" >>"
+    raise PdfError(f"unserializable operand {type(v).__name__}")
+
+
+def serialize_ops(ops: List[Tuple[list, str]]) -> bytes:
+    """[(operands, operator)] -> content-stream bytes; the inverse of
+    tokenize at op-list granularity (C2c):
+    tokenize(serialize_ops(tokenize(x))) == tokenize(x), property-tested.
+
+    Inline images re-frame per the tokenizer's own EI contract: data
+    captured via the EI-ws-Q path is re-emitted bare before 'EI' (the
+    following Q op completes the pattern); data from the ws-EI path
+    already carries its trailing whitespace byte, which the re-parse
+    returns to it."""
+    toks: List[bytes] = []
+    for operands, operator in ops:
+        if operator == INLINE_IMAGE_OP:
+            img = operands[0]
+            parts = [b"BI"]
+            for k, val in img["settings"].items():
+                parts.append(_ser_value(k if isinstance(k, Name) else Name(k)))
+                parts.append(_ser_value(val))
+            parts.append(b"ID")
+            head = b" ".join(parts) + b" "
+            toks.append(head + img["data"] + b"EI")
+        else:
+            toks.append(
+                b" ".join([_ser_value(v) for v in operands]
+                          + [operator.encode("latin-1")])
+            )
+    return b" ".join(toks)
+
+
 def _read_inline_image(data: bytes, pos: int):
     """BI <k v ...> ID <raw> EI."""
     settings: dict = {}

@@ -148,17 +148,43 @@ def overlay_pages(base: DataFrame, overlay: DataFrame) -> DataFrame:
     """Page overlay (parity: mergePage + transformed variants,
     _page.py:338-664): the overlay page's spans render AFTER the base
     page's (q/Q isolation keeps them independent; at span granularity
-    that is ordered concatenation). Join on (doc_id, page_no)."""
+    that is ordered concatenation). Join on (doc_id, page_no).
+
+    Rename-map (J7, parity: _mergeResources + _contentStreamRename,
+    _page.py:260-290): an overlay media_ref that collides with a base
+    media_ref gets a '~1' suffix so the merged page's XObject names stay
+    unique — pure array expressions, no Python. The reference suffixes
+    with uuid4(); a Spark operator must be deterministic, hence the
+    fixed suffix."""
     b = base.select(
         "doc_id", "page_no", F.col("spans").alias("spans_base")
     )
     o = overlay.select(
         "doc_id", "page_no", F.col("spans").alias("spans_over")
     )
+    base_refs = F.transform(
+        F.filter("spans_base", lambda s: s["kind"] == "media_ref"),
+        lambda s: s["media_ref"],
+    )
+    renamed_over = F.transform(
+        "spans_over",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            F.when(
+                (s["kind"] == "media_ref")
+                & F.array_contains(base_refs, s["media_ref"]),
+                F.concat(s["media_ref"], F.lit("~1")),
+            )
+            .otherwise(s["media_ref"])
+            .alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
     return b.join(o, ["doc_id", "page_no"], "inner").select(
         "doc_id",
         "page_no",
-        _renumber(F.concat("spans_base", "spans_over")).alias("spans"),
+        _renumber(F.concat("spans_base", renamed_over)).alias("spans"),
     )
 
 

@@ -173,3 +173,28 @@ def test_extraction_is_pure(text, n_media):
     assert a["error"] is None
     offsets = [s["offset"] for s in a["spans"]]
     assert offsets == sorted(offsets) == list(range(len(offsets)))
+
+
+@given(_content_stream())
+@settings(max_examples=100, deadline=None)
+def test_op_list_roundtrip(stream_bytes):
+    """C2c: serialize_ops is the exact inverse of tokenize at op-list
+    granularity — tokenize(serialize(tokenize(x))) == tokenize(x)."""
+    from sparkpdf.kernels.content import serialize_ops, tokenize
+
+    ops = tokenize(stream_bytes)
+    assert tokenize(serialize_ops(ops)) == ops
+
+
+def test_op_roundtrip_framings():
+    """Both inline-image EI framings + value types survive re-serialize."""
+    from sparkpdf.kernels.content import serialize_ops, tokenize
+
+    for stream in (
+        b"q BI /W 1 /H 1 /BPC 8 /CS /G ID \x00\x01\x02 EI Q",   # EI-ws-Q
+        b"BI /W 2 ID ab EI\n(x) Tj",                            # ws-EI
+        b"BT (\xfe\xff\x00A\x00b) Tj ET",                       # BOM text
+        b"<< /A [1 2.25 /n true null] >> foo (\\377\\n) Tj",
+    ):
+        ops = tokenize(stream)
+        assert tokenize(serialize_ops(ops)) == ops

@@ -502,3 +502,20 @@ def test_near_dup_banding_cap_and_recall(spark):
     # (non-trivial recall) without flaking on the small sample
     if len(truth) >= 5:
         assert len(got) / len(truth) > 0.05
+
+
+def test_overlay_rename_map(spark, corpus):
+    """J7: colliding overlay media_refs get the deterministic '~1'
+    suffix; non-colliding refs and text spans pass through unchanged."""
+    from sparkpdf.operators.extract import extract_page_spans
+    from sparkpdf.operators.spans import overlay_pages
+
+    pages = extract_page_spans(corpus).cache()
+    merged = overlay_pages(pages, pages)
+    row = merged.limit(1).collect()[0]
+    refs = [s.media_ref for s in row.spans if s.kind == "media_ref"]
+    assert refs == ["img00", "img00~1"]
+    texts = [s.text for s in row.spans if s.kind == "text"]
+    assert len(texts) == 2 and texts[0] == texts[1]
+    offsets = [s.offset for s in row.spans]
+    assert offsets == list(range(len(offsets)))
