@@ -214,6 +214,13 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_ivf_kmeans_topk(spark, sf_dir):
+    # IVF with REAL Lloyd iterations (round-1 used first-N stand-ins)
+    from sparkpdf.operators.similarity import ivf_kmeans_topk
+
+    return ivf_kmeans_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_overlay_rename(spark, sf_dir):
     # J7: overlaying a page on itself collides every media_ref; the
     # rename-map must emit 'img00' + 'img00~1'
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_enriched": q_write_enriched,
         "write_encrypted": q_write_encrypted,
         "overlay_rename": q_overlay_rename,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
     }
 
 
@@ -1421,6 +1429,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(0 AS BIGINT) AS links_after,
                {_SANITIZED} || chr(10) AS full_text
         FROM documents
+    """
+    # ivf_kmeans_topk: 2 Lloyd iterations replayed in SQL; every float
+    # rounded to 6dp on both engines so summation order can't diverge
+    _UNIT = """
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                       list_transform(embedding,
+                           y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+               AS u
+        FROM embeddings
+    """
+    km_ctes = [f"unit AS ({_UNIT})",
+               "c0 AS (SELECT vec_id AS centroid_id, u AS cu FROM unit"
+               " WHERE vec_id < 8)"]
+    prev = "c0"
+    for it in range(2):
+        km_ctes.append(f"""
+        a{it} AS (
+            SELECT vec_id, u, centroid_id FROM (
+                SELECT unit.vec_id, unit.u, {prev}.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY unit.vec_id
+                           ORDER BY ROUND(list_dot_product(unit.u,
+                                          {prev}.cu), 6) DESC,
+                                    {prev}.centroid_id ASC) AS rk
+                FROM unit CROSS JOIN {prev}
+            ) WHERE rk = 1
+        )""")
+        km_ctes.append(f"""
+        m{it} AS (
+            SELECT centroid_id, dim, ROUND(AVG(u[dim]), 6) AS m
+            FROM a{it}, range(1, 65) AS r(dim)
+            GROUP BY centroid_id, dim
+        )""")
+        km_ctes.append(f"""
+        craw{it} AS (
+            SELECT centroid_id, list(m ORDER BY dim) AS cvec
+            FROM m{it} GROUP BY centroid_id
+        )""")
+        km_ctes.append(f"""
+        c{it + 1} AS (
+            SELECT centroid_id,
+                   list_transform(cvec,
+                       x -> ROUND(x / sqrt(list_sum(
+                           list_transform(cvec, y -> y * y))), 6)) AS cu
+            FROM craw{it}
+        )""")
+        prev = f"c{it + 1}"
+    km_ctes.append(f"""
+        af AS (
+            SELECT vec_id, u, centroid_id FROM (
+                SELECT unit.vec_id, unit.u, {prev}.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY unit.vec_id
+                           ORDER BY ROUND(list_dot_product(unit.u,
+                                          {prev}.cu), 6) DESC,
+                                    {prev}.centroid_id ASC) AS rk
+                FROM unit CROSS JOIN {prev}
+            ) WHERE rk = 1
+        )""")
+    sql["ivf_kmeans_topk"] = f"""
+        WITH {','.join(km_ctes)},
+        q AS (
+            SELECT vec_id AS query_id, u AS qu, centroid_id AS qlist
+            FROM af WHERE vec_id < 4
+        ),
+        scored AS (
+            SELECT query_id, a.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(qu, a.u), 6) AS sim
+            FROM q JOIN af a ON q.qlist = a.centroid_id
+            WHERE a.vec_id != query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
     """
     sql["overlay_rename"] = """
         SELECT doc_id, 'img00,img00~1' AS media_refs FROM documents

@@ -272,6 +272,107 @@ def ivf_assignments(embeddings: DataFrame, n_lists: int = 8) -> DataFrame:
     )
 
 
+def _assign_to_centroids(unit: DataFrame, cents: DataFrame) -> DataFrame:
+    """vec -> nearest centroid by cosine (rounded 6dp for engine-stable
+    ranking), rank-1 by (sim desc, centroid_id asc)."""
+    scored = unit.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "unit",
+        "centroid_id",
+        F.round(_dot(F.col("unit"), F.col("cunit")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "unit", "centroid_id")
+    )
+
+
+def kmeans_ivf_assignments(
+    embeddings: DataFrame, n_lists: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """IVF coarse quantizer with REAL Lloyd iterations (replaces the
+    round-1 first-N stand-in): seed = first n_lists unit vectors, then
+    n_iters rounds of (assign by cosine -> per-dimension mean ->
+    L2-normalize). Deterministic and oracle-replayable: every float
+    product (assignment sims, means, normalized centroids) is rounded
+    to 6dp so Spark's partial-agg summation order and DuckDB's agree.
+
+    Scale shape: centroids are a tiny broadcast table; each iteration
+    costs one posexplode shuffle on (centroid_id, dim) — cardinality
+    n_lists*dim, trivially small — plus the broadcast assignment pass.
+    The classic distributed k-means plan."""
+    unit = with_unit_vectors(embeddings)
+    cents = unit.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("centroid_id"), F.col("unit").alias("cunit")
+    )
+    for _ in range(n_iters):
+        assigned = _assign_to_centroids(unit, cents)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("unit").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        packed = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a")
+            )
+            .select(
+                "centroid_id",
+                F.transform("a", lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        cents = packed.select(
+            "centroid_id",
+            F.transform(
+                F.transform("cvec", lambda v: v / _norm(F.col("cvec"))),
+                lambda v: F.round(v, 6),
+            ).alias("cunit"),
+        )
+    return _assign_to_centroids(unit, cents)
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 2,
+    n_queries: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """IVF search (nprobe=1) over the k-means codebook: same inverted-
+    list join shape as ivf_topk, real centroids."""
+    assigned = kmeans_ivf_assignments(embeddings, n_lists, n_iters)
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("unit").alias("qunit"),
+        F.col("centroid_id").alias("qlist"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(assigned, F.col("qlist") == F.col("centroid_id"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qunit"), F.col("unit")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame, n_lists: int = 8, n_queries: int = 4, k: int = 3
 ) -> DataFrame:

@@ -519,3 +519,52 @@ def test_overlay_rename_map(spark, corpus):
     assert len(texts) == 2 and texts[0] == texts[1]
     offsets = [s.offset for s in row.spans]
     assert offsets == list(range(len(offsets)))
+
+
+def test_kmeans_ivf_improves_quantizer(spark):
+    """Lloyd iterations must actually move the codebook: mean best-
+    centroid cosine after 2 iterations >= the first-N seed codebook's
+    (k-means monotonicity, up to 6dp rounding), and every vector keeps
+    exactly one list assignment."""
+    from sparkpdf.operators.similarity import (
+        _assign_to_centroids,
+        _dot,
+        kmeans_ivf_assignments,
+        with_unit_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    unit = with_unit_vectors(emb)
+    seed = unit.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("unit").alias("cunit")
+    )
+
+    def mean_best_sim(cents):
+        # cosine, not raw dot: mean centroids are not unit vectors
+        from sparkpdf.operators.similarity import _norm
+
+        scored = unit.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            (
+                _dot(F.col("unit"), F.col("cunit")) / _norm(F.col("cunit"))
+            ).alias("sim"),
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.max("sim").alias("best"))
+            .agg(F.avg("best")).collect()[0][0]
+        )
+
+    n = unit.count()
+    assigned = kmeans_ivf_assignments(emb, n_lists=8, n_iters=2)
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+
+    # rebuild the trained codebook from the assignment to score it
+    trained = (
+        assigned.select("centroid_id", F.posexplode("unit").alias("dim", "val"))
+        .groupBy("centroid_id", "dim").agg(F.avg("val").alias("m"))
+        .groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("a"))
+        .select("centroid_id", F.transform("a", lambda s: s["m"]).alias("cunit"))
+    )
+    assert mean_best_sim(trained) >= mean_best_sim(seed) - 1e-6
