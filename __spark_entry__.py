@@ -214,6 +214,38 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    from sparkpdf.operators.text import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    # plant deterministic PII so the scrub regexes are exercised on
+    # every row (the synthetic corpus has none of its own)
+    from sparkpdf.operators.text import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 55512345"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return pii_scrub(docs)
+
+
+def q_dup_clusters(spark, sf_dir):
+    # connected components over LSH candidate pairs (min-label
+    # propagation; singletons keep their own id)
+    from sparkpdf.operators.dedup import dup_clusters
+
+    return dup_clusters(_t(spark, sf_dir, "documents"))
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     # IVF with REAL Lloyd iterations (round-1 used first-N stand-ins)
     from sparkpdf.operators.similarity import ivf_kmeans_topk
@@ -797,6 +829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_encrypted": q_write_encrypted,
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "dup_clusters": q_dup_clusters,
+        "chunk_documents": q_chunk_documents,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -1092,6 +1127,56 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
         FROM toks GROUP BY doc_id
+    """
+    sql["chunk_documents"] = """
+        SELECT doc_id,
+               unnest(range(0, n_chunks)) AS chunk_idx,
+               n_chunks,
+               substring(text, unnest(range(0, n_chunks)) * 400 + 1, 500)
+                   AS chunk_text
+        FROM (
+            SELECT doc_id, text,
+                   CAST(GREATEST(1, CEIL(length(text) / 400.0)) AS INTEGER)
+                       AS n_chunks
+            FROM documents
+        )
+    """
+    _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _PII_NUM = "[0-9]{9,}"
+    sql["pii_scrub"] = f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' reach user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 55512345'
+                        || CAST(doc_id AS VARCHAR) AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                    AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_NUM}'))
+                    AS INTEGER) AS n_longnums,
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_NUM}', '<NUM>', 'g') AS clean_text
+        FROM planted
+    """
+    # dup clusters: connected components over the LSH pairs — DuckDB
+    # replays it as a recursive reachability closure (exact same
+    # components; fine at oracle scale, the Spark side is the scale path)
+    sql["dup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"].strip()}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
     """
     # 64-bit banded simhash (4 x 16-bit bands, pigeonhole for hamming<=3)
     band_terms = []

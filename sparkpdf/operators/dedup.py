@@ -173,6 +173,65 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def dup_clusters(
+    documents: DataFrame,
+    n_hashes: int = 4,
+    bands: int = 2,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate CLUSTERS from LSH candidate pairs: iterative min-label
+    propagation (connected components) — the final stage of corpus
+    dedup, turning pairwise matches into keep-one groups.
+
+    Plan per iteration: one shuffle join of labels against the
+    (symmetrized) edge list + a min-aggregate; the driver-side
+    convergence check is a tiny count. Iterations needed = graph
+    diameter (dup clusters are near-cliques, so 2-3 in practice;
+    max_iters bounds adversarial chains). This is the standard
+    large-scale CC shape (alternating min-propagation); at 10^12 docs
+    the edge list is the LSH pair output, already bucket-bounded."""
+    pairs = minhash_lsh_pairs(documents, n_hashes, bands)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).cache()
+    labels = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    ).distinct().withColumn("cluster_id", F.col("doc_id")).cache()
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("neigh_min", F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_bands(
     documents: DataFrame, n_bands: int = 4, band_bits: int = 16
 ) -> DataFrame:

@@ -93,3 +93,58 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_chars: int = 500, overlap: int = 100
+) -> DataFrame:
+    """Training-window chunker: overlapping character windows (the
+    char-budget analog of token-budget context packing). Chunk k covers
+    [k*stride, k*stride + chunk_chars), stride = chunk_chars - overlap;
+    every doc yields >= 1 chunk. Pure sequence+explode+substring —
+    map-side only, no shuffle, scales linearly with corpus bytes."""
+    assert 0 <= overlap < chunk_chars
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.length("text") / F.lit(stride))
+    ).cast("int")
+    ks = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    return (
+        documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("text"),
+            n_chunks.alias("n_chunks"),
+            ks.alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "n_chunks",
+            F.substring(
+                F.col("text"), F.col("chunk_idx") * stride + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+    )
+
+
+# PII patterns: restricted to syntax RE2 (DuckDB) and Java regex (Spark)
+# interpret identically — no backrefs, no lookaround
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_LONGNUM = r"[0-9]{9,}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Training-corpus PII pass: emails -> <EMAIL>, 9+-digit runs
+    (phone/SSN/account shapes) -> <NUM>; counts carried for audit.
+    Column expressions only (JVM regex, whole-stage codegen)."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_LONGNUM)).cast("int").alias("n_longnums"),
+        scrubbed.alias("clean_text"),
+    )

@@ -568,3 +568,42 @@ def test_kmeans_ivf_improves_quantizer(spark):
         .select("centroid_id", F.transform("a", lambda s: s["m"]).alias("cunit"))
     )
     assert mean_best_sim(trained) >= mean_best_sim(seed) - 1e-6
+
+
+def test_chunk_documents_coverage(spark):
+    """Chunk windows reconstruct the document: stride-aligned prefixes
+    re-concatenate to the full text; every doc (even empty) chunks."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a" * 1050), Row(doc_id=2, text=""),
+         Row(doc_id=3, text="short")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_chars=500, overlap=100).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3  # ceil(1050/400)
+    ordered = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert ordered[0].chunk_text[-100:] == ordered[1].chunk_text[:100]
+    # stride-prefixes reconstruct the doc
+    recon = "".join(c.chunk_text[:400] for c in ordered[:-1]) + ordered[-1].chunk_text
+    assert recon == "a" * 1050
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == ""
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == "short"
+
+
+def test_pii_scrub_patterns(spark):
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b+c@ex-ample.co.uk now 123456789 x 12345678")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_emails == 1 and r.n_longnums == 1
+    assert r.clean_text == "mail <EMAIL> now <NUM> x 12345678"  # 8 digits kept
