@@ -92,6 +92,19 @@ _NUMBER = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 # not decode them (generic.py:751-757)
 _NAME = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 
+# fused hot-loop scanners (parse_dict / parse_object):
+# one C-level match replaces ws-skip + name + ws-skip per dict key, and
+# one match resolves the Ref-vs-number ambiguity for numeric operands
+_DICT_KEY = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+)
+_REF_OR_NUMBER = re.compile(
+    rb"(?:(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z]))"
+    rb"|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+)
+
 _HEX_BODY = re.compile(rb"[^>]*")
 _NONHEX = re.compile(rb"[^0-9a-fA-F]")
 
@@ -234,15 +247,19 @@ def parse_dict(buf: bytes, pos: int, resolve: Optional[Callable] = None):
         raise PdfError(f"expected '<<' at {pos}")
     pos = skip_ws(buf, pos + 2)
     d: dict = {}
+    key_scan = _DICT_KEY.match
+    n_buf = len(buf)
     while True:
         if buf[pos : pos + 2] == b">>":
             pos += 2
             break
-        if pos >= len(buf):
+        if pos >= n_buf:
             raise PdfError("unterminated dictionary")
-        key, pos = parse_name(buf, pos)
-        pos = skip_ws(buf, pos)
-        val, pos = parse_object(buf, pos, resolve)
+        m = key_scan(buf, pos)
+        if not m:  # the name group is mandatory: no '/' -> no match
+            raise PdfError(f"expected name at {pos}")
+        key = Name(m.group(1).decode("utf-8", "surrogateescape"))
+        val, pos = parse_object(buf, m.end(), resolve)
         pos = skip_ws(buf, pos)
         d.setdefault(key, val)  # duplicate keys: first wins, tolerated
     # stream body? (generic.py:878-949)
@@ -322,8 +339,19 @@ def parse_object(buf: bytes, pos: int, resolve: Optional[Callable] = None):
             return None, pos + 4
         raise PdfError(f"bad keyword at {pos}")
     if c in b"+-.0123456789":
-        m = _INDIRECT.match(buf, pos)
-        if m:
+        m = _REF_OR_NUMBER.match(buf, pos)
+        if not m:
+            raise PdfError(f"expected number at {pos}")
+        if m.group(1) is not None:
             return Ref(int(m.group(1)), int(m.group(2))), m.end()
-        return parse_number(buf, pos)
+        tok = m.group(3)
+        if b"." in tok:
+            try:
+                return float(tok), m.end()
+            except ValueError:  # malformed real -> 0 (generic.py:396-399)
+                return 0.0, m.end()
+        try:
+            return int(tok), m.end()
+        except ValueError:  # overflow -> 0 (generic.py:423-428)
+            return 0, m.end()
     raise PdfError(f"cannot dispatch byte {bytes([c])!r} at {pos}")
