@@ -246,6 +246,16 @@ def q_dup_clusters(spark, sf_dir):
     return dup_clusters(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_clusters_verified(spark, sf_dir):
+    # production shape: exact jaccard verify between LSH and the
+    # component graph (unverified candidates chain transitively)
+    from sparkpdf.operators.dedup import dup_clusters
+
+    return dup_clusters(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.9
+    )
+
+
 def q_ivf_kmeans_topk(spark, sf_dir):
     # IVF with REAL Lloyd iterations (round-1 used first-N stand-ins)
     from sparkpdf.operators.similarity import ivf_kmeans_topk
@@ -830,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "dup_clusters": q_dup_clusters,
+        "dup_clusters_verified": q_dup_clusters_verified,
         "chunk_documents": q_chunk_documents,
         "pii_scrub": q_pii_scrub,
     }
@@ -1166,6 +1177,32 @@ def oracle_sql() -> dict[str, str]:
     # components; fine at oracle scale, the Spark side is the scale path)
     sql["dup_clusters"] = f"""
         WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"].strip()}),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+        )
+        SELECT src AS doc_id, MIN(dst) AS cluster_id
+        FROM reach GROUP BY src
+    """
+    sql["dup_clusters_verified"] = f"""
+        WITH RECURSIVE pairs0 AS ({sql["dedup_minhash_lsh"].strip()}),
+        t AS (
+            SELECT doc_id, list_sort(list_distinct({_TOKENS})) AS toks
+            FROM documents
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM pairs0
+            JOIN t ta ON ta.doc_id = pairs0.doc_a
+            JOIN t tb ON tb.doc_id = pairs0.doc_b
+            WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                  / len(list_distinct(ta.toks || tb.toks)) >= 0.9
+        ),
         edges AS (
             SELECT doc_a AS a, doc_b AS b FROM pairs
             UNION SELECT doc_b, doc_a FROM pairs

@@ -1,0 +1,110 @@
+"""Production training-data curation pipeline.
+
+    spark-submit --py-files sparkpdf.zip jobs/curate_job.py \
+        --input  /data/pdf_raw           (parquet: doc_id, pdf_bytes) \
+        --output /data/curated \
+        [--min-quality 0.5] [--chunk-chars 500] [--overlap 100] \
+        [--batches 16]
+
+Stages (each output lands under --output for auditability):
+  1. extract      pdf_raw -> spans (checkpointed slices: a restart
+                  skips completed extraction work — the expensive stage)
+  2. quality      full_text -> quality_score, filter < --min-quality
+  3. pii          scrub emails / long digit runs, keep audit counts
+  4. dedup        minhash-LSH pairs -> connected components -> keep the
+                  min-doc_id representative of every cluster
+  5. chunk        surviving docs -> overlapping training windows
+
+Every stage is DataFrame-native (mapInPandas only inside extraction);
+at cluster scale the shuffles are: extraction none, dedup's LSH band
+join + label propagation, chunking none.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--chunk-chars", type=int, default=500)
+    ap.add_argument("--overlap", type=int, default=100)
+    ap.add_argument("--batches", type=int, default=16)
+    ap.add_argument("--dup-jaccard", type=float, default=0.9)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("sparkpdf-curate").getOrCreate()
+
+    from sparkpdf.operators.dedup import dup_clusters
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.operators.spans import doc_full_text
+    from sparkpdf.operators.text import chunk_documents, pii_scrub, quality_score
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = args.output.rstrip("/")
+
+    # 1. extraction, resumable
+    ck = CheckpointedExtraction(f"{out}/spans", n_batches=args.batches)
+    ck.run(spark.read.parquet(args.input), extract_spans)
+    spans = ck.result(spark)
+    n_extracted = spans.count()
+    n_errors = spans.filter("error IS NOT NULL").count()
+
+    # 2. quality gate over assembled text
+    docs = doc_full_text(spans.filter("error IS NULL")).select(
+        F.col("doc_id"), F.col("full_text").alias("text")
+    )
+    q = quality_score(docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                                  "text"))
+    kept = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .join(q.filter(F.col("quality") >= args.min_quality), "doc_id")
+        .select("doc_id", "text", "quality")
+    )
+    n_quality = kept.count()
+
+    # 3. PII scrub (audit counts carried)
+    scrubbed = pii_scrub(kept).withColumnRenamed("clean_text", "text")
+    scrubbed.write.mode("overwrite").parquet(f"{out}/scrubbed")
+    scrubbed = spark.read.parquet(f"{out}/scrubbed")
+
+    # 4. dedup: LSH candidates -> EXACT jaccard verify -> components;
+    # keep each cluster's min-doc_id representative
+    clusters = dup_clusters(
+        scrubbed.select("doc_id", "text"), jaccard_threshold=args.dup_jaccard
+    )
+    keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    unique_docs = scrubbed.join(keepers, "doc_id")
+    n_unique = unique_docs.count()
+
+    # 5. training windows
+    chunks = chunk_documents(
+        unique_docs, chunk_chars=args.chunk_chars, overlap=args.overlap
+    )
+    chunks.write.mode("overwrite").parquet(f"{out}/chunks")
+    n_chunks = spark.read.parquet(f"{out}/chunks").count()
+
+    summary = {
+        "extracted": n_extracted,
+        "errored": n_errors,
+        "quality_kept": n_quality,
+        "unique_after_dedup": n_unique,
+        "chunks": n_chunks,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,10 +178,18 @@ def dup_clusters(
     n_hashes: int = 4,
     bands: int = 2,
     max_iters: int = 20,
+    jaccard_threshold: float | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from LSH candidate pairs: iterative min-label
     propagation (connected components) — the final stage of corpus
     dedup, turning pairwise matches into keep-one groups.
+
+    `jaccard_threshold` inserts the exact token-set verify between LSH
+    candidates and the component graph — REQUIRED in production:
+    unverified candidates chain transitively and connected components
+    amplifies every false positive into a merged cluster (observed on
+    the synthetic corpus: its tiny vocabulary chains all docs into one
+    component without the verify).
 
     Plan per iteration: one shuffle join of labels against the
     (symmetrized) edge list + a min-aggregate; the driver-side
@@ -191,6 +199,21 @@ def dup_clusters(
     large-scale CC shape (alternating min-propagation); at 10^12 docs
     the edge list is the LSH pair output, already bucket-bounded."""
     pairs = minhash_lsh_pairs(documents, n_hashes, bands)
+    if jaccard_threshold is not None:
+        toks = documents.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.array_sort(F.array_distinct(_norm_tokens("text"))).alias("toks"),
+        )
+        a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+        b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+        inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+        union = F.size(F.array_union("ta", "tb")).cast("double")
+        pairs = (
+            pairs.join(a, "doc_a")
+            .join(b, "doc_b")
+            .filter(inter / union >= jaccard_threshold)
+            .select("doc_a", "doc_b")
+        )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

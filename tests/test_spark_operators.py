@@ -607,3 +607,27 @@ def test_pii_scrub_patterns(spark):
     r = pii_scrub(docs).collect()[0]
     assert r.n_emails == 1 and r.n_longnums == 1
     assert r.clean_text == "mail <EMAIL> now <NUM> x 12345678"  # 8 digits kept
+
+
+def test_dup_clusters_jaccard_gate(spark, docs):
+    """Unverified LSH candidates chain transitively on the tiny-vocab
+    corpus; the exact-jaccard gate must break false chains while exact
+    duplicates still cluster together."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import dup_clusters
+
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    # plant an exact duplicate of doc 0 with a fresh id
+    first = base.filter("doc_id = 0").collect()[0]
+    dup = spark.createDataFrame(
+        [Row(doc_id=999_999, text=first.text)], "doc_id long, text string"
+    )
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in dup_clusters(
+            base.unionByName(dup), jaccard_threshold=0.9
+        ).collect()
+    }
+    assert labels[999_999] == labels[0] == 0  # exact dup joins doc 0
+    n_clusters = len(set(labels.values()))
+    assert n_clusters > 1  # the gate prevented one mega-cluster
