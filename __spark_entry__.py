@@ -652,6 +652,15 @@ def q_events_window(spark, sf_dir):
 
 # --- training-data pipeline operators ---------------------------------------
 
+def q_stream_events_window(spark, sf_dir):
+    # the SAME rollup as events_window, but through Structured
+    # Streaming (readStream -> watermark -> tumbling window -> memory
+    # sink, availableNow drain) — stream/batch equivalence IS the check
+    from sparkpdf.streaming.windows import stream_event_windows
+
+    return stream_event_windows(spark, f"{sf_dir}/events.parquet")
+
+
 def q_dedup_exact(spark, sf_dir):
     from sparkpdf.operators.dedup import exact_dedup
 
@@ -810,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_range_filter": q_page_range_filter,
         "merge_union": q_merge_union,
         "events_window": q_events_window,
+        "stream_events_window": q_stream_events_window,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -1083,6 +1093,8 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1, 2
     """
+    # the streaming drain must equal the batch rollup exactly
+    sql["stream_events_window"] = sql["events_window"]
     sql["dedup_exact"] = """
         SELECT md5(text) AS digest, MIN(doc_id) AS keeper_doc_id,
                COUNT(*) AS n_docs

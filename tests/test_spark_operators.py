@@ -631,3 +631,44 @@ def test_dup_clusters_jaccard_gate(spark, docs):
     assert labels[999_999] == labels[0] == 0  # exact dup joins doc 0
     n_clusters = len(set(labels.values()))
     assert n_clusters > 1  # the gate prevented one mega-cluster
+
+
+def test_stream_windows_watermark_drops_late(spark, tmp_path):
+    """Append-mode windowed agg: a row arriving behind the watermark is
+    DROPPED; closed windows emit exactly once."""
+    import time as _time
+    from pyspark.sql import Row
+    from sparkpdf.streaming.windows import stream_event_windows_append
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ck_dir = str(tmp_path / "ev_ck")
+
+    def ev(eid, ts_str, val):
+        return Row(event_id=eid, ts=ts_str, user_id=1,
+                   event_type="click", value=float(val), props="")
+
+    mk = lambda rows: spark.createDataFrame(rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string").selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props")
+
+    # batch 1: events at 10:00 and 12:30 -> watermark advances to 11:30
+    mk([ev(1, "2024-01-01 10:00:00", 1.0),
+        ev(2, "2024-01-01 12:30:00", 2.0)]).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    q = stream_event_windows_append(spark, in_dir, out_dir, ck_dir)
+    q.awaitTermination(120)
+    # batch 2: a LATE event at 10:30 (behind the 11:30 watermark) and a
+    # fresh one at 14:00 that closes the 12:00 window
+    mk([ev(3, "2024-01-01 10:30:00", 100.0),
+        ev(4, "2024-01-01 14:00:00", 4.0)]).coalesce(1).write.mode(
+        "append").parquet(in_dir)
+    q2 = stream_event_windows_append(spark, in_dir, out_dir, ck_dir)
+    q2.awaitTermination(120)
+
+    rows = {r.hour.strftime("%H:%M"): r for r in
+            spark.read.parquet(out_dir).collect()}
+    assert "10:00" in rows and rows["10:00"].sum_value == 1.0  # late 100.0 dropped
+    assert "12:00" in rows and rows["12:00"].sum_value == 2.0
