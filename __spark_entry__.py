@@ -238,6 +238,13 @@ def q_pii_scrub(spark, sf_dir):
     return pii_scrub(docs)
 
 
+def q_ann_ivf_nprobe2(spark, sf_dir):
+    # the recall/cost knob: probe the 2 nearest inverted lists
+    from sparkpdf.operators.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), nprobe=2)
+
+
 def q_dup_clusters(spark, sf_dir):
     # connected components over LSH candidate pairs (min-label
     # propagation; singletons keep their own id)
@@ -849,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_encrypted": q_write_encrypted,
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
         "dup_clusters": q_dup_clusters,
         "dup_clusters_verified": q_dup_clusters_verified,
         "chunk_documents": q_chunk_documents,
@@ -1395,6 +1403,49 @@ def oracle_sql() -> dict[str, str]:
             FROM assigned q JOIN assigned c
               ON q.centroid_id = c.centroid_id AND q.vec_id <> c.vec_id
             WHERE q.vec_id < 4
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 3
+    """
+    sql["ann_ivf_nprobe2"] = """
+        WITH unit AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) / sqrt(list_sum(
+                           list_transform(embedding,
+                               y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+                   AS u
+            FROM embeddings
+        ), centroids AS (
+            SELECT vec_id AS centroid_id, u AS cu FROM unit WHERE vec_id < 8
+        ), assigned AS (
+            SELECT vec_id, u, centroid_id FROM (
+                SELECT v.vec_id, v.u, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                    c.centroid_id ASC) AS rk
+                FROM unit v CROSS JOIN centroids c
+            ) WHERE rk = 1
+        ), qprobes AS (
+            SELECT query_id, qu, centroid_id AS qlist FROM (
+                SELECT v.vec_id AS query_id, v.u AS qu, c.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_dot_product(v.u, c.cu) DESC,
+                                    c.centroid_id ASC) AS crk
+                FROM unit v CROSS JOIN centroids c
+                WHERE v.vec_id < 4
+            ) WHERE crk <= 2
+        ), scored AS (
+            SELECT query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(qu, c.u) AS sim
+            FROM qprobes q JOIN assigned c ON q.qlist = c.centroid_id
+            WHERE q.query_id <> c.vec_id
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
             SELECT query_id, neighbor_id,

@@ -374,18 +374,39 @@ def ivf_kmeans_topk(
 
 
 def ivf_topk(
-    embeddings: DataFrame, n_lists: int = 8, n_queries: int = 4, k: int = 3
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_queries: int = 4,
+    k: int = 3,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search (nprobe=1): each query scans ONLY its own inverted
-    list — the join is on centroid_id, so at 100 TB the fan-in per
-    query is corpus/n_lists instead of the whole corpus."""
+    """IVF search: each query scans its `nprobe` nearest inverted
+    lists — the join is on centroid_id, so at 100 TB the fan-in per
+    query is nprobe * corpus/n_lists instead of the whole corpus
+    (nprobe tunes the recall/cost knob exactly as in FAISS-style IVF)."""
     from pyspark.sql import Window
 
     assigned = ivf_assignments(embeddings, n_lists)
-    queries = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("unit").alias("qunit"),
-        F.col("centroid_id").alias("qlist"),
+    unit = with_unit_vectors(embeddings)
+    centroids = unit.filter(F.col("vec_id") < n_lists).select(
+        F.col("vec_id").alias("centroid_id"), F.col("unit").alias("cunit")
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    queries = (
+        unit.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("unit").alias("qunit"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qunit",
+            "centroid_id",
+            _dot(F.col("qunit"), F.col("cunit")).alias("csim"),
+        )
+        .withColumn("crk", F.row_number().over(qw))
+        .filter(F.col("crk") <= nprobe)
+        .select("query_id", "qunit", F.col("centroid_id").alias("qlist"))
     )
     scored = (
         F.broadcast(queries)

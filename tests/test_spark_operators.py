@@ -672,3 +672,24 @@ def test_stream_windows_watermark_drops_late(spark, tmp_path):
             spark.read.parquet(out_dir).collect()}
     assert "10:00" in rows and rows["10:00"].sum_value == 1.0  # late 100.0 dropped
     assert "12:00" in rows and rows["12:00"].sum_value == 2.0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """Probing more lists can only improve agreement with the exact
+    brute-force top-k (the IVF recall/cost knob)."""
+    from sparkpdf.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, n_queries=4, k=3).collect()
+    }
+    def hits(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, n_queries=4, k=3, nprobe=nprobe).collect()
+        }
+        return len(got & truth)
+    h1, h2, h8 = hits(1), hits(2), hits(8)
+    assert h1 <= h2 <= h8
+    assert h8 == len(truth)  # nprobe = n_lists scans everything: exact
