@@ -162,7 +162,10 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             decoder = DECODERS.get(row.modality)
             try:
                 meta = decoder(payload) if decoder else {}
-            except NotImplementedError:
+            except Exception:
+                # quarantine discipline: a corrupt payload (e.g. a G4
+                # TIFF with a truncated/garbled bitstream) yields empty
+                # features, never a dead task
                 meta = {}
             out["doc_id"].append(row.doc_id)
             out["media_ref"].append(row.media_ref)

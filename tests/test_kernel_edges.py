@@ -187,3 +187,26 @@ def test_image_dims_parsers():
     assert image_dims(make_png(10, 10)[:15]) is None
     assert image_dims(make_jpeg(10, 10)[:5]) is None
     assert image_dims(b"\xff\xd8\xff\xd9") is None  # SOI+EOI, no frame
+
+
+def test_image_dims_never_raises_fuzz():
+    """Random bytes + truncated real headers: image_dims returns a dict
+    or None, never raises (feature extraction shares extraction's
+    quarantine discipline)."""
+    import random
+
+    from sparkpdf.kernels.media import image_dims
+    from sparkpdf.testing.imagegen import make_jpeg, make_png
+
+    rng = random.Random(7)
+    seeds = [make_png(9, 9), make_jpeg(9, 9),
+             b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"II*\x00", b"MM\x00*"]
+    for trial in range(300):
+        base = seeds[trial % len(seeds)]
+        b = bytearray(base[: rng.randrange(0, len(base) + 1)])
+        for _ in range(rng.randrange(0, 4)):
+            if b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        b += bytes(rng.randrange(256) for _ in range(rng.randrange(0, 16)))
+        out = image_dims(bytes(b))
+        assert out is None or isinstance(out, dict)

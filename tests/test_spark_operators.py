@@ -693,3 +693,29 @@ def test_ivf_nprobe_recall_monotone(spark):
     h1, h2, h8 = hits(1), hits(2), hits(8)
     assert h1 <= h2 <= h8
     assert h8 == len(truth)  # nprobe = n_lists scans everything: exact
+
+
+def test_media_features_corrupt_g4_quarantines(spark):
+    """A G4 TIFF with a garbled bitstream must yield empty features,
+    not kill the task (PdfError from the MMR decoder is caught)."""
+    from pyspark.sql import Row
+    from sparkpdf.kernels.ccitt_g4 import g4_encode
+    from sparkpdf.kernels.filters import ccitt_fax_wrap
+    from sparkpdf.operators.multimodal import extract_media_features
+
+    # all-zero bits: no valid T.6 mode code -> PdfError inside decode
+    bad = ccitt_fax_wrap(b"\x00\x00\x00\x00",
+                         {"/K": -1, "/Columns": 8, "/Rows": 2})
+    # sanity: trailing corruption of a valid stream still decodes the
+    # requested rows (rows param bounds the read)
+    good = ccitt_fax_wrap(g4_encode([[1] * 8], 8) + b"\x55",
+                          {"/K": -1, "/Columns": 8, "/Rows": 1})
+    from sparkpdf.kernels.media import ink_ratio
+    assert ink_ratio(good) == 1.0
+    df = spark.createDataFrame(
+        [Row(doc_id="g", media_ref="m", modality="image",
+             payload=bytearray(bad))],
+        "doc_id string, media_ref string, modality string, payload binary",
+    )
+    r = extract_media_features(df).collect()[0]
+    assert r.ink_ratio is None and r.n_bytes == len(bad)
