@@ -339,6 +339,76 @@ def _write_run(bw: _BitWriter, run: int, color: int):
     bw.write(ln, code)
 
 
+_EOL = (12, 0b000000000001)
+
+
+def g3_decode_1d(data: bytes, columns: int, rows: int = 0) -> List[List[int]]:
+    """ITU-T T.4 one-dimensional (MH) decode — the /K 0 case of
+    /CCITTFaxDecode. Lines are alternating white/black runs using the
+    same code tables as G4's horizontal mode; EOLs (with zero-fill) are
+    consumed wherever present but not required (PDF's /EndOfLine is
+    false by default)."""
+    br = _BitReader(data)
+    out: List[List[int]] = []
+
+    def bit_at(off):
+        p = br.pos + off
+        if p >= br.nbits:
+            return None
+        return (br.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    def eat_eols():
+        # an EOL is >= 11 zeros (fill bits extend the zero run) then a 1
+        while True:
+            z = 0
+            while bit_at(z) == 0:
+                z += 1
+            if bit_at(z) == 1 and z >= 11:
+                br.skip(z + 1)
+            else:
+                return
+
+    while (not rows or len(out) < rows) and not br.exhausted():
+        eat_eols()
+        if br.exhausted():
+            break
+        line = [0] * columns
+        pos = 0
+        color = 0
+        while pos < columns:
+            try:
+                run = _read_run(br, _BLACK_DECODE if color else _WHITE_DECODE)
+            except PdfError:
+                if pos == 0:  # trailing pad bits, no new line started
+                    return out
+                raise
+            for i in range(pos, min(pos + run, columns)):
+                line[i] = color
+            pos += run
+            color = 1 - color
+        out.append(line)
+    return out
+
+
+def g3_encode_1d(bitmap: List[List[int]], columns: int) -> bytes:
+    """T.4 1-D encode: EOL before every line, then alternating runs
+    (white first; a leading black pixel gets a zero-length white run)."""
+    bw = _BitWriter()
+    for line in bitmap:
+        bw.write(*_EOL)
+        pos = 0
+        color = 0
+        while pos < columns:
+            run = 0
+            while pos + run < columns and line[pos + run] == color:
+                run += 1
+            _write_run(bw, run, color)
+            pos += run
+            color = 1 - color
+    bw.write(*_EOL)
+    return bw.bytes()
+
+
 def pack_rows(bitmap: List[List[int]], columns: int, black_is_1: bool = False) -> bytes:
     """Pixel rows -> packed 1-bit raster, each row byte-aligned. PDF
     default (BlackIs1=false): 0 bits are black."""

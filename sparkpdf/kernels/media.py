@@ -139,22 +139,25 @@ def _tiff_tag(b: bytes, want: int) -> Optional[int]:
 
 
 def tiff_g4_pixels(b: bytes):
-    """Pixel rows (1=black) from a single-strip Group-4 TIFF — the
-    container our own ccitt_fax_wrap emits. Returns None unless the
-    file is TIFF with Compression=4 (T.6). Full MMR pixel decode via
-    kernels/ccitt_g4 (the reference's Fax decoder, filters.py:434-899,
-    mis-decodes everything beyond all-white vertical streams — see
-    tests/test_kernel_edges.py)."""
+    """Pixel rows (1=black) from a single-strip fax TIFF — the
+    container our own ccitt_fax_wrap emits. Compression 4 -> T.6 MMR
+    (G4); compression 3 -> T.4 one-dimensional MH (G3, the /K 0 case;
+    2-D-extended G3 is not handled). Returns None for anything else.
+    (The reference's Fax decoder, filters.py:434-899, mis-decodes
+    everything beyond all-white vertical streams and prints 'Cannot
+    handle G3' — see tests/test_kernel_edges.py / test_ccitt_g4.py.)"""
     d = tiff_dims(b)
-    if d is None or _tiff_tag(b, 259) != 4:
+    comp = _tiff_tag(b, 259)
+    if d is None or comp not in (3, 4):
         return None
     off = _tiff_tag(b, 273)
     size = _tiff_tag(b, 279)
     if off is None or size is None or off + size > len(b):
         return None
-    from .ccitt_g4 import g4_decode
+    from .ccitt_g4 import g3_decode_1d, g4_decode
 
-    return g4_decode(b[off:off + size], d["width"], d["height"])
+    decode = g4_decode if comp == 4 else g3_decode_1d
+    return decode(b[off:off + size], d["width"], d["height"])
 
 
 def ink_ratio(b: bytes) -> Optional[float]:

@@ -49,4 +49,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", "false")
     )
+    wh = os.environ.get("SPARKPDF_WAREHOUSE")
+    if wh:  # static conf: only effective before the first session
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     return builder.getOrCreate()

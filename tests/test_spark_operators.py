@@ -719,3 +719,35 @@ def test_media_features_corrupt_g4_quarantines(spark):
     )
     r = extract_media_features(df).collect()[0]
     assert r.ink_ratio is None and r.n_bytes == len(bad)
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Co-bucketed tables join with ZERO shuffle: the physical plan has
+    no Exchange (the 100 TB co-located-join contract), while the same
+    join on plain parquet shuffles both sides."""
+    from sparkpdf.sources.bucketed import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    quality = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS buck")
+    write_bucketed(docs, "buck.docs", n_buckets=8)
+    write_bucketed(quality, "buck.quality", n_buckets=8)
+    # the 100 TB condition: neither side broadcast-able
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "buck.docs", "buck.quality")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == docs.count()
+        # control: the identical join over non-bucketed scans shuffles
+        plain = docs.join(quality, "doc_id")
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
