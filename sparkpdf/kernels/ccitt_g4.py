@@ -213,59 +213,7 @@ def g4_decode(data: bytes, columns: int, rows: int = 0) -> List[List[int]]:
         # EOFB = EOL EOL (000000000001 twice)
         if br.peek(24) == 0b000000000001000000000001:
             break
-        ref_tr = _transitions(ref, columns)
-        cur = [0] * columns
-        a0 = -1
-        color = 0
-        while a0 < columns:
-            # b1: first changing element of ref > a0 with color opposite
-            # of a0's color (i.e. it marks a run of !color starting)
-            b1 = columns
-            b2 = columns
-            for idx, t in enumerate(ref_tr):
-                if t <= a0:
-                    continue
-                # transition at t flips ref color; the color AFTER t is
-                # determined by parity of idx (even idx -> to black)
-                t_color = 1 if idx % 2 == 0 else 0
-                if t_color != color:
-                    b1 = t
-                    b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
-                    break
-            # decode one mode word
-            if br.exhausted():
-                a0 = columns
-                break
-            if br.peek(_MODE_PASS[0]) == _MODE_PASS[1]:
-                br.skip(_MODE_PASS[0])
-                for i in range(max(a0, 0), b2):
-                    cur[i] = color
-                a0 = b2
-                continue
-            if br.peek(_MODE_HORIZ[0]) == _MODE_HORIZ[1]:
-                br.skip(_MODE_HORIZ[0])
-                maps = (_WHITE_DECODE, _BLACK_DECODE)
-                r1 = _read_run(br, maps[color])
-                r2 = _read_run(br, maps[1 - color])
-                start = max(a0, 0)
-                for i in range(start, min(start + r1, columns)):
-                    cur[i] = color
-                for i in range(min(start + r1, columns),
-                               min(start + r1 + r2, columns)):
-                    cur[i] = 1 - color
-                a0 = start + r1 + r2
-                continue
-            for delta, (ln, code) in _MODE_V.items():
-                if br.peek(ln) == code:
-                    br.skip(ln)
-                    a1 = b1 + delta
-                    for i in range(max(a0, 0), min(a1, columns)):
-                        cur[i] = color
-                    a0 = a1
-                    color = 1 - color
-                    break
-            else:
-                raise PdfError("CCITT G4: bad 2-D mode code")
+        cur = _decode_2d_line(br, ref, columns)
         out.append(cur)
         ref = cur
     return out
@@ -276,48 +224,7 @@ def g4_encode(bitmap: List[List[int]], columns: int) -> bytes:
     bw = _BitWriter()
     ref = [0] * columns
     for line in bitmap:
-        ref_tr = _transitions(ref, columns)
-        cur_tr = _transitions(line, columns)
-        a0 = -1
-        color = 0
-        while a0 < columns:
-            # a1: next change in current line after a0
-            a1 = columns
-            for idx, t in enumerate(cur_tr):
-                if t > a0:
-                    a1 = t
-                    break
-            b1 = columns
-            b2 = columns
-            for idx, t in enumerate(ref_tr):
-                if t <= a0:
-                    continue
-                t_color = 1 if idx % 2 == 0 else 0
-                if t_color != color:
-                    b1 = t
-                    b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
-                    break
-            if b2 < a1:  # pass mode
-                bw.write(_MODE_PASS[0], _MODE_PASS[1])
-                a0 = b2
-                continue
-            if abs(a1 - b1) <= 3:  # vertical mode
-                ln, code = _MODE_V[a1 - b1]
-                bw.write(ln, code)
-                a0 = a1
-                color = 1 - color
-                continue
-            # horizontal mode: two runs from a0
-            a2 = columns
-            for t in cur_tr:
-                if t > a1:
-                    a2 = t
-                    break
-            start = max(a0, 0)
-            bw.write(_MODE_HORIZ[0], _MODE_HORIZ[1])
-            _write_run(bw, a1 - start, color)
-            _write_run(bw, a2 - a1, 1 - color)
-            a0 = a2
+        _encode_2d_line(bw, ref, line, columns)
         ref = line
     bw.write(12, 0b000000000001)  # EOFB
     bw.write(12, 0b000000000001)
@@ -407,6 +314,171 @@ def g3_encode_1d(bitmap: List[List[int]], columns: int) -> bytes:
             color = 1 - color
     bw.write(*_EOL)
     return bw.bytes()
+
+
+def g3_decode_2d(data: bytes, columns: int, rows: int = 0) -> List[List[int]]:
+    """ITU-T T.4 two-dimensional (MR) decode — the /K > 0 case: every
+    line starts with EOL + a tag bit (1 = the line is 1-D MH coded,
+    0 = 2-D coded relative to the previous line). Reuses the G4 mode
+    machinery for 2-D lines and the MH run tables for 1-D lines."""
+    br = _BitReader(data)
+    out: List[List[int]] = []
+    ref = [0] * columns
+
+    def bit_at(off):
+        p = br.pos + off
+        if p >= br.nbits:
+            return None
+        return (br.data[p >> 3] >> (7 - (p & 7))) & 1
+
+    while (not rows or len(out) < rows) and not br.exhausted():
+        # EOL (with fill) is MANDATORY before each K>0 line
+        z = 0
+        while bit_at(z) == 0:
+            z += 1
+        if bit_at(z) != 1 or z < 11:
+            break  # trailing pad / RTC
+        br.skip(z + 1)
+        tag = bit_at(0)
+        if tag is None:
+            break
+        br.skip(1)
+        if tag == 1:  # 1-D MH line
+            line = [0] * columns
+            pos = 0
+            color = 0
+            while pos < columns:
+                run = _read_run(br, _BLACK_DECODE if color else _WHITE_DECODE)
+                for i in range(pos, min(pos + run, columns)):
+                    line[i] = color
+                pos += run
+                color = 1 - color
+        else:  # 2-D line, coded against ref exactly like G4
+            line = _decode_2d_line(br, ref, columns)
+        out.append(line)
+        ref = line
+    return out
+
+
+def _decode_2d_line(br: _BitReader, ref: List[int], columns: int) -> List[int]:
+    """One 2-D-coded line (shared by G4 and K>0 G3)."""
+    ref_tr = _transitions(ref, columns)
+    cur = [0] * columns
+    a0 = -1
+    color = 0
+    while a0 < columns:
+        b1 = columns
+        b2 = columns
+        for idx, t in enumerate(ref_tr):
+            if t <= a0:
+                continue
+            t_color = 1 if idx % 2 == 0 else 0
+            if t_color != color:
+                b1 = t
+                b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
+                break
+        if br.exhausted():
+            break
+        if br.peek(_MODE_PASS[0]) == _MODE_PASS[1]:
+            br.skip(_MODE_PASS[0])
+            for i in range(max(a0, 0), b2):
+                cur[i] = color
+            a0 = b2
+            continue
+        if br.peek(_MODE_HORIZ[0]) == _MODE_HORIZ[1]:
+            br.skip(_MODE_HORIZ[0])
+            maps = (_WHITE_DECODE, _BLACK_DECODE)
+            r1 = _read_run(br, maps[color])
+            r2 = _read_run(br, maps[1 - color])
+            start = max(a0, 0)
+            for i in range(start, min(start + r1, columns)):
+                cur[i] = color
+            for i in range(min(start + r1, columns),
+                           min(start + r1 + r2, columns)):
+                cur[i] = 1 - color
+            a0 = start + r1 + r2
+            continue
+        for delta, (ln, code) in _MODE_V.items():
+            if br.peek(ln) == code:
+                br.skip(ln)
+                a1 = b1 + delta
+                for i in range(max(a0, 0), min(a1, columns)):
+                    cur[i] = color
+                a0 = a1
+                color = 1 - color
+                break
+        else:
+            raise PdfError("CCITT 2-D: bad mode code")
+    return cur
+
+
+def g3_encode_2d(bitmap: List[List[int]], columns: int, k: int = 4) -> bytes:
+    """T.4 2-D encode: a 1-D line every k lines, 2-D lines between
+    (the standard K-parameter error-containment cadence)."""
+    bw = _BitWriter()
+    ref = [0] * columns
+    for i, line in enumerate(bitmap):
+        bw.write(*_EOL)
+        if i % k == 0:  # 1-D anchor line
+            bw.write(1, 1)
+            pos = 0
+            color = 0
+            while pos < columns:
+                run = 0
+                while pos + run < columns and line[pos + run] == color:
+                    run += 1
+                _write_run(bw, run, color)
+                pos += run
+                color = 1 - color
+        else:
+            bw.write(1, 0)
+            _encode_2d_line(bw, ref, line, columns)
+        ref = line
+    bw.write(*_EOL)
+    return bw.bytes()
+
+
+def _encode_2d_line(bw: _BitWriter, ref: List[int], line: List[int], columns: int):
+    ref_tr = _transitions(ref, columns)
+    cur_tr = _transitions(line, columns)
+    a0 = -1
+    color = 0
+    while a0 < columns:
+        a1 = columns
+        for t in cur_tr:
+            if t > a0:
+                a1 = t
+                break
+        b1 = columns
+        b2 = columns
+        for idx, t in enumerate(ref_tr):
+            if t <= a0:
+                continue
+            t_color = 1 if idx % 2 == 0 else 0
+            if t_color != color:
+                b1 = t
+                b2 = ref_tr[idx + 1] if idx + 1 < len(ref_tr) else columns
+                break
+        if b2 < a1:
+            bw.write(_MODE_PASS[0], _MODE_PASS[1])
+            a0 = b2
+            continue
+        if abs(a1 - b1) <= 3:
+            ln, code = _MODE_V[a1 - b1]
+            bw.write(ln, code)
+            a0 = a1
+            color = 1 - color
+            continue
+        a2 = columns
+        for t in cur_tr:
+            if t > a1:
+                a2 = t
+                break
+        start = max(a0, 0)
+        bw.write(_MODE_HORIZ[0], _MODE_HORIZ[1])
+        _write_run(bw, a1 - start, color)
+        _write_run(bw, a2 - a1, 1 - color)
+        a0 = a2
 
 
 def pack_rows(bitmap: List[List[int]], columns: int, black_is_1: bool = False) -> bytes:

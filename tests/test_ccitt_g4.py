@@ -132,3 +132,24 @@ def test_g3_1d_roundtrip_and_tiff():
                           {"/K": 0, "/Columns": 10, "/Rows": 5})
     assert tiff_g4_pixels(tiff) == bm
     assert ink_ratio(tiff) == pytest.approx(0.4)
+
+
+def test_g3_2d_mixed_roundtrip():
+    """T.4 2-D (MR, /K > 0): EOL + tag-bit framing, 1-D anchor line
+    every k lines, 2-D lines between — round-trips for several k."""
+    import random
+
+    from sparkpdf.kernels.ccitt_g4 import g3_decode_2d, g3_encode_2d
+
+    rng = random.Random(23)
+    for k in (1, 2, 4):
+        for _ in range(25):
+            cols = rng.choice([8, 64, 203])
+            rows = rng.randint(1, 9)
+            bm = [[rng.randint(0, 1) for _ in range(cols)]
+                  for _ in range(rows)]
+            enc = g3_encode_2d(bm, cols, k=k)
+            assert g3_decode_2d(enc, cols, rows) == bm, (k, cols, rows)
+    # k=1 degenerates to EOL-framed 1-D; all-white and all-black sanity
+    for bm in ([[0] * 16] * 3, [[1] * 16] * 3):
+        assert g3_decode_2d(g3_encode_2d(bm, 16, k=3), 16, 3) == bm
