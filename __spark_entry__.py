@@ -214,6 +214,19 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_html_main(spark, sf_dir):
+    # north rule's HTML leg: boilerplate strip + DOM heuristics; the
+    # planted article must survive byte-exactly, nav/footer/script and
+    # the link-dense related block must not
+    from sparkpdf.operators.text import extract_html_main, synthesize_html_corpus
+
+    return extract_html_main(
+        synthesize_html_corpus(_t(spark, sf_dir, "documents"))
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "title", "main_text"
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     from sparkpdf.operators.text import chunk_documents
 
@@ -860,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dup_clusters_verified": q_dup_clusters_verified,
         "chunk_documents": q_chunk_documents,
+        "html_main": q_html_main,
         "pii_scrub": q_pii_scrub,
     }
 
@@ -1158,6 +1172,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
         FROM toks GROUP BY doc_id
+    """
+    sql["html_main"] = f"""
+        SELECT doc_id,
+               'doc-' || CAST(doc_id AS VARCHAR) AS title,
+               trim(regexp_replace({_SANITIZED}, '\\s+', ' ', 'g'))
+                   AS main_text
+        FROM documents
     """
     sql["chunk_documents"] = """
         SELECT doc_id,

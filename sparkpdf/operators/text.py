@@ -148,3 +148,63 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_LONGNUM)).cast("int").alias("n_longnums"),
         scrubbed.alias("clean_text"),
     )
+
+
+HTML_MAIN_SCHEMA = "doc_id string, title string, main_text string"
+
+
+def synthesize_html_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html): deterministic pages with real
+    boilerplate around the text (kernels/html.synthesize_html)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import synthesize_html
+
+        for pdf in batches:
+            out = {"doc_id": [], "html": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(str(doc_id))
+                out["html"].append(synthesize_html(int(doc_id), text or ""))
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema="doc_id string, html string"
+    )
+
+
+def extract_html_main(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> (doc_id, title, main_text): boilerplate strip
+    via the DOM-walk heuristics in kernels/html.py. Poison inputs
+    quarantine to NULLs (same discipline as PDF extraction)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import extract_main_html
+
+        for pdf in batches:
+            out = {"doc_id": [], "title": [], "main_text": []}
+            for doc_id, html_text in zip(pdf["doc_id"], pdf["html"]):
+                try:
+                    res = extract_main_html(
+                        html_text if html_text is not None else ""
+                    )
+                except Exception:
+                    res = {"title": None, "main_text": None}
+                out["doc_id"].append(str(doc_id))
+                out["title"].append(res["title"])
+                out["main_text"].append(res["main_text"])
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(
+        gen, schema=HTML_MAIN_SCHEMA
+    )
