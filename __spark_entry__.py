@@ -214,6 +214,24 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_session_window_native(spark, sf_dir):
+    # Spark's built-in gap-based session windows must agree with the
+    # lag+cumsum sessionize implementation (30-minute gap)
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.alias("t_start"),
+            F.col("w").end.alias("t_end"),
+            "n_events",
+        )
+    )
+
+
 def q_html_main(spark, sf_dir):
     # north rule's HTML leg: boilerplate strip + DOM heuristics; the
     # planted article must survive byte-exactly, nav/footer/script and
@@ -874,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_verified": q_dup_clusters_verified,
         "chunk_documents": q_chunk_documents,
         "html_main": q_html_main,
+        "session_window_native": q_session_window_native,
         "pii_scrub": q_pii_scrub,
     }
 
@@ -1314,6 +1333,26 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, session_idx, COUNT(*) AS n_events,
                MIN(ts) AS t_start, MAX(ts) AS t_end
+        FROM sess GROUP BY user_id, session_idx
+    """
+    # native session windows: window end = last event + gap
+    sql["session_window_native"] = """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(is_new) OVER w AS INTEGER) AS session_idx
+            FROM flagged
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id,
+               MIN(ts) AS t_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS t_end,
+               COUNT(*) AS n_events
         FROM sess GROUP BY user_id, session_idx
     """
     sql["ngram_jaccard"] = f"""

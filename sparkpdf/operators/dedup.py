@@ -96,10 +96,13 @@ def minhash_lsh_pairs(
             F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band{b}")
         )
     banded = sig.select("doc_id", *band_cols)
-    per_band = [
-        banded.select("doc_id", F.col(f"band{b}").alias("bucket")) for b in range(bands)
-    ]
-    stacked = reduce(lambda a, b: a.unionByName(b), per_band)
+    # explode, not union: one signature computation, map-side fan-out
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band{b}") for b in range(bands)])
+        ).alias("bucket"),
+    )
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -315,17 +318,16 @@ def simhash_pairs(
     assert max_hamming <= n_bands - 1, "pigeonhole guarantee needs more bands"
     sh = simhash_bands(documents, n_bands=n_bands, band_bits=band_bits)
     band_names = [f"band{j}" for j in range(n_bands)]
-    stacked = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            sh.select(
-                "doc_id",
-                *band_names,
-                F.lit(j).alias("band_no"),
-                F.col(f"band{j}").alias("band_val"),
-            )
-            for j in range(n_bands)
-        ],
+    # posexplode, NOT a union of per-band selects: a union would
+    # recompute the 64-vote aggregation once per band per join side
+    # (measured: 6 scans + 7 aggs); the explode fans out map-side from
+    # ONE computation
+    stacked = sh.select(
+        "doc_id",
+        *band_names,
+        F.posexplode(F.array(*[F.col(n) for n in band_names])).alias(
+            "band_no", "band_val"
+        ),
     )
     a, b = stacked.alias("a"), stacked.alias("b")
     dist = reduce(

@@ -157,19 +157,15 @@ def banded_lsh_buckets(
         for b in range(n_bands)
     ]
     all_bands = unit.select("vec_id", "unit", *bands)
-    from functools import reduce
-
-    return reduce(
-        lambda x, y: x.unionByName(y),
-        [
-            all_bands.select(
-                "vec_id",
-                "unit",
-                F.lit(b).alias("band_no"),
-                F.col(f"bucket{b}").alias("bucket"),
-            )
-            for b in range(n_bands)
-        ],
+    # posexplode fans the bands out map-side from ONE hyperplane
+    # computation (a union of per-band selects recomputes all
+    # n_bands * n_planes projections per branch)
+    return all_bands.select(
+        "vec_id",
+        "unit",
+        F.posexplode(
+            F.array(*[F.col(f"bucket{b}") for b in range(n_bands)])
+        ).alias("band_no", "bucket"),
     )
 
 
