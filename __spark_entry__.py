@@ -322,6 +322,24 @@ def q_overlay_rename(spark, sf_dir):
     )
 
 
+def q_attachments(spark, sf_dir):
+    # read side of addAttachment: write docs with embedded files, read
+    # them back (filename + size + digest)
+    from sparkpdf.operators.extract import (
+        extract_attachments,
+        extract_spans,
+        write_pdfs_enriched,
+    )
+
+    enriched = write_pdfs_enriched(extract_spans(_corpus(spark, sf_dir)))
+    return extract_attachments(enriched).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "filename",
+        "n_bytes",
+        "sha8",
+    )
+
+
 def q_xmp_project(spark, sf_dir):
     # P7: XMP metadata projection (reference xmp.py:57-397)
     from sparkpdf.operators.extract import extract_xmp
@@ -885,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_links": q_remove_links,
         "write_enriched": q_write_enriched,
         "write_encrypted": q_write_encrypted,
+        "attachments": q_attachments,
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
@@ -1766,6 +1785,15 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["write_encrypted"] = f"""
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
+    """
+    sql["attachments"] = """
+        SELECT doc_id,
+               'att-' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+               CAST(8 + length(CAST(doc_id AS VARCHAR)) AS INTEGER)
+                   AS n_bytes,
+               substr(sha256('payload-' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS sha8
+        FROM documents
     """
     sql["ccitt_ink_ratio"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,

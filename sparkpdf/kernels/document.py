@@ -270,9 +270,14 @@ class PdfDocument:
         out: List[dict] = []
         page_no = self._page_number_map()
         stack = [tree]
+        seen: set = set()  # cyclic /Kids guard (same class as ADVICE r1)
         while stack:
             node = stack.pop()
             for kid in reversed(self.resolve(node.get("/Kids")) or []):
+                if isinstance(kid, Ref):
+                    if kid.idnum in seen:
+                        continue
+                    seen.add(kid.idnum)
                 kid = self.resolve(kid)
                 if isinstance(kid, dict):
                     stack.append(kid)
@@ -362,6 +367,55 @@ class PdfDocument:
             if isinstance(box, list)
             else None,
         }
+
+    def attachments(self) -> List[dict]:
+        """Embedded files from the catalog /Names /EmbeddedFiles name
+        tree — the READ side of the reference's addAttachment
+        (_writer.py:280-358; PDF 32000 §7.11.3/7.11.4). /UF preferred
+        over /F for the display name; undecodable payloads yield None
+        data (quarantine discipline)."""
+        names = self.resolve(self.root.get("/Names"))
+        if not isinstance(names, dict):
+            return []
+        tree = self.resolve(names.get("/EmbeddedFiles"))
+        if not isinstance(tree, dict):
+            return []
+        out: List[dict] = []
+        stack = [tree]
+        seen: set = set()
+        while stack:
+            node = stack.pop()
+            for kid in reversed(self.resolve(node.get("/Kids")) or []):
+                if isinstance(kid, Ref):
+                    if kid.idnum in seen:
+                        continue
+                    seen.add(kid.idnum)
+                kid = self.resolve(kid)
+                if isinstance(kid, dict):
+                    stack.append(kid)
+            pairs = self.resolve(node.get("/Names")) or []
+            for i in range(0, len(pairs) - 1, 2):
+                spec = self.resolve(pairs[i + 1])
+                if not isinstance(spec, dict):
+                    continue
+                data = None
+                ef = self.resolve(spec.get("/EF"))
+                if isinstance(ef, dict):
+                    f = self.resolve(ef.get("/F")) or self.resolve(
+                        ef.get("/UF")
+                    )
+                    if isinstance(f, StreamObj):
+                        try:
+                            data = f.get_data(self.resolve)
+                        except Exception:
+                            data = None
+                fname = (
+                    _as_str(self.resolve(spec.get("/UF")))
+                    or _as_str(self.resolve(spec.get("/F")))
+                    or _as_str(self.resolve(pairs[i]))
+                )
+                out.append({"filename": fname, "data": data})
+        return out
 
     def link_annotations(self) -> List[dict]:
         """Link annotations per page: URI actions and internal /Dest

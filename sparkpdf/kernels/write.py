@@ -119,6 +119,7 @@ def spans_to_pdf(
     title: Optional[str] = None,
     bookmarks: Optional[Sequence[Tuple[str, int]]] = None,
     links: Optional[Sequence[Tuple[int, str]]] = None,
+    attachments: Optional[Sequence[Tuple[str, bytes]]] = None,
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
 ) -> bytes:
@@ -269,9 +270,37 @@ def spans_to_pdf(
             % (first_bm, first_bm + n_bm - 1, n_bm)
         ) == outlines_num
 
-    root_extra = b""
+    # embedded files (parity: addAttachment, _writer.py:280-358):
+    # EmbeddedFile stream + /Filespec per attachment, flat name tree
+    name_pairs = []
+    for att_name, att_data in attachments or ():
+        fs_stream = add_stream(b"/Type /EmbeddedFile", bytes(att_data))
+        idn = len(bodies) + 1
+        name_pairs.append(
+            (
+                att_name,
+                add(
+                    b"<< /Type /Filespec /F " + lit_str(idn, att_name)
+                    + b" /EF << /F %d 0 R >> >>" % fs_stream
+                ),
+            )
+        )
+    names_extra = b""
+    if name_pairs:
+        # the tree keys live INSIDE the root object -> encrypt with the
+        # root's own object key (root is the next object added)
+        root_id = len(bodies) + 1
+        names_extra = (
+            b" /Names << /EmbeddedFiles << /Names ["
+            + b" ".join(
+                lit_str(root_id, n) + b" %d 0 R" % s for n, s in name_pairs
+            )
+            + b"] >> >>"
+        )
+
+    root_extra = names_extra
     if outlines_num:
-        root_extra = b" /Outlines %d 0 R" % outlines_num
+        root_extra += b" /Outlines %d 0 R" % outlines_num
     root = add(b"<< /Type /Catalog /Pages %d 0 R" % pages_num + root_extra + b" >>")
 
     info_num = None

@@ -380,6 +380,38 @@ def extract_links(pdf_raw: DataFrame) -> DataFrame:
     )
 
 
+ATTACHMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("filename", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("sha8", StringType()),
+    ]
+)
+
+
+def extract_attachments(pdf_raw: DataFrame) -> DataFrame:
+    """Embedded-file projection (read side of addAttachment,
+    _writer.py:280-358): one row per attachment with size + digest —
+    at corpus scale the attachment payloads feed the same media/dedup
+    pipelines as XObject media."""
+    import hashlib
+
+    def project(doc):
+        for a in doc.attachments():
+            data = a["data"] or b""
+            yield {
+                "filename": a["filename"],
+                "n_bytes": len(data),
+                "sha8": hashlib.sha256(data).hexdigest()[:8],
+            }
+
+    kernel = _projection_batches(project)
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=ATTACHMENTS_SCHEMA
+    )
+
+
 XMP_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -496,6 +528,9 @@ def write_pdfs_enriched(
                         title=f"doc-{d}",
                         bookmarks=[(f"bm-{d}", 0)],
                         links=[(0, f"https://example.org/w/{d}")],
+                        attachments=[
+                            (f"att-{d}.txt", f"payload-{d}".encode())
+                        ],
                         user_password=password,
                     )
                 )

@@ -119,3 +119,40 @@ def test_write_enriched_encrypted_reference_interop():
         links=[(0, "https://example.org/a"), (1, "https://example.org/b")],
         user_password=b"pw",
     )
+
+
+def test_attachments_both_directions():
+    """Attachments interop: (a) the REFERENCE's addAttachment output is
+    read by our attachments() projection; (b) our written attachments
+    round-trip through our reader, including under encryption."""
+    import io
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.testing.reference import load_reference
+
+    # (a) reference writes, we read
+    ref = load_reference()
+    w = ref.PdfFileWriter()
+    w.addBlankPage(100, 100)
+    w.addAttachment("hello.txt", b"Hello world!")
+    buf = io.BytesIO()
+    w.write(buf)
+    doc = PdfDocument(buf.getvalue())
+    atts = doc.attachments()
+    assert [(a["filename"], a["data"]) for a in atts] == [
+        ("hello.txt", b"Hello world!")
+    ]
+
+    # (b) we write (plain and encrypted), we read
+    pages = [[{"kind": "text", "text": "x\n", "media_ref": None}]]
+    for pw in (None, b"pw"):
+        pdf = spans_to_pdf(
+            pages,
+            title="t",
+            attachments=[("a.bin", b"\x00\x01\xff"), ("b.txt", b"data2")],
+            user_password=pw,
+        )
+        doc = PdfDocument(pdf, password=pw or b"")
+        got = {a["filename"]: a["data"] for a in doc.attachments()}
+        assert got == {"a.bin": b"\x00\x01\xff", "b.txt": b"data2"}
