@@ -322,6 +322,24 @@ def q_overlay_rename(spark, sf_dir):
     )
 
 
+def q_write_form_fill(spark, sf_dir):
+    # updatePageFormFieldValues analog: write filled text fields, read
+    # them back through the AcroForm projection
+    from sparkpdf.operators.extract import (
+        extract_form_fields,
+        extract_spans,
+        write_pdfs_enriched,
+    )
+
+    enriched = write_pdfs_enriched(extract_spans(_corpus(spark, sf_dir)))
+    return extract_form_fields(enriched).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "name",
+        "value",
+        "ft",
+    )
+
+
 def q_attachments(spark, sf_dir):
     # read side of addAttachment: write docs with embedded files, read
     # them back (filename + size + digest)
@@ -904,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_enriched": q_write_enriched,
         "write_encrypted": q_write_encrypted,
         "attachments": q_attachments,
+        "write_form_fill": q_write_form_fill,
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
@@ -1785,6 +1804,13 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["write_encrypted"] = f"""
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
+    """
+    sql["write_form_fill"] = """
+        SELECT doc_id,
+               'wfld-' || CAST(doc_id AS VARCHAR) AS name,
+               'wval-' || CAST(doc_id AS VARCHAR) AS value,
+               '/Tx' AS ft
+        FROM documents
     """
     sql["attachments"] = """
         SELECT doc_id,

@@ -120,6 +120,7 @@ def spans_to_pdf(
     bookmarks: Optional[Sequence[Tuple[str, int]]] = None,
     links: Optional[Sequence[Tuple[int, str]]] = None,
     attachments: Optional[Sequence[Tuple[str, bytes]]] = None,
+    form_fields: Optional[Sequence[Tuple[str, str]]] = None,
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
 ) -> bytes:
@@ -285,10 +286,23 @@ def spans_to_pdf(
                 ),
             )
         )
+    # filled text fields (parity: updatePageFormFieldValues,
+    # _writer.py:237-259 — the reference mutates /V on existing fields;
+    # the span writer EMITS fields with values directly)
+    field_refs = []
+    for f_name, f_value in form_fields or ():
+        idn = len(bodies) + 1
+        field_refs.append(
+            add(
+                b"<< /FT /Tx /T " + lit_str(idn, f_name)
+                + b" /V " + lit_str(idn, f_value) + b" /Ff 0 >>"
+            )
+        )
+
+    # root-resident strings (name-tree keys) encrypt with the ROOT's
+    # object key — so all pre-root objects must already be added here
     names_extra = b""
     if name_pairs:
-        # the tree keys live INSIDE the root object -> encrypt with the
-        # root's own object key (root is the next object added)
         root_id = len(bodies) + 1
         names_extra = (
             b" /Names << /EmbeddedFiles << /Names ["
@@ -297,8 +311,15 @@ def spans_to_pdf(
             )
             + b"] >> >>"
         )
+    acroform_extra = b""
+    if field_refs:
+        acroform_extra = (
+            b" /AcroForm << /Fields ["
+            + b" ".join(b"%d 0 R" % r for r in field_refs)
+            + b"] >>"
+        )
 
-    root_extra = names_extra
+    root_extra = names_extra + acroform_extra
     if outlines_num:
         root_extra += b" /Outlines %d 0 R" % outlines_num
     root = add(b"<< /Type /Catalog /Pages %d 0 R" % pages_num + root_extra + b" >>")

@@ -531,6 +531,7 @@ def write_pdfs_enriched(
                         attachments=[
                             (f"att-{d}.txt", f"payload-{d}".encode())
                         ],
+                        form_fields=[(f"wfld-{d}", f"wval-{d}")],
                         user_password=password,
                     )
                 )

@@ -156,3 +156,34 @@ def test_attachments_both_directions():
         doc = PdfDocument(pdf, password=pw or b"")
         got = {a["filename"]: a["data"] for a in doc.attachments()}
         assert got == {"a.bin": b"\x00\x01\xff", "b.txt": b"data2"}
+
+
+def test_write_form_fields_encrypted_and_reference():
+    """Filled text fields write-side (updatePageFormFieldValues analog):
+    both engines read the name/value back; encryption included."""
+    import io
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.testing.reference import load_reference
+
+    pages = [[{"kind": "text", "text": "x\n", "media_ref": None}]]
+    for pw in (None, b"pw"):
+        pdf = spans_to_pdf(
+            pages, form_fields=[("name", "Ada"), ("role", "eng")],
+            attachments=[("a.txt", b"z")], user_password=pw,
+        )
+        doc = PdfDocument(pdf, password=pw or b"")
+        got = {f["name"]: f["value"] for f in doc.form_fields()}
+        assert got == {"name": "Ada", "role": "eng"}
+        # attachments still intact alongside the AcroForm
+        assert doc.attachments()[0]["data"] == b"z"
+
+    ref = load_reference()
+    pdf = spans_to_pdf(pages, form_fields=[("name", "Ada")])
+    r = ref.PdfFileReader(io.BytesIO(pdf))
+    # reference getFields is dead code (Field ctor raises) — read the
+    # raw AcroForm instead, like reference users must
+    acro = r.trailer["/Root"]["/AcroForm"]
+    f0 = acro["/Fields"][0].getObject()
+    assert f0["/T"] == b"name" and f0["/V"] == b"Ada"
