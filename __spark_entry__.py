@@ -340,6 +340,23 @@ def q_write_form_fill(spark, sf_dir):
     )
 
 
+def q_write_aes256(spark, sf_dir):
+    # V=5/R=6 AES-256 (PDF 2.0) write -> decrypt-extract round trip;
+    # the reference rejects V>3 entirely — this exceeds it
+    from sparkpdf.operators.extract import extract_spans, write_pdfs_enriched
+    from sparkpdf.operators.spans import doc_full_text
+
+    enc = write_pdfs_enriched(
+        extract_spans(_corpus(spark, sf_dir)),
+        password=b"sparkpdf-pw",
+        encryption="aes-256",
+    )
+    back = extract_spans(enc, password=b"sparkpdf-pw")
+    return doc_full_text(back).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "full_text"
+    )
+
+
 def q_attachments(spark, sf_dir):
     # read side of addAttachment: write docs with embedded files, read
     # them back (filename + size + digest)
@@ -923,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_encrypted": q_write_encrypted,
         "attachments": q_attachments,
         "write_form_fill": q_write_form_fill,
+        "write_aes256": q_write_aes256,
         "overlay_rename": q_overlay_rename,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
@@ -1805,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
     sql["write_encrypted"] = f"""
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
     """
+    sql["write_aes256"] = sql["write_encrypted"]
     sql["write_form_fill"] = """
         SELECT doc_id,
                'wfld-' || CAST(doc_id AS VARCHAR) AS name,

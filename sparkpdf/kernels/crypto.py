@@ -100,43 +100,170 @@ def make_encrypt_parts(
     return o, u, key
 
 
-def object_key(file_key: bytes, idnum: int, gen: int) -> bytes:
+def object_key(file_key: bytes, idnum: int, gen: int, aes: bool = False) -> bytes:
     m = hashlib.md5(
         file_key + struct.pack("<i", idnum)[:3] + struct.pack("<i", gen)[:2]
+        + (b"sAlT" if aes else b"")  # /AESV2 salt, PDF 32000 §7.6.2
     )
     return m.digest()[: min(len(file_key) + 5, 16)]
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """PDF 2.0 Algorithm 2.B (R=6 password hash): iterated
+    SHA-256/384/512 driven by AES-128-CBC rounds. ~1 s in pure Python
+    (that is the point of the algorithm) — cached so a corpus sharing
+    /Encrypt material pays it once per worker, not per doc."""
+    from . import aes as _aes
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes.cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()[:64]
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def make_encrypt_parts_v5(
+    user_pwd: bytes, owner_pwd: bytes, file_key: bytes, seed: bytes, rev: int = 6
+):
+    """R=5/6 write side: returns (u48, ue, o48, oe). Salts derive from
+    `seed` deterministically (a Spark writer must be pure)."""
+    from . import aes as _aes
+
+    def h(pwd, salt, udata=b""):
+        if rev == 6:
+            return hash_2b(pwd, salt, udata)
+        return hashlib.sha256(pwd + salt + udata).digest()
+
+    vs = hashlib.md5(seed + b":vs").digest()[:8]
+    ks = hashlib.md5(seed + b":ks").digest()[:8]
+    u48 = h(user_pwd, vs) + vs + ks
+    ue = _aes.cbc_encrypt(h(user_pwd, ks), b"\x00" * 16, file_key, pad=False)
+    ovs = hashlib.md5(seed + b":ovs").digest()[:8]
+    oks = hashlib.md5(seed + b":oks").digest()[:8]
+    opwd = owner_pwd or user_pwd
+    o48 = h(opwd, ovs, u48) + ovs + oks
+    oe = _aes.cbc_encrypt(
+        h(opwd, oks, u48), b"\x00" * 16, file_key, pad=False
+    )
+    return u48, ue, o48, oe
+
+
+def make_perms_entry(file_key: bytes, p: int, encrypt_metadata: bool = True) -> bytes:
+    """/Perms for V=5 (PDF 32000-2 §7.6.4.4.9): AES-ECB of the
+    permissions record."""
+    from . import aes as _aes
+
+    rec = (
+        struct.pack("<i", p)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + b"spdf"
+    )
+    return _aes.ecb_encrypt_block(file_key, rec)
+
+
 class StandardDecryptor:
+    """V=1/2 RC4 (reference parity), plus V=4 /AESV2 and V=5 /AESV3 —
+    which the reference REJECTS (its _security.py stops at V<=3); AES
+    itself is kernels/aes.py, FIPS-197-vector-validated."""
+
     def __init__(self, enc: dict, id1: bytes, password: bytes = b""):
         if enc.get("/Filter") != "/Standard":
             raise PdfError(f"unsupported security handler {enc.get('/Filter')!r}")
         v = int(enc.get("/V", 0))
-        if v not in (1, 2):
-            raise PdfError(f"unsupported /Encrypt /V={v}")
         self.rev = int(enc.get("/R", 2))
-        keylen = int(enc.get("/Length", 40)) // 8 if v == 2 else 5
-        o = enc["/O"]
-        u = enc["/U"]
+        o = enc.get("/O", b"")
+        u = enc.get("/U", b"")
         if isinstance(o, str):
             o = o.encode("latin-1")
         if isinstance(u, str):
             u = u.encode("latin-1")
-        p = int(enc["/P"])
-        self.key = _compute_key(password, o, p, id1, self.rev, keylen)
-        expect = _user_password_hash(self.key, id1, self.rev)
-        got = u[:16] if self.rev >= 3 else u[:32]
-        want = expect[:16] if self.rev >= 3 else expect[:32]
-        if got != want:
-            raise PdfError("wrong password (user-password check failed)")
+        p = int(enc.get("/P", -1))
+        if v in (1, 2, 4):
+            self.mode = "rc4"
+            if v == 4:
+                # crypt-filter dispatch: /StdCF /CFM decides the cipher
+                cf = enc.get("/CF") or {}
+                stdcf = cf.get("/StdCF") or {} if isinstance(cf, dict) else {}
+                cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
+                if cfm == "/AESV2":
+                    self.mode = "aes128"
+                elif cfm not in (None, "/V2"):
+                    raise PdfError(f"unsupported /CFM {cfm!r}")
+            keylen = int(enc.get("/Length", 40)) // 8 if v >= 2 else 5
+            em = bool(enc.get("/EncryptMetadata", True))
+            self.key = _compute_key(
+                password, o, p, id1, self.rev, keylen, em
+            )
+            expect = _user_password_hash(self.key, id1, self.rev)
+            got = u[:16] if self.rev >= 3 else u[:32]
+            want = expect[:16] if self.rev >= 3 else expect[:32]
+            if got != want:
+                raise PdfError("wrong password (user-password check failed)")
+        elif v == 5:
+            from . import aes as _aes
+
+            self.mode = "aes256"
+            ue = enc.get("/UE", b"")
+            if isinstance(ue, str):
+                ue = ue.encode("latin-1")
+            if len(u) < 48 or len(ue) < 32:
+                raise PdfError("malformed V5 /U or /UE")
+
+            def h(pwd, salt, udata=b""):
+                if self.rev == 6:
+                    return hash_2b(pwd, salt, udata)
+                return hashlib.sha256(pwd + salt + udata).digest()
+
+            pwd = password[:127]
+            if h(pwd, u[32:40]) == u[:32]:  # user password path
+                ikey = h(pwd, u[40:48])
+                self.key = _aes.cbc_decrypt(
+                    ikey, b"\x00" * 16, ue[:32], unpad=False
+                )
+            else:  # owner password path
+                oe = enc.get("/OE", b"")
+                if isinstance(oe, str):
+                    oe = oe.encode("latin-1")
+                if len(o) >= 48 and len(oe) >= 32 and h(
+                    pwd, o[32:40], u[:48]
+                ) == o[:32]:
+                    ikey = h(pwd, o[40:48], u[:48])
+                    self.key = _aes.cbc_decrypt(
+                        ikey, b"\x00" * 16, oe[:32], unpad=False
+                    )
+                else:
+                    raise PdfError("wrong password (V5 hash check failed)")
+        else:
+            raise PdfError(f"unsupported /Encrypt /V={v}")
 
     def _object_key(self, idnum: int, gen: int) -> bytes:
-        # per-object key: filekey + idnum[0:3] + gen[0:2], md5, clamp
-        # (parity: _reader.py:828-839)
-        m = hashlib.md5(
-            self.key + struct.pack("<i", idnum)[:3] + struct.pack("<i", gen)[:2]
-        )
-        return m.digest()[: min(len(self.key) + 5, 16)]
+        # per-object key: filekey + idnum[0:3] + gen[0:2] (+sAlT for
+        # AESV2), md5, clamp (parity: _reader.py:828-839 + §7.6.2);
+        # AESV3 uses the file key directly
+        if self.mode == "aes256":
+            return self.key
+        return object_key(self.key, idnum, gen, aes=self.mode == "aes128")
+
+    def _cipher(self, key: bytes, data: bytes) -> bytes:
+        if self.mode == "rc4":
+            return rc4(key, data)
+        from . import aes as _aes
+
+        if len(data) < 16:
+            return b""  # malformed AES payload: quarantine-friendly
+        return _aes.cbc_decrypt(key, data[:16], data[16:])
 
     def decrypt_object(self, obj: Any, idnum: int, gen: int) -> Any:
         key = self._object_key(idnum, gen)
@@ -144,15 +271,15 @@ class StandardDecryptor:
 
     def _walk(self, obj: Any, key: bytes) -> Any:
         if isinstance(obj, StreamObj):
-            obj.raw = rc4(key, obj.raw)
+            obj.raw = self._cipher(key, obj.raw)
             obj.sdict = self._walk(obj.sdict, key)
             return obj
         if isinstance(obj, (Name, bool)) or obj is None:
             return obj
         if isinstance(obj, bytes):
-            return rc4(key, obj)
+            return self._cipher(key, obj)
         if isinstance(obj, str):
-            dec = rc4(key, obj.encode("latin-1", "replace"))
+            dec = self._cipher(key, obj.encode("latin-1", "replace"))
             if dec.startswith(b"\xfe\xff"):
                 try:
                     return dec.decode("utf-16")

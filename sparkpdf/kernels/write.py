@@ -123,6 +123,7 @@ def spans_to_pdf(
     form_fields: Optional[Sequence[Tuple[str, str]]] = None,
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
+    encryption: str = "rc4-128",
 ) -> bytes:
     """pages = list of span-lists (ordered) -> complete PDF bytes.
 
@@ -141,18 +142,40 @@ def spans_to_pdf(
 
     bodies: List[bytes] = []
     enc_key = None
+    enc_parts: dict = {}
     file_id = b""
+    perms = -3904  # print+extract allowed; modify/annotate denied
     if user_password is not None:
         from . import crypto as _crypto
 
+        if encryption not in ("rc4-128", "aes-128", "aes-256"):
+            raise ValueError(f"unknown encryption mode {encryption!r}")
         file_id = hashlib.md5(
             b"sparkpdf:" + (title or "").encode("utf-8")
         ).digest()
-        perms = -3904  # print+extract allowed; modify/annotate denied
-        o_entry, u_entry, enc_key = _crypto.make_encrypt_parts(
-            user_password, owner_password or user_password,
-            perms, file_id, 3, 16,
-        )
+        if encryption == "aes-256":
+            # V5 material derives from a FIXED seed, not the title: the
+            # R=6 hash costs ~1 s/call in pure Python, and sharing the
+            # /Encrypt artifacts across a corpus lets the lru_cache in
+            # hash_2b amortize it to once per worker (documents remain
+            # independently decryptable; per-object IVs still vary)
+            seed = b"sparkpdf-v5"
+            enc_key = hashlib.sha256(b"sparkpdf-fk:" + seed).digest()
+            u48, ue, o48, oe = _crypto.make_encrypt_parts_v5(
+                user_password, owner_password or user_password,
+                enc_key, seed, rev=6,
+            )
+            enc_parts = {
+                "u": u48, "o": o48, "ue": ue, "oe": oe,
+                "perms": _crypto.make_perms_entry(enc_key, perms),
+            }
+        else:
+            rev = 4 if encryption == "aes-128" else 3
+            o_entry, u_entry, enc_key = _crypto.make_encrypt_parts(
+                user_password, owner_password or user_password,
+                perms, file_id, rev, 16,
+            )
+            enc_parts = {"u": u_entry, "o": o_entry}
 
     def add(body: bytes) -> int:
         bodies.append(body)
@@ -163,7 +186,19 @@ def spans_to_pdf(
             return data
         from . import crypto as _crypto
 
-        return _crypto.rc4(_crypto.object_key(enc_key, idnum, 0), data)
+        if encryption == "rc4-128":
+            return _crypto.rc4(_crypto.object_key(enc_key, idnum, 0), data)
+        from . import aes as _aes
+
+        # deterministic per-object IV: a pure Spark writer cannot use
+        # randomness; uniqueness per object is what CBC needs here
+        iv = hashlib.md5(file_id + idnum.to_bytes(4, "big")).digest()
+        key = (
+            enc_key
+            if encryption == "aes-256"
+            else _crypto.object_key(enc_key, idnum, 0, aes=True)
+        )
+        return iv + _aes.cbc_encrypt(key, iv, data)
 
     def lit_str(idnum: int, s) -> bytes:
         """Literal string token, encrypted with the OWNING object's key."""
@@ -335,12 +370,35 @@ def spans_to_pdf(
     encrypt_num = None
     if enc_key is not None:
         # the /Encrypt dict itself is never encrypted (PDF 32000 §7.6.2)
-        encrypt_num = add(
-            b"<< /Filter /Standard /V 2 /R 3 /Length 128"
-            b" /O (" + esc_literal(o_entry) + b")"
-            b" /U (" + esc_literal(u_entry) + b")"
-            b" /P -3904 >>"
-        )
+        if encryption == "rc4-128":
+            body = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128"
+                b" /O (" + esc_literal(enc_parts["o"]) + b")"
+                b" /U (" + esc_literal(enc_parts["u"]) + b")"
+                b" /P -3904 >>"
+            )
+        elif encryption == "aes-128":
+            body = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+                b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /O (" + esc_literal(enc_parts["o"]) + b")"
+                b" /U (" + esc_literal(enc_parts["u"]) + b")"
+                b" /P -3904 >>"
+            )
+        else:  # aes-256, PDF 2.0
+            body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+                b" /O (" + esc_literal(enc_parts["o"]) + b")"
+                b" /U (" + esc_literal(enc_parts["u"]) + b")"
+                b" /OE (" + esc_literal(enc_parts["oe"]) + b")"
+                b" /UE (" + esc_literal(enc_parts["ue"]) + b")"
+                b" /Perms (" + esc_literal(enc_parts["perms"]) + b")"
+                b" /P -3904 >>"
+            )
+        encrypt_num = add(body)
 
     out = bytearray(HEADER)
     offsets: Dict[int, int] = {}

@@ -502,13 +502,16 @@ def write_pdfs(interleaved: DataFrame) -> DataFrame:
 
 
 def write_pdfs_enriched(
-    interleaved: DataFrame, password: bytes | None = None
+    interleaved: DataFrame,
+    password: bytes | None = None,
+    encryption: str = "rc4-128",
 ) -> DataFrame:
     """Write side with the full enrichment surface (C6/D6): per doc a
     deterministic /Info title 'doc-{id}', one bookmark 'bm-{id}' and one
-    URI link 'https://example.org/w/{id}', optionally RC4-128 encrypted
-    with `password`. The REFERENCE decrypts and reads every feature of
-    the output (tests/test_write.py interop)."""
+    URI link 'https://example.org/w/{id}', optionally encrypted with
+    `password` (rc4-128 / aes-128 / aes-256). The REFERENCE decrypts
+    and reads the RC4 output (tests/test_write.py interop); it rejects
+    the AES modes, which our reader decrypts (tests/test_aes.py)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.write import spans_to_pdf
@@ -533,6 +536,7 @@ def write_pdfs_enriched(
                         ],
                         form_fields=[(f"wfld-{d}", f"wval-{d}")],
                         user_password=password,
+                        encryption=encryption,
                     )
                 )
             yield pd.DataFrame(out)
