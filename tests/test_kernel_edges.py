@@ -60,6 +60,41 @@ def test_encrypt_v4_rejected():
         )
 
 
+def test_v4_stmf_strf_dispatch():
+    """PDF 32000 §7.6.5: /StmF and /StrF resolve SEPARATELY; /Identity
+    means passthrough. A V=4 doc with /StmF /Identity must leave stream
+    bytes untouched while strings still decrypt through /StdCF."""
+    id1 = b"fixture-id-0001!"
+    o, u, key = crypto.make_encrypt_parts(b"", b"owner", -3904, id1, 4, 16)
+    enc = {
+        "/Filter": cos.Name("/Standard"), "/V": 4, "/R": 4,
+        "/Length": 128, "/O": o, "/U": u, "/P": -3904,
+        "/CF": {"/StdCF": {"/CFM": cos.Name("/V2")}},
+        "/StmF": cos.Name("/Identity"), "/StrF": cos.Name("/StdCF"),
+    }
+    dec = crypto.StandardDecryptor(enc, id1, b"")
+    assert dec.stm_mode == "identity" and dec.str_mode == "rc4"
+    # stream raw passes through unchanged
+    s = cos.StreamObj({"/Length": 9}, b"plaintext")
+    assert dec.decrypt_object(s, 7, 0).raw == b"plaintext"
+    # strings still decrypt with the per-object RC4 key
+    okey = crypto.object_key(key, 7, 0)
+    ct = crypto.rc4(okey, b"secret")
+    assert dec.decrypt_object(ct, 7, 0) == b"secret"
+    # and the reverse orientation: encrypted streams, plaintext strings
+    enc2 = dict(enc)
+    enc2["/StmF"], enc2["/StrF"] = cos.Name("/StdCF"), cos.Name("/Identity")
+    dec2 = crypto.StandardDecryptor(enc2, id1, b"")
+    assert dec2.stm_mode == "rc4" and dec2.str_mode == "identity"
+    s2 = cos.StreamObj({"/Length": 6}, crypto.rc4(okey, b"stream"))
+    assert dec2.decrypt_object(s2, 7, 0).raw == b"stream"
+    assert dec2.decrypt_object("as-is", 7, 0) == "as-is"
+    # omitted /StmF//StrF default to /Identity per spec
+    enc3 = {k: v for k, v in enc.items() if k not in ("/StmF", "/StrF")}
+    dec3 = crypto.StandardDecryptor(enc3, id1, b"")
+    assert dec3.stm_mode == "identity" and dec3.str_mode == "identity"
+
+
 def test_wrong_password_detected():
     from sparkpdf.testing.fixtures import encrypt_rc4_40
     from sparkpdf.kernels.document import PdfDocument
