@@ -198,9 +198,18 @@ def dup_clusters(
     (symmetrized) edge list + a min-aggregate; the driver-side
     convergence check is a tiny count. Iterations needed = graph
     diameter (dup clusters are near-cliques, so 2-3 in practice;
-    max_iters bounds adversarial chains). This is the standard
+    max_iters bounds adversarial chains; non-convergence WARNS — a
+    silent early exit would split clusters). This is the standard
     large-scale CC shape (alternating min-propagation); at 10^12 docs
-    the edge list is the LSH pair output, already bucket-bounded."""
+    the edge list is the LSH pair output, already bucket-bounded.
+
+    Harness (round-3 rework, measured 49 s -> ~15 s at sf0.01): labels
+    iterate only over nodes that APPEAR IN EDGES — singletons (the vast
+    majority of a real corpus) never change label and rejoin at the end
+    via one anti-join. Each iteration localCheckpoints the new labels
+    (truncates the growing lineage — without it the plan re-derives
+    every prior iteration) and runs ONE tiny count on the materialized
+    frame instead of a second labels-vs-labels join."""
     pairs = minhash_lsh_pairs(documents, n_hashes, bands)
     if jaccard_threshold is not None:
         toks = documents.select(
@@ -224,38 +233,56 @@ def dup_clusters(
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
         )
     ).cache()
-    labels = documents.select(
-        F.col("doc_id").cast("long").alias("doc_id")
-    ).distinct().withColumn("cluster_id", F.col("doc_id")).cache()
+    # symmetrized edges: every connected node appears as a src
+    members = edges.select(F.col("src").alias("doc_id")).distinct().cache()
+    labels = members.withColumn("cluster_id", F.col("doc_id"))
+    converged = False
     for _ in range(max_iters):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("neigh_min"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce("neigh_min", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("cluster_id") < F.col("old_id")).count()
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iters} iterations (graph diameter exceeds max_iters); "
+            f"clusters may be split — raise max_iters",
+            RuntimeWarning,
+        )
+    # singletons never appear in an edge: they keep their own id and
+    # skip every iteration — one anti-join instead of N label joins
+    # (against the localCheckpointed labels, so unpersisting the edge
+    # lineage below cannot trigger an LSH recompute)
+    singles = (
+        documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    out = labels.unionByName(singles)
     edges.unpersist()
-    return labels
+    members.unpersist()
+    return out
 
 
 def simhash_bands(

@@ -55,17 +55,24 @@ class CheckpointedExtraction:
                 return ""
             with open(self.manifest_path) as f:
                 return f.read()
-        if not fs.exists(path):
-            return ""
-        stream = fs.open(path)
-        try:
-            # commons-io ships with Hadoop; py4j can't do fill-a-buffer
-            # reads (byte[] args pass by value), so drain JVM-side
-            jvm = SparkSession.getActiveSession()._jvm
-            data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            return bytes(data).decode("utf-8")
-        finally:
-            stream.close()
+        jvm = SparkSession.getActiveSession()._jvm
+        # a crash between delete and rename (in _append_manifest) leaves
+        # only the .tmp — fall back to it so no completed part is lost
+        for cand in (
+            path,
+            jvm.org.apache.hadoop.fs.Path(self.manifest_path + ".tmp"),
+        ):
+            if not fs.exists(cand):
+                continue
+            stream = fs.open(cand)
+            try:
+                # commons-io ships with Hadoop; py4j can't do fill-a-buffer
+                # reads (byte[] args pass by value), so drain JVM-side
+                data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                return bytes(data).decode("utf-8")
+            finally:
+                stream.close()
+        return ""
 
     def _append_manifest(self, line: str):
         fs, path = self._hadoop_fs()
@@ -74,21 +81,36 @@ class CheckpointedExtraction:
             with open(self.manifest_path, "a") as f:
                 f.write(line)
             return
-        # Object stores lack append; read-modify-write the (small) manifest.
-        # Single-driver writer, so no concurrent-append race.
+        # Object stores lack append; read-modify-write the (small)
+        # manifest. Single-driver writer, so no concurrent-append race.
+        # Torn-commit safety: write the WHOLE new manifest to a temp
+        # path, then swap — a crash mid-write leaves the previous
+        # manifest intact instead of destroying the record of ALL
+        # completed parts (rename is atomic on HDFS; the .tmp fallback
+        # in _read_manifest covers the delete->rename window).
         prev = self._read_manifest()
-        stream = fs.create(path, True)
+        jvm = SparkSession.getActiveSession()._jvm
+        tmp = jvm.org.apache.hadoop.fs.Path(self.manifest_path + ".tmp")
+        stream = fs.create(tmp, True)
         try:
             stream.write(bytearray((prev + line).encode("utf-8")))
         finally:
             stream.close()
+        if fs.exists(path):
+            fs.delete(path, False)
+        fs.rename(tmp, path)
 
     def completed_parts(self) -> set:
         done = set()
         for raw in self._read_manifest().splitlines():
             if not raw.strip():
                 continue
-            rec = json.loads(raw)
+            try:
+                rec = json.loads(raw)
+            except json.JSONDecodeError:
+                # torn trailing line from a crashed write: skip — that
+                # part re-runs (idempotent overwrite), resume proceeds
+                continue
             if rec.get("status") == "ok":
                 done.add(rec["part_id"])
         return done

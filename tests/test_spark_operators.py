@@ -388,6 +388,57 @@ def test_checkpoint_torn_commit(spark, corpus, tmp_path):
     assert result.select("doc_id").distinct().count() == corpus.count()
 
 
+def test_checkpoint_torn_manifest_line(spark, corpus, tmp_path):
+    """A torn (half-written) trailing JSON line must not block resume:
+    parseable 'ok' rows still count, the torn row's part re-runs."""
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = str(tmp_path / "tornline")
+    ck = CheckpointedExtraction(out, n_batches=3)
+    ck.run(corpus, extract_spans)
+    with open(ck.manifest_path) as f:
+        lines = f.readlines()
+    # tear the LAST record mid-json (simulates a crash mid-flush); drop
+    # the Hadoop LocalFileSystem checksum sidecar the tampering orphans
+    import os
+
+    with open(ck.manifest_path, "w") as f:
+        f.writelines(lines[:-1])
+        f.write(lines[-1][: len(lines[-1]) // 2])
+    crc = os.path.join(
+        os.path.dirname(ck.manifest_path),
+        "." + os.path.basename(ck.manifest_path) + ".crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    ck2 = CheckpointedExtraction(out, n_batches=3)
+    assert ck2.completed_parts() == {0, 1}  # no JSONDecodeError
+    assert sorted(ck2.run(corpus, extract_spans)) == [2]
+    result = ck2.result(spark)
+    assert result.select("doc_id").distinct().count() == corpus.count()
+
+
+def test_checkpoint_hadoop_fs_atomic_swap(spark, corpus, tmp_path):
+    """file: URI output exercises the Hadoop-FS manifest path: appends
+    go through a .tmp + rename swap, and a stranded .tmp (crash between
+    delete and rename) is still readable on resume."""
+    import os
+
+    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = "file:" + str(tmp_path / "hfs")
+    ck = CheckpointedExtraction(out, n_batches=2)
+    ck.run(corpus, extract_spans)
+    local = str(tmp_path / "hfs" / "_progress.jsonl")
+    assert os.path.exists(local) and not os.path.exists(local + ".tmp")
+    assert ck.completed_parts() == {0, 1}
+    # simulate the crash window: manifest swapped away, only .tmp left
+    os.rename(local, local + ".tmp")
+    assert CheckpointedExtraction(out, n_batches=2).completed_parts() == {0, 1}
+
+
 def test_dedup_partial_aggregation_plan(spark):
     """dedup_exact must partial-aggregate before its single shuffle
     (map-side combine; SURVEY §4.3 'push aggregation partial')."""
