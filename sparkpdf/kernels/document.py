@@ -417,6 +417,53 @@ class PdfDocument:
                 out.append({"filename": fname, "data": data})
         return out
 
+    def javascript(self) -> List[dict]:
+        """Document-level JavaScript: /Names//JavaScript name-tree
+        entries and the /OpenAction action — the READ side of the
+        reference's addJS (_writer.py:237-279)."""
+        out: List[dict] = []
+        seen_ids: set = set()
+
+        def emit(name, action):
+            action = self.resolve(action)
+            if not isinstance(action, dict) or action.get("/S") != "/JavaScript":
+                return
+            js = self.resolve(action.get("/JS"))
+            if isinstance(js, StreamObj):  # long scripts may be streams
+                try:
+                    js = js.get_data(self.resolve).decode("latin-1")
+                except Exception:
+                    js = None
+            out.append({"name": _as_str(name), "js": _as_str(js)})
+
+        names = self.resolve(self.root.get("/Names"))
+        if isinstance(names, dict):
+            tree = self.resolve(names.get("/JavaScript"))
+            stack = [tree] if isinstance(tree, dict) else []
+            seen: set = set()
+            while stack:
+                node = stack.pop()
+                for kid in reversed(self.resolve(node.get("/Kids")) or []):
+                    if isinstance(kid, Ref):
+                        if kid.idnum in seen:
+                            continue
+                        seen.add(kid.idnum)
+                    kid = self.resolve(kid)
+                    if isinstance(kid, dict):
+                        stack.append(kid)
+                pairs = self.resolve(node.get("/Names")) or []
+                for i in range(0, len(pairs) - 1, 2):
+                    ref = pairs[i + 1]
+                    if isinstance(ref, Ref):
+                        seen_ids.add(ref.idnum)
+                    emit(self.resolve(pairs[i]), ref)
+        oa = self.root.get("/OpenAction")
+        # skip /OpenAction when it aliases a name-tree entry (addJS
+        # registers the same action object in both places)
+        if not (isinstance(oa, Ref) and oa.idnum in seen_ids):
+            emit(None, oa)
+        return out
+
     def link_annotations(self) -> List[dict]:
         """Link annotations per page: URI actions and internal /Dest
         (the projection behind removeLinks, _writer.py:871-877)."""

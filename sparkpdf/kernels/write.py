@@ -117,26 +117,38 @@ def spans_to_pdf(
     pages: Sequence[Sequence[dict]],
     compress: bool = True,
     title: Optional[str] = None,
-    bookmarks: Optional[Sequence[Tuple[str, int]]] = None,
-    links: Optional[Sequence[Tuple[int, str]]] = None,
+    bookmarks: Optional[Sequence[tuple]] = None,
+    links: Optional[Sequence[tuple]] = None,
     attachments: Optional[Sequence[Tuple[str, bytes]]] = None,
     form_fields: Optional[Sequence[Tuple[str, str]]] = None,
+    named_dests: Optional[Sequence[Tuple[str, int]]] = None,
+    javascript: Optional[str] = None,
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
     encryption: str = "rc4-128",
 ) -> bytes:
     """pages = list of span-lists (ordered) -> complete PDF bytes.
 
-    Write-side enrichment (parity: _writer.py addBookmark:676-751,
-    addURI/addLink:999-1145, /Info) and write-side encryption (parity:
-    _writer.py encrypt:443-496 — RC4 V=2/R=3, 128-bit, strings and
-    streams encrypted per-object, /Encrypt dict exempt):
+    Write-side enrichment (parity: _writer.py addBookmark:768-842,
+    addNamedDestination:852-869, addJS:237-279, addURI/addLink:999-1145,
+    /Info) and write-side encryption (parity: _writer.py encrypt:443-496
+    — RC4 V=2/R=3, 128-bit, strings and streams encrypted per-object,
+    /Encrypt dict exempt):
       * title       -> /Info /Title + XMP-free trailer metadata
-      * bookmarks   -> flat /Outlines chain of (title, page_idx)
-      * links       -> /Annots URI links of (page_idx, uri)
+      * bookmarks   -> /Outlines tree: (title, page_idx) items are
+        roots; (title, page_idx, parent_idx) nests under the bookmark
+        at position parent_idx (reference addBookmark's parent= arg) —
+        /First//Last//Count//Prev//Next maintained per PDF 32000 §12.3.3
+      * links       -> /Annots on (page_idx, uri) -> URI action, OR
+        (page_idx, dest_page[, rect[, fit]]) -> internal GoTo /Dest
+        (reference addLink: rect + border + fit modes)
+      * named_dests -> /Names//Dests name tree of (name, page_idx)
+      * javascript  -> document-open JS: /OpenAction action + a
+        /Names//JavaScript entry (reference addJS)
       * user_password (+ optional owner_password) -> standard security
-        handler; the file /ID derives from the title so output stays
-        deterministic across executors (a Spark operator must be pure).
+        handler; all key material derives from a per-document content
+        digest so output stays deterministic across executors (a Spark
+        operator must be pure) while no two documents share keys/IVs.
     """
     import hashlib
 
@@ -170,14 +182,18 @@ def spans_to_pdf(
         dg.update((title or "").encode("utf-8") + b"\x00")
         for payload in page_payloads:
             dg.update(payload + b"\x00")
-        for bm_title, bm_page in bookmarks or ():
-            dg.update(f"bm:{bm_title}:{bm_page}".encode("utf-8"))
+        for bm in bookmarks or ():
+            dg.update(repr(bm).encode("utf-8"))
         for link in links or ():
             dg.update(repr(link).encode("utf-8"))
         for att_name, att_data in attachments or ():
             dg.update(att_name.encode("utf-8") + b"\x00" + bytes(att_data))
         for f_name, f_value in form_fields or ():
             dg.update(f"ff:{f_name}:{f_value}".encode("utf-8"))
+        for nd_name, nd_page in named_dests or ():
+            dg.update(f"nd:{nd_name}:{nd_page}".encode("utf-8"))
+        if javascript:
+            dg.update(b"js:" + javascript.encode("utf-8"))
         dg.update(encryption.encode())
         doc_digest = dg.digest()
         file_id = hashlib.md5(b"sparkpdf:" + doc_digest).digest()
@@ -277,17 +293,38 @@ def spans_to_pdf(
         res += b" /XObject << " + b" ".join(xo_entries) + b" >>"
     res += b" >>"
 
-    # link annotations (before pages so page bodies can reference them)
+    # link annotations (before pages so page bodies can reference them);
+    # GoTo /Dest arrays need FORWARD page refs — page object numbers are
+    # fixed once the annot count is known, so compute the base up front
+    def _num(v) -> bytes:
+        f = float(v)
+        return b"%d" % int(f) if f.is_integer() else repr(f).encode()
+
+    n_pages = len(content_refs)
+    first_page_obj = len(bodies) + len(links or ()) + 1
     annots_by_page: Dict[int, List[int]] = {}
-    for page_idx, uri in links or ():
+    for link in links or ():
+        page_idx, target = link[0], link[1]
         idn = len(bodies) + 1
-        ann = add(
-            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20]"
-            b" /A << /S /URI /URI " + lit_str(idn, uri) + b" >> >>"
-        )
+        if isinstance(target, str):  # URI action (reference addURI)
+            ann = add(
+                b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20]"
+                b" /A << /S /URI /URI " + lit_str(idn, target) + b" >> >>"
+            )
+        else:  # internal GoTo (reference addLink:1061-1145)
+            rect = link[2] if len(link) > 2 and link[2] is not None else (0, 0, 100, 20)
+            fit = link[3] if len(link) > 3 and link[3] else "/Fit"
+            dest_obj = first_page_obj + min(max(int(target), 0), n_pages - 1)
+            ann = add(
+                b"<< /Type /Annot /Subtype /Link /Rect ["
+                + b" ".join(_num(v) for v in rect)
+                + b"] /Border [0 0 0] /Dest [%d 0 R " % dest_obj
+                + fit.encode("ascii") + b"] >>"
+            )
         annots_by_page.setdefault(page_idx, []).append(ann)
 
     pages_num = len(bodies) + len(content_refs) + 1
+    assert len(bodies) + 1 == first_page_obj
     page_refs = []
     for page_idx, cref in enumerate(content_refs):
         extra = b""
@@ -312,28 +349,58 @@ def spans_to_pdf(
         + b" /MediaBox [0 0 612 792] >>"
     ) == pages_num
 
-    # flat bookmark chain (after pages: items hold /Dest page refs)
+    # bookmark TREE (after pages: items hold /Dest page refs). Items are
+    # (title, page_idx) roots or (title, page_idx, parent_idx) children
+    # of the item at parent_idx — /First//Last//Prev//Next//Count per
+    # PDF 32000 §12.3.3 (parity: addBookmark parent=, _writer.py:768-842
+    # via TreeObject.addChild)
     outlines_num = None
     if bookmarks:
         n_bm = len(bookmarks)
         first_bm = len(bodies) + 1
         outlines_num = first_bm + n_bm
-        for k, (bm_title, page_idx) in enumerate(bookmarks):
+        items = []
+        for k, bm in enumerate(bookmarks):
+            par = bm[2] if len(bm) > 2 else None
+            if par is not None and not (0 <= int(par) < n_bm and int(par) != k):
+                par = None  # out-of-range / self parent -> root
+            items.append((bm[0], bm[1], par))
+        if all(par is not None for _t, _p, par in items):
+            # parent cycle with no root: force the first item to root
+            items[0] = (items[0][0], items[0][1], None)
+        children: Dict[int, List[int]] = {}  # parent idx (-1 = root) -> kids
+        for k, (_t, _p, par) in enumerate(items):
+            children.setdefault(-1 if par is None else int(par), []).append(k)
+
+        def obj_of(k: int) -> int:
+            return first_bm + k
+
+        for k, (bm_title, page_idx, par) in enumerate(items):
             idn = len(bodies) + 1
             pg = page_refs[min(max(page_idx, 0), len(page_refs) - 1)]
+            sibs = children[-1 if par is None else int(par)]
+            pos = sibs.index(k)
             parts = [
                 b"<< /Title " + lit_str(idn, bm_title),
-                b"/Parent %d 0 R" % outlines_num,
+                b"/Parent %d 0 R"
+                % (outlines_num if par is None else obj_of(int(par))),
                 b"/Dest [%d 0 R /Fit]" % pg,
             ]
-            if k > 0:
-                parts.append(b"/Prev %d 0 R" % (first_bm + k - 1))
-            if k < n_bm - 1:
-                parts.append(b"/Next %d 0 R" % (first_bm + k + 1))
+            if pos > 0:
+                parts.append(b"/Prev %d 0 R" % obj_of(sibs[pos - 1]))
+            if pos < len(sibs) - 1:
+                parts.append(b"/Next %d 0 R" % obj_of(sibs[pos + 1]))
+            kids = children.get(k)
+            if kids:
+                parts.append(
+                    b"/First %d 0 R /Last %d 0 R /Count %d"
+                    % (obj_of(kids[0]), obj_of(kids[-1]), len(kids))
+                )
             add(b" ".join(parts) + b" >>")
+        roots = children.get(-1, [])
         assert add(
             b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
-            % (first_bm, first_bm + n_bm - 1, n_bm)
+            % (obj_of(roots[0]), obj_of(roots[-1]), n_bm)
         ) == outlines_num
 
     # embedded files (parity: addAttachment, _writer.py:280-358):
@@ -364,18 +431,48 @@ def spans_to_pdf(
             )
         )
 
+    # document-open JavaScript action (parity: addJS, _writer.py:237-279
+    # — /OpenAction + a /Names//JavaScript name-tree entry)
+    js_num = None
+    if javascript:
+        idn = len(bodies) + 1
+        js_num = add(
+            b"<< /Type /Action /S /JavaScript /JS "
+            + lit_str(idn, javascript) + b" >>"
+        )
+
     # root-resident strings (name-tree keys) encrypt with the ROOT's
     # object key — so all pre-root objects must already be added here
-    names_extra = b""
+    names_parts: List[bytes] = []
+    root_id = len(bodies) + 1
     if name_pairs:
-        root_id = len(bodies) + 1
-        names_extra = (
-            b" /Names << /EmbeddedFiles << /Names ["
+        names_parts.append(
+            b"/EmbeddedFiles << /Names ["
             + b" ".join(
                 lit_str(root_id, n) + b" %d 0 R" % s for n, s in name_pairs
             )
-            + b"] >> >>"
+            + b"] >>"
         )
+    if named_dests:
+        # name-tree keys must be lexicographically sorted (§7.9.6);
+        # values are inline [page /Fit] arrays (parity:
+        # addNamedDestination, _writer.py:852-869)
+        entries = []
+        for nd_name, nd_page in sorted(named_dests, key=lambda t: t[0]):
+            pg = page_refs[min(max(int(nd_page), 0), len(page_refs) - 1)]
+            entries.append(lit_str(root_id, nd_name) + b" [%d 0 R /Fit]" % pg)
+        names_parts.append(b"/Dests << /Names [" + b" ".join(entries) + b"] >>")
+    if js_num:
+        names_parts.append(
+            b"/JavaScript << /Names ["
+            + lit_str(root_id, "js0") + b" %d 0 R" % js_num
+            + b"] >>"
+        )
+    names_extra = b""
+    if names_parts:
+        names_extra = b" /Names << " + b" ".join(names_parts) + b" >>"
+    if js_num:
+        names_extra += b" /OpenAction %d 0 R" % js_num
     acroform_extra = b""
     if field_refs:
         acroform_extra = (

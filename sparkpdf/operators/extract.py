@@ -412,6 +412,24 @@ def extract_attachments(pdf_raw: DataFrame) -> DataFrame:
     )
 
 
+JAVASCRIPT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("name", StringType()),
+        StructField("js", StringType()),
+    ]
+)
+
+
+def extract_javascript(pdf_raw: DataFrame) -> DataFrame:
+    """Document-open JavaScript projection (read side of addJS,
+    _writer.py:237-279): /Names//JavaScript entries + /OpenAction."""
+    kernel = _projection_batches(lambda doc: iter(doc.javascript()))
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        kernel, schema=JAVASCRIPT_SCHEMA
+    )
+
+
 XMP_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -537,6 +555,48 @@ def write_pdfs_enriched(
                         form_fields=[(f"wfld-{d}", f"wval-{d}")],
                         user_password=password,
                         encryption=encryption,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return interleaved.select("doc_id", "spans").mapInPandas(
+        gen, schema=PDF_RAW_SCHEMA
+    )
+
+
+def write_pdfs_navigation(interleaved: DataFrame) -> DataFrame:
+    """Write side of the NAVIGATION surface (VERDICT r2 items 3/4/8):
+    per doc a two-page PDF carrying a nested 2-level outline
+    (addBookmark parent=, _writer.py:768-842), an internal GoTo link
+    page 0 -> page 1 with rect+fit (addLink, _writer.py:1061-1145), a
+    URI link, a named destination (addNamedDestination,
+    _writer.py:852-869), and document-open JavaScript (addJS,
+    _writer.py:237-279). All values derive from doc_id so the DuckDB
+    oracle can recompute them."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.write import spans_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                d = str(doc_id)
+                page0 = [
+                    {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"]}
+                    for s in spans
+                ]
+                page1 = [{"kind": "text", "text": f"appendix {d}\n", "media_ref": None}]
+                out["doc_id"].append(d)
+                out["pdf_bytes"].append(
+                    spans_to_pdf(
+                        [page0, page1],
+                        bookmarks=[(f"root-{d}", 0), (f"child-{d}", 1, 0)],
+                        links=[
+                            (0, 1, (10, 10, 200, 30), "/Fit"),  # GoTo
+                            (1, f"https://example.org/n/{d}"),  # URI
+                        ],
+                        named_dests=[(f"nd-{d}", 1)],
+                        javascript=f"app.alert('{d}');",
                     )
                 )
             yield pd.DataFrame(out)

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Real Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-signatures, partitioning) with the actual image/audio decode STUBBED
-deterministically — the decode libraries are not in this container
-(see the module-level DECODERS registry: swapping in a real decoder is
-a one-line change per modality).
+signatures, partitioning) with REAL header decode for every modality:
+images parse their JPEG/PNG/GIF/TIFF container structures (plus a full
+G4 fax pixel decode), audio parses WAV/RIFF chunks, video parses
+MP4/ISO-BMFF boxes (kernels/media.py — no codec library needed).
+SAMPLE decode (pixels/PCM/frames) stays out of scope: payloads with
+codecs not present in this container raise NotImplementedError inside
+the kernel and quarantine to empty features (see DECODERS; swapping in
+a real codec is a one-line change per modality).
 
 media table schema:
     media(doc_id STRING, media_ref STRING, modality STRING,
@@ -49,6 +53,8 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", IntegerType()),
         StructField("sha8", StringType()),
         StructField("ink_ratio", DoubleType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("sample_rate", IntegerType()),
     ]
 )
 
@@ -69,16 +75,39 @@ def _decode_image(payload: bytes) -> dict:
     return meta
 
 
-def _unsupported(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "audio/video decode requires codecs not present in this container"
-    )
+def _decode_audio(payload: bytes) -> dict:
+    """REAL container decode for WAV/RIFF (kernels/media.wav_info):
+    sample rate, channels, bit depth, duration from the fmt/data
+    chunks. Non-WAV codecs (mp3/ogg/flac...) need decoders not present
+    in this container — they raise and quarantine to empty features."""
+    from ..kernels.media import wav_info
+
+    meta = wav_info(payload)
+    if meta is None:
+        raise NotImplementedError(
+            "audio decode beyond WAV requires codecs not in this container"
+        )
+    return meta
+
+
+def _decode_video(payload: bytes) -> dict:
+    """REAL container decode for MP4/ISO-BMFF (kernels/media.mp4_info):
+    duration from mvhd, frame dims from the first trak's tkhd. Other
+    containers (mkv/webm/avi...) raise and quarantine."""
+    from ..kernels.media import mp4_info
+
+    meta = mp4_info(payload)
+    if meta is None:
+        raise NotImplementedError(
+            "video decode beyond MP4 requires codecs not in this container"
+        )
+    return meta
 
 
 DECODERS = {
     "image": _decode_image,
-    "audio": _unsupported,
-    "video": _unsupported,
+    "audio": _decode_audio,
+    "video": _decode_video,
 }
 
 
@@ -154,6 +183,41 @@ def synthesize_g4_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_av_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL audio/video container per doc (WAV for
+    even doc_id, MP4 for odd) with formula metadata the oracle can
+    restate in SQL while the engine must parse the real binary headers:
+      WAV: sample_rate = 8000 + (d%8)*1000, duration_ms = 100 + d%400
+      MP4: width = 320 + (d%8)*16, height = 240 + (d%4)*16,
+           duration_ms = 500 + d%1000"""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_mp4, make_wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                if d % 2 == 0:
+                    modality = "audio"
+                    payload = make_wav(8000 + (d % 8) * 1000, 100 + d % 400)
+                else:
+                    modality = "video"
+                    payload = make_mp4(
+                        320 + (d % 8) * 16, 240 + (d % 4) * 16, 500 + d % 1000
+                    )
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"av-{d}")
+                out["modality"].append(modality)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k.name: [] for k in FEATURE_SCHEMA.fields}
@@ -176,6 +240,8 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["n_bytes"].append(len(payload))
             out["sha8"].append(hashlib.sha256(payload).hexdigest()[:8])
             out["ink_ratio"].append(meta.get("ink_ratio"))
+            out["duration_ms"].append(meta.get("duration_ms"))
+            out["sample_rate"].append(meta.get("sample_rate"))
         yield pd.DataFrame(out)
 
 

@@ -131,20 +131,37 @@ def chunk_documents(
 # interpret identically — no backrefs, no lookaround
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_LONGNUM = r"[0-9]{9,}"
+# RE2-portable (no lookaround/backrefs), so the DuckDB oracle and any
+# Flink/Trino port run the SAME patterns
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_PHONE = r"\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
 
 
 def pii_scrub(documents: DataFrame) -> DataFrame:
-    """Training-corpus PII pass: emails -> <EMAIL>, 9+-digit runs
-    (phone/SSN/account shapes) -> <NUM>; counts carried for audit.
-    Column expressions only (JVM regex, whole-stage codegen)."""
+    """Training-corpus PII pass: emails -> <EMAIL>, SSN-shaped
+    ddd-dd-dddd -> <SSN>, separator-delimited phone shapes -> <PHONE>,
+    9+-digit runs (account/card shapes) -> <NUM>; counts carried for
+    audit. Replacement order (email, SSN, phone, longnum) ensures no
+    class consumes another's match. Column expressions only (JVM regex,
+    whole-stage codegen)."""
     scrubbed = F.regexp_replace(
-        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_SSN,
+                "<SSN>",
+            ),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
         _PII_LONGNUM,
         "<NUM>",
     )
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.regexp_count("text", F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_SSN)).cast("int").alias("n_ssns"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
         F.regexp_count("text", F.lit(_PII_LONGNUM)).cast("int").alias("n_longnums"),
         scrubbed.alias("clean_text"),
     )

@@ -57,3 +57,59 @@ def make_gif(width: int, height: int) -> bytes:
         + b"\x00\x00\x00"
         + b"\x3b"
     )
+
+
+def make_wav(sample_rate: int, duration_ms: int, channels: int = 1,
+             bits: int = 8) -> bytes:
+    """Minimal valid RIFF/WAVE: fmt + data chunks, silence payload."""
+    n_bytes = sample_rate * duration_ms // 1000 * channels * (bits // 8)
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    data = b"data" + n_bytes.to_bytes(4, "little") + b"\x00" * n_bytes
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + typ + body
+
+
+def make_mp4(width: int, height: int, duration_ms: int,
+             timescale: int = 1000) -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd + trak(tkhd)); no mdat
+    (header-only probing is the point)."""
+    dur = duration_ms * timescale // 1000
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                 # version 0 + flags
+        + b"\x00" * 8                        # ctime, mtime
+        + timescale.to_bytes(4, "big")
+        + dur.to_bytes(4, "big")
+        + b"\x00\x01\x00\x00"                # rate 1.0
+        + b"\x01\x00" + b"\x00" * 10         # volume + reserved
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + b"\x00" * 24                       # unity matrix tail + predef
+        + (2).to_bytes(4, "big")             # next track id
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"                  # version 0, enabled flags
+        + b"\x00" * 8                        # ctime, mtime
+        + (1).to_bytes(4, "big")             # track id
+        + b"\x00" * 4                        # reserved
+        + dur.to_bytes(4, "big")
+        + b"\x00" * 16                       # reserved/layer/group/volume
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big")
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    return ftyp + moov

@@ -245,3 +245,34 @@ def test_image_dims_never_raises_fuzz():
         b += bytes(rng.randrange(256) for _ in range(rng.randrange(0, 16)))
         out = image_dims(bytes(b))
         assert out is None or isinstance(out, dict)
+
+
+def test_av_container_parsers():
+    """WAV/RIFF and MP4/ISO-BMFF header parsing (audio/video stub
+    closed): duration/rate/dims from container structures, truncated
+    and foreign payloads rejected cleanly."""
+    from sparkpdf.kernels.media import av_info, mp4_info, wav_info
+    from sparkpdf.testing.imagegen import make_mp4, make_png, make_wav
+
+    w = make_wav(12000, 250, channels=2, bits=16)
+    assert wav_info(w) == {
+        "format": "wav", "sample_rate": 12000, "channels": 2,
+        "bits": 16, "duration_ms": 250,
+    }
+    m = make_mp4(640, 360, 1500)
+    got = mp4_info(m)
+    assert (got["width"], got["height"], got["duration_ms"]) == (640, 360, 1500)
+    assert got["brand"] == "isom"
+    # sniffing: wrong container -> None, not an exception
+    assert wav_info(m) is None and mp4_info(w) is None
+    assert av_info(w)["format"] == "wav"
+    assert av_info(m)["format"] == "mp4"
+    assert av_info(make_png(4, 4)) is None
+    # truncation tolerance: no IndexError on any prefix
+    for n in range(0, len(m), 7):
+        mp4_info(m[:n])
+    for n in range(0, len(w), 7):
+        wav_info(w[:n])
+    # 64-bit largesize box and v1 mvhd parse too
+    big = (1).to_bytes(4, "big") + b"moov" + (16).to_bytes(8, "big")
+    assert mp4_info(m[:32] + big) is not None  # no crash on largesize

@@ -684,6 +684,39 @@ def test_dup_clusters_jaccard_gate(spark, docs):
     assert n_clusters > 1  # the gate prevented one mega-cluster
 
 
+def test_ngram_jaccard_lsh_blocking_bounds_fanout(spark):
+    """A metadata-skewed corpus (every doc same lang/source) must NOT go
+    quadratic: LSH-bucket blocking (the default) emits only bucket-
+    co-member candidates, while metadata blocking emits all N*(N-1)/2
+    — the r2 verdict's 'make the docstring the code' item."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import ngram_jaccard_pairs
+
+    n = 40
+    rows = [
+        Row(
+            doc_id=i,
+            lang="en",
+            source="web",
+            # disjoint vocabularies -> different LSH buckets
+            text=" ".join(f"tok{i}x{j}" for j in range(12)),
+        )
+        for i in range(n)
+    ]
+    # two real near-dups that must survive the LSH block
+    rows.append(Row(doc_id=n, lang="en", source="web", text=rows[0].text))
+    docs = spark.createDataFrame(rows)
+    lsh_pairs = ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    meta_pairs = ngram_jaccard_pairs(
+        docs, threshold=0.0, block="metadata"
+    ).count()
+    assert meta_pairs == (n + 1) * n // 2  # quadratic in the block
+    assert len(lsh_pairs) < meta_pairs / 10  # bucket-bounded
+    assert any(
+        {p.doc_a, p.doc_b} == {0, n} and p.jaccard == 1.0 for p in lsh_pairs
+    )
+
+
 def test_stream_windows_watermark_drops_late(spark, tmp_path):
     """Append-mode windowed agg: a row arriving behind the watermark is
     DROPPED; closed windows emit exactly once."""

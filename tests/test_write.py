@@ -187,3 +187,60 @@ def test_write_form_fields_encrypted_and_reference():
     acro = r.trailer["/Root"]["/AcroForm"]
     f0 = acro["/Fields"][0].getObject()
     assert f0["/T"] == b"name" and f0["/V"] == b"Ada"
+
+
+def test_write_navigation_reference_parity():
+    """Nested outlines, named destinations, internal GoTo links and
+    addJS: the REFERENCE reads back everything we write (parity:
+    addBookmark parent=/_writer.py:768-842, addNamedDestination:852-869,
+    addLink:1061-1145, addJS:237-279), including under encryption."""
+    import io
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.testing.reference import load_reference
+
+    pages = [
+        [{"kind": "text", "text": "front\n", "media_ref": None}],
+        [{"kind": "text", "text": "back\n", "media_ref": None}],
+    ]
+    kwargs = dict(
+        bookmarks=[("rootA", 0), ("kidA1", 1, 0), ("kidA2", 1, 0), ("rootB", 1)],
+        links=[(0, 1, (10, 10, 200, 30), "/Fit"), (1, "https://e.org/x")],
+        named_dests=[("zz", 1), ("aa", 0)],
+        javascript="app.alert('hi');",
+    )
+    pdf = spans_to_pdf(pages, **kwargs)
+
+    # reference reads the TREE (nesting as sub-lists), dests, link
+    ref = load_reference()
+    r = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    ol = r.getOutlines()
+    assert [o.title for o in (ol[0], ol[2])] == [b"rootA", b"rootB"]
+    assert [o["/Title"] for o in ol[1]] == [b"kidA1", b"kidA2"]  # nested
+    assert r.getDestinationPageNumber(ol[1][0]) == 1
+    nds = r.getNamedDestinations()
+    assert {k: r.getDestinationPageNumber(v) for k, v in nds.items()} == {
+        b"aa": 0, b"zz": 1
+    }
+    a0 = r.getPage(0)["/Annots"][0].getObject()
+    assert list(a0["/Rect"]) == [10, 10, 200, 30]
+    assert a0["/Dest"][1] == "/Fit" and a0["/Border"] == [0, 0, 0]
+    js_names = r.trailer["/Root"]["/Names"]["/JavaScript"]["/Names"]
+    assert js_names[1].getObject()["/JS"] == b"app.alert('hi');"
+
+    # our reader agrees, and the surface survives encryption
+    for pw in (None, b"pw"):
+        enc = spans_to_pdf(pages, user_password=pw, **kwargs)
+        doc = PdfDocument(enc, password=pw or b"")
+        assert [(o["title"], o["level"], o["page_no"]) for o in doc.outlines()] == [
+            ("rootA", 0, 0), ("kidA1", 1, 1), ("kidA2", 1, 1), ("rootB", 0, 1)
+        ]
+        assert [(n["name"], n["page_no"]) for n in doc.named_destinations()] == [
+            ("aa", 0), ("zz", 1)
+        ]
+        ln = doc.link_annotations()
+        assert (ln[0]["dest_page"], ln[1]["uri"]) == (1, "https://e.org/x")
+        assert doc.javascript() == [{"name": "js0", "js": "app.alert('hi');"}]
+    # determinism (pure Spark writer)
+    assert pdf == spans_to_pdf(pages, **kwargs)
