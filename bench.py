@@ -55,8 +55,10 @@ def bench_corpus(spark, sf_dir: str, mult: int):
 
 
 def timed_extraction(
-    spark, sf_dir: str, mult: int, cpus: int, iterations: int = 2
+    spark, sf_dir: str, mult: int, cpus: int, iterations: int = 3
 ) -> dict:
+    # best-of-3: this VM shows ±30% run-to-run noise (BENCH/BASELINE.md)
+    # — two samples routinely both land slow; three rarely do
     from pyspark.sql import functions as F
 
     from sparkpdf.operators.extract import extract_spans
