@@ -95,11 +95,20 @@ _NAME = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 # fused hot-loop scanners (parse_dict / parse_object):
 # one C-level match replaces ws-skip + name + ws-skip per dict key, and
 # one match resolves the Ref-vs-number ambiguity for numeric operands
-_DICT_KEY = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
-    rb"(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+# one C-level match per dict-loop iteration: ws/comments then EITHER
+# the closing >> or the next /key (with its trailing ws folded in).
+# NB the ws runs are POSSESSIVE (`*+`, Python 3.11): a greedy
+# `(?:[ws]+|%...)*` before a required token backtracks exponentially
+# when that token is absent (hypothesis found the hang); possessive
+# quantifiers keep C-speed run matching with zero backtracking.
+_WS_RUN = rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)*+"
+_DICT_NEXT = re.compile(
+    _WS_RUN
+    + rb"(?:(>>)|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*+)"
+    + _WS_RUN + rb")"
 )
+# array-loop iteration: ws/comments then the closing ] if present
+_ARR_NEXT = re.compile(_WS_RUN + rb"(\])?")
 _REF_OR_NUMBER = re.compile(
     rb"(?:(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z]))"
     rb"|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
@@ -140,9 +149,20 @@ _SIMPLE_ESCAPES = {
 }
 
 
+_WS_BYTES = frozenset(b"\x00\t\n\x0c\r ")
+
+
 def skip_ws(buf: bytes, pos: int) -> int:
-    m = _WS_COMMENT.match(buf, pos)
-    return m.end() if m else pos
+    # fast path: whitespace runs here are almost always 0-2 plain
+    # chars — a byte loop beats a regex call until a %-comment appears
+    n = len(buf)
+    p = pos
+    while p < n and buf[p] in _WS_BYTES:
+        p += 1
+    if p < n and buf[p] == 0x25:  # '%' comment: full regex handling
+        m = _WS_COMMENT.match(buf, pos)
+        return m.end() if m else pos
+    return p
 
 
 def make_string(raw: bytes):
@@ -245,22 +265,21 @@ def parse_dict(buf: bytes, pos: int, resolve: Optional[Callable] = None):
     """<< /K v ... >> , optionally followed by a stream body."""
     if buf[pos : pos + 2] != b"<<":
         raise PdfError(f"expected '<<' at {pos}")
-    pos = skip_ws(buf, pos + 2)
+    pos += 2
     d: dict = {}
-    key_scan = _DICT_KEY.match
+    nxt = _DICT_NEXT.match
     n_buf = len(buf)
     while True:
-        if buf[pos : pos + 2] == b">>":
-            pos += 2
-            break
-        if pos >= n_buf:
-            raise PdfError("unterminated dictionary")
-        m = key_scan(buf, pos)
-        if not m:  # the name group is mandatory: no '/' -> no match
+        m = nxt(buf, pos)
+        if not m:  # neither '>>' nor a '/key' after the whitespace
+            if skip_ws(buf, pos) >= n_buf:
+                raise PdfError("unterminated dictionary")
             raise PdfError(f"expected name at {pos}")
-        key = Name(m.group(1).decode("utf-8", "surrogateescape"))
+        if m.group(1):  # '>>'
+            pos = m.end()
+            break
+        key = Name(m.group(2).decode("utf-8", "surrogateescape"))
         val, pos = parse_object(buf, m.end(), resolve)
-        pos = skip_ws(buf, pos)
         d.setdefault(key, val)  # duplicate keys: first wins, tolerated
     # stream body? (generic.py:878-949)
     save = pos
@@ -298,15 +317,18 @@ def parse_dict(buf: bytes, pos: int, resolve: Optional[Callable] = None):
 def parse_array(buf: bytes, pos: int, resolve: Optional[Callable] = None):
     if buf[pos : pos + 1] != b"[":
         raise PdfError(f"expected '[' at {pos}")
-    pos = skip_ws(buf, pos + 1)
+    pos += 1
     arr = []
+    nxt = _ARR_NEXT.match
+    n_buf = len(buf)
     while True:
-        if buf[pos : pos + 1] == b"]":
-            return arr, pos + 1
-        if pos >= len(buf):
+        m = nxt(buf, pos)  # always matches (possibly empty)
+        if m.group(1):  # ']'
+            return arr, m.end()
+        pos = m.end()
+        if pos >= n_buf:
             raise PdfError("unterminated array")
         val, pos = parse_object(buf, pos, resolve)
-        pos = skip_ws(buf, pos)
         arr.append(val)
 
 

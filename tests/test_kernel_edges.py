@@ -276,3 +276,19 @@ def test_av_container_parsers():
     # 64-bit largesize box and v1 mvhd parse too
     big = (1).to_bytes(4, "big") + b"moov" + (16).to_bytes(8, "big")
     assert mp4_info(m[:32] + big) is not None  # no crash on largesize
+
+
+def test_dict_scanner_linear_on_ws_bomb():
+    """A long whitespace run followed by a non-key byte must fail FAST:
+    the combined dict/array scanners use single-char ws alternation —
+    the (ws+|comment)* shape backtracks exponentially here."""
+    import time
+
+    bomb = b"<< " + b" " * 4000 + b"x >>"
+    t0 = time.time()
+    with pytest.raises(cos.PdfError):
+        cos.parse_dict(bomb, 0)
+    arr_bomb = b"[" + b" " * 4000 + b"\x07]"
+    with pytest.raises(cos.PdfError):
+        cos.parse_array(arr_bomb, 0)
+    assert time.time() - t0 < 1.0  # exponential blowup would hang
