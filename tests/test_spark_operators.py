@@ -164,6 +164,49 @@ def test_media_features_real_decode(spark, docs):
         assert r.width == 16 + d % 32 and r.height == 8 + d % 16
 
 
+def test_av_media_features_and_quarantine(spark, docs):
+    """Audio/video modality dispatch: WAV/MP4 containers yield real
+    header metadata; foreign/corrupt payloads quarantine to empty
+    features (NotImplementedError inside the kernel, never a dead
+    task)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_av_media,
+    )
+
+    feats = extract_media_features(synthesize_av_media(docs)).collect()
+    assert len(feats) == 60
+    for r in feats:
+        d = int(r.doc_id)
+        if d % 2 == 0:
+            assert r.modality == "audio" and r.format == "wav"
+            assert r.sample_rate == 8000 + (d % 8) * 1000
+            assert r.duration_ms == 100 + d % 400
+            assert r.width is None and r.height is None
+        else:
+            assert r.modality == "video" and r.format == "mp4"
+            assert r.duration_ms == 500 + d % 1000
+            assert r.width == 320 + (d % 8) * 16
+            assert r.height == 240 + (d % 4) * 16
+            assert r.sample_rate is None
+    # quarantine: an mp3-ish payload under 'audio' and garbage 'video'
+    bad = spark.createDataFrame(
+        [
+            Row(doc_id="x1", media_ref="a", modality="audio",
+                payload=bytearray(b"ID3\x04rubbish")),
+            Row(doc_id="x2", media_ref="v", modality="video",
+                payload=bytearray(b"\x00\x00\x00\x00junk")),
+        ],
+        "doc_id string, media_ref string, modality string, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_media_features(bad).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r.format is None and r.duration_ms is None
+        assert r.n_bytes > 0 and r.sha8  # row survives, features empty
+
+
 def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
     """File-source streaming: drain with availableNow, add more files,
     drain again — every doc extracted exactly once (checkpointed)."""
