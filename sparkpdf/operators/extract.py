@@ -92,11 +92,83 @@ def _extract_batches_fn(password: bytes = b""):
 _extract_batches = _extract_batches_fn()  # default: no password
 
 
+def _extract_batches_arrow_fn(password: bytes = b""):
+    """Arrow-native kernel adapter (mapInArrow): spans are assembled as
+    one flat StructArray + a ListArray offset vector per batch instead
+    of per-row Python lists-of-tuples boxed through pandas object
+    columns. Measured only ~1.03x over mapInPandas at local[32] (the
+    nested-output cost is dominated by IPC transfer volume, which both
+    paths share) — kept because it removes pandas object boxing from
+    the hottest loop and is byte-identical in output (tested)."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..kernels.extract import extract_doc
+
+        for rb in batches:
+            doc_ids = rb.column(0)
+            blobs = rb.column(1)
+            out_ids = []
+            kinds: list = []
+            texts: list = []
+            mrefs: list = []
+            offs: list = []
+            list_offsets = [0]
+            n_pages = []
+            n_bytes = []
+            errors = []
+            for doc_id, blob in zip(doc_ids, blobs):
+                data = blob.as_py() if blob.is_valid else b""
+                res = extract_doc(data, password=password)
+                out_ids.append(str(doc_id))
+                for s in res["spans"]:
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    mrefs.append(s["media_ref"])
+                    offs.append(s["offset"])
+                list_offsets.append(len(kinds))
+                n_pages.append(res["n_pages"])
+                n_bytes.append(len(data))
+                errors.append(res["error"])
+            spans = pa.ListArray.from_arrays(
+                pa.array(list_offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(kinds, type=pa.string()),
+                        pa.array(texts, type=pa.string()),
+                        pa.array(mrefs, type=pa.string()),
+                        pa.array(offs, type=pa.int32()),
+                    ],
+                    names=["kind", "text", "media_ref", "offset"],
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    spans,
+                    pa.array(n_pages, type=pa.int32()),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(errors, type=pa.string()),
+                ],
+                names=["doc_id", "spans", "n_pages", "n_bytes", "error"],
+            )
+
+    return gen
+
+
 def extract_spans(pdf_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """pdf_raw(doc_id, pdf_bytes, ...) -> documents_interleaved.
     `password` decrypts standard-security-handler docs (C3)."""
-    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
-        _extract_batches_fn(password) if password else _extract_batches,
+    import os
+
+    if os.environ.get("SPARKPDF_PANDAS_SPANS"):  # comparison/debug path
+        return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+            _extract_batches_fn(password) if password else _extract_batches,
+            schema=INTERLEAVED_SCHEMA,
+        )
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInArrow(
+        _extract_batches_arrow_fn(password),
         schema=INTERLEAVED_SCHEMA,
     )
 
