@@ -198,3 +198,23 @@ def test_op_roundtrip_framings():
     ):
         ops = tokenize(stream)
         assert tokenize(serialize_ops(ops)) == ops
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_av_parsers_never_raise(data):
+    """wav_info/mp4_info/av_info must return dict-or-None on ANY bytes
+    — fuzzed garbage, truncations, and magic-prefixed noise included
+    (quarantine discipline: the feature kernel relies on it)."""
+    from sparkpdf.kernels.media import av_info, mp4_info, wav_info
+
+    for probe in (
+        data,
+        b"RIFF" + data,
+        b"RIFF\x10\x00\x00\x00WAVE" + data,
+        data[:4] + b"ftyp" + data[4:],
+        (8).to_bytes(4, "big") + b"ftyp" + data,
+    ):
+        for fn in (wav_info, mp4_info, av_info):
+            out = fn(probe)
+            assert out is None or isinstance(out, dict)
