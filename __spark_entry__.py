@@ -182,7 +182,9 @@ def q_write_enriched(spark, sf_dir):
         write_pdfs_enriched,
     )
 
-    enriched = write_pdfs_enriched(extract_spans(_corpus(spark, sf_dir)))
+    # three projections read the same written table: persist (see
+    # q_write_navigation)
+    enriched = write_pdfs_enriched(extract_spans(_corpus(spark, sf_dir))).persist()
     ol = extract_outlines(enriched).select(
         "doc_id", F.col("title").alias("bm_title")
     )
@@ -371,7 +373,9 @@ def q_write_navigation(spark, sf_dir):
         write_pdfs_navigation,
     )
 
-    nav = write_pdfs_navigation(extract_spans(_corpus(spark, sf_dir)))
+    # four projections read the same written table: persist it so one
+    # driver action runs the write mapInPandas once, not four times
+    nav = write_pdfs_navigation(extract_spans(_corpus(spark, sf_dir))).persist()
     ol = (
         extract_outlines(nav)
         .groupBy("doc_id")

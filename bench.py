@@ -207,7 +207,13 @@ def main():
         corpus_dir = os.path.join(tempfile.gettempdir(), "sparkpdf_bench_corpus")
         spark2 = get_spark("bench-corpus", cpus=CPUS)
         spark2.sparkContext.setLogLevel("ERROR")
-        bench_corpus(spark2, SF_DIR, MULT * 2).repartition(128).write.mode(
+        from pyspark.sql import functions as F
+
+        # partitioned by quarter so the multi-JVM pair below can hand
+        # each worker a disjoint slice without a filter scan
+        bench_corpus(spark2, SF_DIR, MULT * 2).withColumn(
+            "q", F.pmod(F.hash("doc_id"), F.lit(4))
+        ).repartition(128).write.partitionBy("q").mode(
             "overwrite"
         ).parquet(corpus_dir)
         spark2.stop()
@@ -235,7 +241,6 @@ def main():
         lo = max(mid // 4, 1)
         levels = sorted({lo, mid, hi})
         runs = {c: run_worker(c) for c in levels}
-        shutil.rmtree(corpus_dir, ignore_errors=True)
         pairs = {}
         for lo_cpus, hi_cpus in ((lo, mid), (mid, hi)):
             if lo_cpus == hi_cpus:
@@ -254,6 +259,50 @@ def main():
                     "mb_per_sec_hi": r_hi["mb_per_sec"],
                     "efficiency": round(eff, 3),
                 }
+        # multi-JVM N->4N analog: the 1-process local[lo] run above vs
+        # `lo*4` cores as FOUR CONCURRENT local[lo] JVMs on disjoint
+        # corpus quarters — separate processes are the honest executor
+        # model and sidestep the shared-JVM ceiling that caps the
+        # in-process top pair (BENCH/BASELINE.md). Aggregate throughput
+        # = sum of the concurrent workers' best passes.
+        if (
+            os.environ.get("SPARKPDF_BENCH_MULTIJVM", "1") != "0"
+            and runs.get(lo, {}).get("docs_per_sec")
+        ):
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--scaling-worker", str(lo),
+                     os.path.join(corpus_dir, f"q={k}")],
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    text=True,
+                    env={**os.environ, "SPARKPDF_BENCH_SCALING": "0"},
+                )
+                for k in range(4)
+            ]
+            outs = []
+            for p in procs:
+                raw = (p.communicate()[0] or "").strip()
+                if raw:
+                    outs.append(json.loads(raw.splitlines()[-1]))
+            if len(outs) == 4 and all(o.get("docs_per_sec") for o in outs):
+                agg_docs = sum(o["docs_per_sec"] for o in outs)
+                agg_mb = sum(o["mb_per_sec"] for o in outs)
+                base = runs[lo]
+                pairs[f"{lo}to{lo * 4}_multijvm"] = {
+                    "cpus_lo": lo,
+                    "cpus_hi": lo * 4,
+                    "jvms_hi": 4,
+                    "docs_per_sec_lo": base["docs_per_sec"],
+                    "docs_per_sec_hi": round(agg_docs, 1),
+                    "mb_per_sec_lo": base["mb_per_sec"],
+                    "mb_per_sec_hi": round(agg_mb, 2),
+                    "efficiency": round(
+                        agg_docs / (4 * base["docs_per_sec"]), 3
+                    ),
+                }
+        shutil.rmtree(corpus_dir, ignore_errors=True)
         if pairs:
             headline = pairs.get(f"{lo}to{mid}") or next(iter(pairs.values()))
             result["scaling"] = {**headline, "pairs": pairs}
