@@ -1,0 +1,96 @@
+"""Production ANN batch job: build an IVF index over an embedding
+table, run top-k cosine queries against it, persist both.
+
+    spark-submit --py-files sparkpdf.zip jobs/ann_job.py \
+        --embeddings /data/embeddings    (parquet: vec_id, embedding) \
+        --output /data/ann \
+        [--n-lists 8] [--n-iters 2] [--nprobe 1] [--k 3] [--queries 4] \
+        [--exact]
+
+Outputs under --output:
+    index/    (vec_id, centroid_id, unit)  — the inverted lists; at
+              cluster scale this IS the reusable index artifact:
+              downstream query jobs read it and broadcast only their
+              query vectors
+    topk/     (query_id, neighbor_id, rank)
+plus ONE summary JSON line on stdout.
+
+Scale shape (SURVEY §4.3): centroids broadcast; the search join fans
+in nprobe * corpus/n_lists rows per query, never the whole corpus;
+--exact switches to the brute-force baseline for recall audits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--embeddings", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-lists", type=int, default=8)
+    ap.add_argument("--n-iters", type=int, default=2)
+    ap.add_argument("--nprobe", type=int, default=1)
+    ap.add_argument("--k", type=int, default=3)
+    ap.add_argument("--queries", type=int, default=4)
+    ap.add_argument("--exact", action="store_true",
+                    help="brute-force baseline instead of IVF")
+    args = ap.parse_args(argv)
+
+    from sparkpdf.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_ivf_assignments,
+    )
+    from sparkpdf.session import get_spark
+
+    spark = get_spark("sparkpdf-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    emb = spark.read.parquet(args.embeddings)
+
+    if args.exact:
+        topk = brute_force_topk(
+            emb, n_queries=args.queries, k=args.k
+        )
+        index_rows = 0
+    else:
+        index = kmeans_ivf_assignments(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters
+        )
+        index.write.mode("overwrite").parquet(
+            os.path.join(args.output, "index")
+        )
+        index_rows = spark.read.parquet(
+            os.path.join(args.output, "index")
+        ).count()
+        topk = ivf_topk(
+            emb,
+            n_lists=args.n_lists,
+            n_queries=args.queries,
+            k=args.k,
+            nprobe=args.nprobe,
+        )
+    topk.write.mode("overwrite").parquet(os.path.join(args.output, "topk"))
+    n_results = spark.read.parquet(os.path.join(args.output, "topk")).count()
+    print(
+        json.dumps(
+            {
+                "mode": "exact" if args.exact else "ivf",
+                "index_rows": index_rows,
+                "queries": args.queries,
+                "k": args.k,
+                "results": n_results,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
