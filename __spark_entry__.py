@@ -935,6 +935,23 @@ def q_media_dims(spark, sf_dir):
     ).select("doc_id", F.col("format").alias("fmt"), "width", "height")
 
 
+def q_png_pixel_stats(spark, sf_dir):
+    # REAL PNG pixel decode (zlib + in-house PNG row filters): mean
+    # ITU-R 601 luminance in integer arithmetic, restated pixel-by-pixel
+    # in SQL — the engine must actually unfilter the scanlines to match
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_image_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_image_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.filter(F.col("format") == "png").select(
+        "doc_id", "width", "height", "mean_luma"
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of IVF(nprobe=2) against the exact cosine baseline —
     # the ANN quality metric as a first-class, oracle-replayable query
@@ -1042,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": q_media_dims,
         "av_media_features": q_av_media_features,
         "ann_recall": q_ann_recall,
+        "png_pixel_stats": q_png_pixel_stats,
         "ccitt_ink_ratio": q_ccitt_ink_ratio,
         "xmp_project": q_xmp_project,
         "viewer_prefs": q_viewer_prefs,
@@ -2002,6 +2020,33 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e LEFT JOIN approx a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
+    """
+    # png_pixel_stats: make_png plants byte (x*3+y)%256 at byte-index x
+    # of row y (R of pixel p = (9p+y)%256, G = (9p+3+y)%256, B =
+    # (9p+6+y)%256); the oracle re-derives the integer luminance sum
+    # pixel-by-pixel while the engine must inflate + unfilter the real
+    # scanlines to reproduce it
+    sql["png_pixel_stats"] = """
+        WITH imgs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(16 + doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS height
+            FROM documents WHERE doc_id % 2 = 0
+        ), xs AS (
+            SELECT doc_id, width, height,
+                   unnest(range(0, width)) AS px
+            FROM imgs
+        ), xy AS (
+            SELECT doc_id, width, height, px,
+                   unnest(range(0, height)) AS y
+            FROM xs
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(299 * ((9 * px + y) % 256)
+                       + 587 * ((9 * px + 3 + y) % 256)
+                       + 114 * ((9 * px + 6 + y) % 256))
+                     / (1000.0 * width * height), 6) AS mean_luma
+        FROM xy GROUP BY doc_id, width, height
     """
     # av_media_features: expected WAV/MP4 container metadata restated by
     # formula; the engine must parse the real RIFF chunks / BMFF boxes

@@ -269,3 +269,80 @@ def av_info(b: bytes) -> Optional[dict]:
     if not b:
         return None
     return wav_info(b) or mp4_info(b)
+
+
+# --- PNG pixel decode (round 3) ----------------------------------------------
+# The engine already owns both halves: zlib inflate and the PNG row
+# filters (kernels/filters._apply_predictor implements Sub/Up/Average/
+# Paeth for arbitrary colors). Wiring them to the PNG container turns
+# "header decode only" into real pixel access with no codec library.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
+
+
+def png_pixels(b: bytes):
+    """Decode an 8-bit non-interlaced PNG (gray/RGB/gray+A/RGBA) to
+    (width, height, channels, pixel_bytes). Returns None for other
+    depths/interlace/malformed files — quarantine-friendly."""
+    import zlib as _zlib
+
+    d = png_dims(b)
+    if d is None or len(b) < 33:
+        return None
+    depth, ctype, interlace = b[24], b[25], b[28]
+    ch = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or ch is None or interlace != 0:
+        return None
+    # walk chunks, concatenating IDAT payloads
+    idat = bytearray()
+    i = 8
+    n = len(b)
+    while i + 8 <= n:
+        ln = int.from_bytes(b[i:i + 4], "big")
+        tag = b[i + 4:i + 8]
+        if tag == b"IDAT":
+            idat += b[i + 8:i + 8 + ln]
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + payload + crc
+    if not idat:
+        return None
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error:
+        return None
+    w, h = d["width"], d["height"]
+    if len(raw) != h * (1 + w * ch):
+        return None
+    from .filters import _apply_predictor
+
+    try:
+        pix = _apply_predictor(
+            raw,
+            {"/Predictor": 15, "/Colors": ch, "/BitsPerComponent": 8,
+             "/Columns": w},
+        )
+    except Exception:
+        return None
+    return w, h, ch, pix
+
+
+def png_mean_luma(b: bytes):
+    """Mean ITU-R 601 luminance of a PNG, in INTEGER arithmetic
+    (sum of 299R+587G+114B per pixel, ONE division at the end, rounded
+    6dp) so a SQL oracle restates it bit-for-bit — float summation
+    order never enters."""
+    import numpy as _np
+
+    decoded = png_pixels(b)
+    if decoded is None:
+        return None
+    w, h, ch, pix = decoded
+    arr = _np.frombuffer(pix, dtype=_np.uint8).reshape(h, w, ch).astype(_np.int64)
+    if ch >= 3:
+        total = int(
+            (arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114).sum()
+        )
+    else:  # grayscale (+alpha): weights collapse onto the single sample
+        total = int(arr[..., 0].sum() * 1000)
+    return round(total / (1000.0 * w * h), 6)

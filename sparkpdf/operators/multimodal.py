@@ -55,6 +55,7 @@ FEATURE_SCHEMA = StructType(
         StructField("ink_ratio", DoubleType()),
         StructField("duration_ms", IntegerType()),
         StructField("sample_rate", IntegerType()),
+        StructField("mean_luma", DoubleType()),
     ]
 )
 
@@ -65,13 +66,18 @@ def _decode_image(payload: bytes) -> dict:
     codec library needed. Group-4 TIFF payloads additionally get a full
     MMR pixel decode (kernels/ccitt_g4) and report ink_ratio.
     Unrecognised payloads report no dimensions."""
-    from ..kernels.media import image_dims, ink_ratio
+    from ..kernels.media import image_dims, ink_ratio, png_mean_luma
 
     meta = image_dims(payload) or {}
     if meta.get("format") == "tiff":
         r = ink_ratio(payload)
         if r is not None:
             meta["ink_ratio"] = round(r, 6)
+    elif meta.get("format") == "png":
+        # REAL pixel decode (zlib + PNG row filters, kernels/media.py)
+        luma = png_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
     return meta
 
 
@@ -242,6 +248,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["ink_ratio"].append(meta.get("ink_ratio"))
             out["duration_ms"].append(meta.get("duration_ms"))
             out["sample_rate"].append(meta.get("sample_rate"))
+            out["mean_luma"].append(meta.get("mean_luma"))
         yield pd.DataFrame(out)
 
 

@@ -292,3 +292,75 @@ def test_dict_scanner_linear_on_ws_bomb():
     with pytest.raises(cos.PdfError):
         cos.parse_array(arr_bomb, 0)
     assert time.time() - t0 < 1.0  # exponential blowup would hang
+
+
+def test_png_pixel_decode_all_filters():
+    """png_pixels must invert every PNG row filter (Sub/Up/Average/
+    Paeth) — the same predictor kernel the xref-stream path uses — and
+    reject depth-16/interlaced/truncated files with None."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from sparkpdf.kernels.media import png_mean_luma, png_pixels
+    from sparkpdf.testing.imagegen import _png_chunk, make_png
+
+    w, h, ch = 4, 5, 3
+    raw_rows = [
+        bytes((x * 7 + y * 13) % 256 for x in range(w * ch)) for y in range(h)
+    ]
+
+    def filt(ft, row, prev):
+        out = bytearray()
+        for c, v in enumerate(row):
+            left = row[c - ch] if c >= ch else 0
+            up = prev[c]
+            ul = prev[c - ch] if c >= ch else 0
+            if ft == 0:
+                p = 0
+            elif ft == 1:
+                p = left
+            elif ft == 2:
+                p = up
+            elif ft == 3:
+                p = (left + up) >> 1
+            else:  # paeth
+                q = left + up - ul
+                pa, pb, pc = abs(q - left), abs(q - up), abs(q - ul)
+                p = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out.append((v - p) & 0xFF)
+        return bytes(out)
+
+    scan = bytearray()
+    prev = bytes(w * ch)
+    for y, row in enumerate(raw_rows):
+        ft = y % 5  # exercise every filter type
+        scan += bytes([ft]) + filt(ft, row, prev)
+        prev = row
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(scan)))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = png_pixels(png)
+    assert got is not None
+    gw, gh, gch, pix = got
+    assert (gw, gh, gch) == (w, h, ch)
+    assert pix == b"".join(raw_rows)
+
+    # rejects: 16-bit depth, interlaced, truncated IDAT
+    deep = png.replace(ihdr, _struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+    assert png_pixels(b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR",
+        _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))) is None  # interlace
+    assert png_mean_luma(png[:40]) is None
+    # good file: luma matches the integer formula
+    p2 = make_png(6, 4)
+    tot = 0
+    for y in range(4):
+        for p in range(6):
+            r = (9 * p + y) % 256
+            g = (9 * p + 3 + y) % 256
+            b = (9 * p + 6 + y) % 256
+            tot += 299 * r + 587 * g + 114 * b
+    assert png_mean_luma(p2) == round(tot / (1000.0 * 24), 6)
