@@ -935,6 +935,20 @@ def q_media_dims(spark, sf_dir):
     ).select("doc_id", F.col("format").alias("fmt"), "width", "height")
 
 
+def q_repetition_ratio(spark, sf_dir):
+    # boilerplate/spam signal: within-doc token repetition
+    from sparkpdf.operators.text import repetition_ratio
+
+    return repetition_ratio(_t(spark, sf_dir, "documents"))
+
+
+def q_duplicate_ngrams(spark, sf_dir):
+    # contamination/memorization check: 5-grams shared across >= 2 docs
+    from sparkpdf.operators.text import duplicate_ngrams
+
+    return duplicate_ngrams(_t(spark, sf_dir, "documents"))
+
+
 def q_png_pixel_stats(spark, sf_dir):
     # REAL PNG pixel decode (zlib + in-house PNG row filters): mean
     # ITU-R 601 luminance in integer arithmetic, restated pixel-by-pixel
@@ -1060,6 +1074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_media_features": q_av_media_features,
         "ann_recall": q_ann_recall,
         "png_pixel_stats": q_png_pixel_stats,
+        "repetition_ratio": q_repetition_ratio,
+        "duplicate_ngrams": q_duplicate_ngrams,
         "ccitt_ink_ratio": q_ccitt_ink_ratio,
         "xmp_project": q_xmp_project,
         "viewer_prefs": q_viewer_prefs,
@@ -2020,6 +2036,32 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e LEFT JOIN approx a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
+    """
+    sql["repetition_ratio"] = f"""
+        SELECT doc_id,
+               CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+               CASE WHEN len(t) > 0
+                    THEN ROUND(1.0 - len(list_distinct(t))
+                               / CAST(len(t) AS DOUBLE), 6)
+                    ELSE 0.0 END AS repetition
+        FROM (SELECT doc_id, {_TOKENS} AS t FROM documents)
+    """
+    sql["duplicate_ngrams"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - 4),
+                       i -> array_to_string(list_slice(t, i + 1, i + 5),
+                                            ' '))) AS gram
+            FROM toks WHERE len(t) >= 5
+        )
+        SELECT md5(gram) AS gram_hash,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences
+        FROM grams GROUP BY md5(gram)
+        HAVING COUNT(DISTINCT doc_id) >= 2
     """
     # png_pixel_stats: make_png plants byte (x*3+y)%256 at byte-index x
     # of row y (R of pixel p = (9p+y)%256, G = (9p+3+y)%256, B =

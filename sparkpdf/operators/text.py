@@ -95,6 +95,54 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_ratio(documents: DataFrame) -> DataFrame:
+    """Within-document token repetition (1 - distinct/total): the
+    boilerplate/spam signal every curation pipeline filters on. Pure
+    codegen expressions, no shuffle."""
+    toks = _tokens("text")
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(0.0).alias(
+            "repetition"
+        ),
+    )
+
+
+def duplicate_ngrams(documents: DataFrame, n: int = 5, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated n-grams — the contamination /
+    memorization check: every consecutive n-token window, hashed, with
+    the count of distinct documents containing it and total
+    occurrences; only windows seen in >= min_docs documents survive.
+
+    Scale shape: the window fan-out is map-side (transform over a
+    sequence — no explode until after the per-row array is built), the
+    single shuffle groups on the md5 gram hash (uniform key), and
+    Catalyst partial-aggregates the per-partition counts first."""
+    toks = _tokens("text")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    exploded = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.when(F.size(toks) >= n, grams).otherwise(F.array())
+        ).alias("gram"),
+    )
+    return (
+        exploded.groupBy(F.md5(F.col("gram").cast("binary")).alias("gram_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def chunk_documents(
     documents: DataFrame, chunk_chars: int = 500, overlap: int = 100
 ) -> DataFrame:
