@@ -244,3 +244,45 @@ def test_write_navigation_reference_parity():
         assert doc.javascript() == [{"name": "js0", "js": "app.alert('hi');"}]
     # determinism (pure Spark writer)
     assert pdf == spans_to_pdf(pages, **kwargs)
+
+
+def test_reference_written_navigation_read_back():
+    """REVERSE direction: the REFERENCE writes nested bookmarks, a
+    named destination, a GoTo link, and addJS — our readers project
+    all of it (level-tagged outlines, page-resolved dests, dest_page,
+    JS text). Two reference bugs pinned while building this fixture:
+    (a) addNamedDestination appends a RAW python str to the name tree,
+    crashing the reference's own writer — callers must pre-wrap with
+    createStringObject; (b) addJS OVERWRITES the root /Names tree
+    (/root/reference/_writer.py:273-278 update), destroying any
+    previously added named destinations — addJS must come first."""
+    import io
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.testing.reference import load_reference
+
+    ref = load_reference()
+    from PyPDF2.generic import createStringObject
+
+    w = ref.PdfFileWriter()
+    w.addBlankPage(100, 100)
+    w.addBlankPage(100, 100)
+    w.addJS("app.alert(1);")  # first, or it clobbers /Names (bug b)
+    root = w.addBookmark("c1", 0)
+    w.addBookmark("c1.1", 1, parent=root)
+    w.addBookmark("c2", 1)
+    w.addNamedDestination(createStringObject("ndest"), 1)  # bug (a)
+    w.addLink(0, 1, [5, 5, 50, 20], border=None, fit="/Fit")
+    buf = io.BytesIO()
+    w.write(buf)
+
+    doc = PdfDocument(buf.getvalue())
+    assert [(o["title"], o["level"], o["page_no"]) for o in doc.outlines()] == [
+        ("c1", 0, 0), ("c1.1", 1, 1), ("c2", 0, 1)
+    ]
+    assert [(n["name"], n["page_no"]) for n in doc.named_destinations()] == [
+        ("ndest", 1)
+    ]
+    ln = doc.link_annotations()
+    assert ln[0]["dest_page"] == 1 and ln[0]["uri"] is None
+    assert [j["js"] for j in doc.javascript()] == ["app.alert(1);"]
