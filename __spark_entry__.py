@@ -966,6 +966,22 @@ def q_png_pixel_stats(spark, sf_dir):
     )
 
 
+def q_jpeg_pixel_stats(spark, sf_dir):
+    # REAL baseline-JPEG pixel decode (from-scratch T.81 Huffman+IDCT,
+    # kernels/jpeg.py — the reference passes ALL DCT payloads through
+    # undecoded): flat even-offset tiles survive Annex-K quantization
+    # exactly, so the oracle restates the decoded mean in SQL
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_jpeg_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_jpeg_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of IVF(nprobe=2) against the exact cosine baseline —
     # the ANN quality metric as a first-class, oracle-replayable query
@@ -1075,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "png_pixel_stats": q_png_pixel_stats,
         "repetition_ratio": q_repetition_ratio,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "duplicate_ngrams": q_duplicate_ngrams,
         "ccitt_ink_ratio": q_ccitt_ink_ratio,
         "xmp_project": q_xmp_project,
@@ -2036,6 +2053,25 @@ def oracle_sql() -> dict[str, str]:
         FROM exact e LEFT JOIN approx a
           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         GROUP BY e.query_id
+    """
+    # jpeg_pixel_stats: tile t of doc d is planted at 78 + 2*((t*7+d)%51)
+    # (even offset from 128 -> survives DC quantization exactly); mean
+    # luminance = mean of the tile values (each tile is 64 equal pixels)
+    sql["jpeg_pixel_stats"] = """
+        WITH imgs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS d,
+                   CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height
+            FROM documents
+        ), tiles AS (
+            SELECT doc_id, d, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS t
+            FROM imgs
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM tiles GROUP BY doc_id, width, height
     """
     sql["repetition_ratio"] = f"""
         SELECT doc_id,

@@ -78,6 +78,15 @@ def _decode_image(payload: bytes) -> dict:
         luma = png_mean_luma(payload)
         if luma is not None:
             meta["mean_luma"] = luma
+    elif meta.get("format") == "jpeg":
+        # REAL pixel decode for baseline JPEG (from-scratch T.81 codec,
+        # kernels/jpeg.py); progressive/subsampled payloads keep
+        # header-only metadata
+        from ..kernels.jpeg import jpeg_mean_luma
+
+        luma = jpeg_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
     return meta
 
 
@@ -219,6 +228,45 @@ def synthesize_av_media(documents: DataFrame) -> DataFrame:
                 out["media_ref"].append(f"av-{d}")
                 out["modality"].append(modality)
                 out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL baseline JPEG per doc (kernels/jpeg.py
+    encoder), grayscale flat 8x8 tiles whose values survive Annex-K
+    quantization EXACTLY (even offsets from 128, DC quant step 16):
+      width = 16 + (doc_id % 4) * 8, height = 8 + (doc_id % 2) * 8,
+      tile t value = 78 + 2 * ((t*7 + doc_id) % 51)
+    so the oracle restates the decoded mean luminance in pure SQL while
+    the engine must run the full Huffman + IDCT decode to match."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.jpeg import encode_jpeg
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), dtype=np.uint8)
+                tiles_x = w // 8
+                for ty in range(h // 8):
+                    for tx in range(tiles_x):
+                        t = ty * tiles_x + tx
+                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                            78 + 2 * ((t * 7 + d) % 51)
+                        )
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"jpg-{d}")
+                out["modality"].append("image")
+                out["payload"].append(encode_jpeg(img))
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)

@@ -1,0 +1,121 @@
+"""Baseline JPEG codec (kernels/jpeg.py) — from-scratch T.81.
+
+Ground truth comes from three independent directions: hand-derivable
+DC-only flat tiles that survive Annex-K quantization exactly, an
+in-test numpy reimplementation of the FDCT->quant->dequant->IDCT
+pipeline for AC-heavy content, and reject/fuzz behavior. The reference
+never decodes DCT payloads (filters.py:321-330) so no parity exists —
+this EXCEEDS it, same as the G4 codec."""
+
+import numpy as np
+import pytest
+
+from sparkpdf.kernels.jpeg import (
+    QUANT_LUMA,
+    ZIGZAG,
+    _T,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_mean_luma,
+)
+
+
+def test_flat_even_offset_tiles_decode_exactly():
+    """Flat 8x8 tiles with even offsets from 128: DC = 8*delta, quant
+    step 16 -> round(delta/2) is exact, so decode is LOSSLESS."""
+    img = np.zeros((16, 24), dtype=np.uint8)
+    vals = [[128, 130, 78], [178, 152, 96]]
+    for ty in range(2):
+        for tx in range(3):
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = vals[ty][tx]
+    enc = encode_jpeg(img)
+    dec = decode_jpeg(enc)
+    assert dec is not None and dec.dtype == np.uint8
+    assert (dec == img).all()
+    flat = [v for row in vals for v in row]
+    assert jpeg_mean_luma(enc) == round(sum(flat) / len(flat), 6)
+
+
+def test_gradient_matches_independent_reference():
+    """AC path: decode(encode(x)) must equal an in-test numpy
+    reimplementation of the exact FDCT->quant->dequant->IDCT chain."""
+    g = ((np.arange(24)[None, :] * 7 + np.arange(16)[:, None] * 3) % 251)
+    enc = encode_jpeg(g.astype(np.uint8))
+    dec = decode_jpeg(enc)
+    exp = np.zeros(g.shape, dtype=np.float64)
+    for by in range(2):
+        for bx in range(3):
+            blk = g[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            co = _T @ blk @ _T.T
+            q = np.round(co / QUANT_LUMA) * QUANT_LUMA
+            exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                _T.T @ q @ _T + 128.0
+            )
+    exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+    assert (dec == exp).all()
+
+
+def test_rgb_and_odd_dimensions():
+    """3-component 4:4:4 with non-multiple-of-8 dims: decodes to the
+    right shape; smooth content survives within quantization error."""
+    h, w = 17, 19
+    r = np.tile(np.linspace(40, 200, w), (h, 1))
+    g = np.tile(np.linspace(200, 40, h)[:, None], (1, w))
+    b = np.full((h, w), 90.0)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb))
+    assert dec.shape == (h, w, 3)
+    assert float(np.abs(dec.astype(int) - rgb.astype(int)).mean()) < 6.0
+
+
+def test_rejects_are_none_never_raise():
+    enc = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    assert decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc2")) is None  # progressive
+    assert decode_jpeg(b"junk") is None
+    assert jpeg_mean_luma(b"") is None
+    for n in range(0, len(enc), 11):  # truncation sweep
+        decode_jpeg(enc[:n])
+    # header-only fixture JPEGs (testing/imagegen.make_jpeg) carry no
+    # scan data: header dims still parse, pixel decode returns None
+    from sparkpdf.kernels.media import image_dims
+    from sparkpdf.testing.imagegen import make_jpeg
+
+    hdr = make_jpeg(33, 21)
+    assert image_dims(hdr) == {"format": "jpeg", "width": 33, "height": 21}
+    assert decode_jpeg(hdr) is None
+
+
+def test_zigzag_and_zrl_paths():
+    """A single hot coefficient at the end of the zigzag forces long
+    zero runs (ZRL symbols) through encode AND decode."""
+    blk = np.zeros((8, 8))
+    # place energy in the highest zigzag position that quantizes to
+    # a nonzero value: coeff 63 has quant 99
+    coeff = np.zeros((8, 8))
+    coeff.flat[ZIGZAG[63]] = 3 * 99  # survives round(x/99)
+    spatial = _T.T @ coeff @ _T + 128.0
+    img = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec is not None and dec.shape == (8, 8)
+    # round-trip consistency against the same independent pipeline
+    blk = img - 128.0
+    q = np.round((_T @ blk @ _T.T) / QUANT_LUMA) * QUANT_LUMA
+    exp = np.clip(np.round(_T.T @ q @ _T + 128.0), 0, 255).astype(np.uint8)
+    assert (dec == exp).all()
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_random_blocks_roundtrip(seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 16), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    exp = np.zeros(img.shape, dtype=np.float64)
+    for by in range(3):
+        for bx in range(2):
+            blk = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
+            q = np.round((_T @ blk @ _T.T) / QUANT_LUMA) * QUANT_LUMA
+            exp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                _T.T @ q @ _T + 128.0
+            )
+    exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+    assert (dec == exp).all()
