@@ -982,6 +982,29 @@ def q_jpeg_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_pdf_embedded_media(spark, sf_dir):
+    # END-TO-END media chain, all in-engine: encode a real baseline
+    # JPEG -> embed as a PDF XObject -> reopen the PDF -> pull the
+    # payload (extract_media_payloads) -> full Huffman+IDCT decode ->
+    # stats; the oracle restates the planted tile formulas
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        extract_media_payloads,
+        write_pdfs_with_jpeg_media,
+    )
+
+    pdfs = write_pdfs_with_jpeg_media(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(extract_media_payloads(pdfs))
+    return feats.select(
+        "doc_id",
+        "media_ref",
+        F.col("format").alias("fmt"),
+        "width",
+        "height",
+        "mean_luma",
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     # recall@3 of IVF(nprobe=2) against the exact cosine baseline —
     # the ANN quality metric as a first-class, oracle-replayable query
@@ -1092,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_pixel_stats": q_png_pixel_stats,
         "repetition_ratio": q_repetition_ratio,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "pdf_embedded_media": q_pdf_embedded_media,
         "duplicate_ngrams": q_duplicate_ngrams,
         "ccitt_ink_ratio": q_ccitt_ink_ratio,
         "xmp_project": q_xmp_project,
@@ -2072,6 +2096,25 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM tiles GROUP BY doc_id, width, height
+    """
+    # pdf_embedded_media: same planted tiles as jpeg_pixel_stats, but
+    # the engine must round-trip them THROUGH a written PDF first
+    sql["pdf_embedded_media"] = """
+        WITH imgs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS d,
+                   CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height
+            FROM documents
+        ), tiles AS (
+            SELECT doc_id, d, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS t
+            FROM imgs
+        )
+        SELECT doc_id, 'p0/img00' AS media_ref, 'jpeg' AS fmt,
+               width, height,
+               ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM tiles GROUP BY doc_id, d, width, height
     """
     sql["repetition_ratio"] = f"""
         SELECT doc_id,

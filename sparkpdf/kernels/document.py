@@ -417,6 +417,47 @@ class PdfDocument:
                 out.append({"filename": fname, "data": data})
         return out
 
+    def media_objects(self) -> List[dict]:
+        """Embedded image XObject payloads per page: the bridge from
+        pdf_raw into the media(doc_id, media_ref, payload) table. The
+        payload is the stream after the filter chain EXCEPT the final
+        image codec: DCTDecode/JPXDecode stay as the container bytes
+        (JPEG/JP2 files — the reference's own passthrough behavior,
+        filters.py:321-330), CCITTFaxDecode arrives TIFF-wrapped
+        (kernels/filters.ccitt_fax_wrap), anything else is the raw
+        sample buffer. Undecodable streams yield data=None
+        (quarantine discipline)."""
+        out: List[dict] = []
+        for page_no, page in enumerate(self.pages()):
+            res = self.resolve(page.get("/Resources"))
+            if not isinstance(res, dict):
+                continue
+            xo = self.resolve(res.get("/XObject"))
+            if not isinstance(xo, dict):
+                continue
+            for name in sorted(xo.keys()):
+                obj = self.resolve(xo[name])
+                if not isinstance(obj, StreamObj):
+                    continue
+                sd = obj.sdict
+                if self.resolve(sd.get("/Subtype")) != "/Image":
+                    continue
+                data = None
+                try:
+                    data = obj.get_data(self.resolve)
+                except Exception:
+                    data = None
+                out.append(
+                    {
+                        "page_no": page_no,
+                        "name": str(name)[1:] if str(name).startswith("/") else str(name),
+                        "width": self.resolve(sd.get("/Width")),
+                        "height": self.resolve(sd.get("/Height")),
+                        "data": data,
+                    }
+                )
+        return out
+
     def javascript(self) -> List[dict]:
         """Document-level JavaScript: /Names//JavaScript name-tree
         entries and the /OpenAction action — the READ side of the

@@ -123,6 +123,7 @@ def spans_to_pdf(
     form_fields: Optional[Sequence[Tuple[str, str]]] = None,
     named_dests: Optional[Sequence[Tuple[str, int]]] = None,
     javascript: Optional[str] = None,
+    media_payloads: Optional[Dict[str, bytes]] = None,
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
     encryption: str = "rc4-128",
@@ -145,6 +146,8 @@ def spans_to_pdf(
       * named_dests -> /Names//Dests name tree of (name, page_idx)
       * javascript  -> document-open JS: /OpenAction action + a
         /Names//JavaScript entry (reference addJS)
+      * media_payloads -> real bytes for media_ref XObjects (keyed by
+        ref name; refs without an entry keep the default stub payload)
       * user_password (+ optional owner_password) -> standard security
         handler; all key material derives from a per-document content
         digest so output stays deterministic across executors (a Spark
@@ -166,6 +169,10 @@ def spans_to_pdf(
     for spans in pages:
         state["font"] = None  # each page declares its own font
         page_payloads.append(page_content(spans, state))
+    for mp_name, mp_data in (media_payloads or {}).items():
+        key = mp_name.encode("latin-1", "replace")
+        if key in state["xobjects"]:
+            state["xobjects"][key] = bytes(mp_data)
 
     if user_password is not None:
         from . import crypto as _crypto
@@ -190,6 +197,11 @@ def spans_to_pdf(
             dg.update(att_name.encode("utf-8") + b"\x00" + bytes(att_data))
         for f_name, f_value in form_fields or ():
             dg.update(f"ff:{f_name}:{f_value}".encode("utf-8"))
+        for mp_name in sorted(media_payloads or {}):
+            dg.update(
+                b"mp:" + mp_name.encode("utf-8") + b"\x00"
+                + bytes(media_payloads[mp_name])
+            )
         for nd_name, nd_page in named_dests or ():
             dg.update(f"nd:{nd_name}:{nd_page}".encode("utf-8"))
         if javascript:
@@ -253,8 +265,12 @@ def spans_to_pdf(
         raw = s.encode("cp1252", "replace") if isinstance(s, str) else bytes(s)
         return b"(" + esc_literal(enc_bytes(idnum, raw)) + b")"
 
-    def add_stream(extra: bytes, raw: bytes) -> int:
-        if compress:
+    def add_stream(extra: bytes, raw: bytes, deflate: Optional[bool] = None) -> int:
+        # deflate=False for already-compressed payloads (JPEG XObjects):
+        # stacking /FlateDecode onto an extra carrying /Filter /DCTDecode
+        # would emit DUPLICATE /Filter keys, and first-wins readers then
+        # hand back deflated bytes as the "image"
+        if compress if deflate is None else deflate:
             raw = zlib.compress(raw)
             extra = extra + b" /Filter /FlateDecode" if extra else b"/Filter /FlateDecode"
         raw = enc_bytes(len(bodies) + 1, raw)
@@ -282,10 +298,15 @@ def spans_to_pdf(
         font_entries.append(b"/F2 %d 0 R" % f2)
     xo_entries = []
     for name, payload in state["xobjects"].items():
+        from .media import image_dims as _image_dims
+
+        dims = _image_dims(payload) or {"width": 1, "height": 1}
         xo = add_stream(
-            b"/Type /XObject /Subtype /Image /Width 1 /Height 1"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode",
+            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+            % (dims["width"], dims["height"])
+            + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode",
             payload,
+            deflate=False,
         )
         xo_entries.append(b"/" + name + b" %d 0 R" % xo)
     res = b"<< /Font << " + b" ".join(font_entries) + b" >>"

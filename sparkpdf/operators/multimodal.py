@@ -233,6 +233,35 @@ def synthesize_av_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def extract_media_payloads(pdf_raw: DataFrame) -> DataFrame:
+    """pdf_raw -> media(doc_id, media_ref, modality, payload): pulls
+    every embedded image XObject out of each document (the bridge that
+    feeds PDFs into the same feature/dedup pipelines as standalone
+    media). Unparseable documents are skipped (quarantine); media_ref
+    is 'p{page}/{name}' so multi-page name reuse stays unique."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.document import PdfDocument
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                try:
+                    doc = PdfDocument(bytes(blob))
+                    for m in doc.media_objects():
+                        out["doc_id"].append(str(doc_id))
+                        out["media_ref"].append(f"p{m['page_no']}/{m['name']}")
+                        out["modality"].append("image")
+                        out["payload"].append(m["data"])
+                except Exception:
+                    continue
+            yield pd.DataFrame(out)
+
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
 def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL baseline JPEG per doc (kernels/jpeg.py
     encoder), grayscale flat 8x8 tiles whose values survive Annex-K
@@ -270,6 +299,51 @@ def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def write_pdfs_with_jpeg_media(documents: DataFrame) -> DataFrame:
+    """documents -> pdf_raw where each doc embeds ONE REAL baseline
+    JPEG ('img00') built with kernels/jpeg.encode_jpeg using the same
+    deterministic tile formulas as synthesize_jpeg_media — the input
+    side of the end-to-end chain
+    encode JPEG -> embed in PDF -> reopen PDF -> pull XObject ->
+    Huffman+IDCT decode -> stats, all in-engine and SQL-verifiable."""
+    docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, pdf_bytes binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.jpeg import encode_jpeg
+        from ..kernels.write import spans_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), dtype=np.uint8)
+                tiles_x = w // 8
+                for ty in range(h // 8):
+                    for tx in range(tiles_x):
+                        t = ty * tiles_x + tx
+                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                            78 + 2 * ((t * 7 + d) % 51)
+                        )
+                page = [
+                    {"kind": "text", "text": f"doc {d}\n", "media_ref": None},
+                    {"kind": "media_ref", "text": None, "media_ref": "img00"},
+                ]
+                out["doc_id"].append(str(d))
+                out["pdf_bytes"].append(
+                    spans_to_pdf(
+                        [page], media_payloads={"img00": encode_jpeg(img)}
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

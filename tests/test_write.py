@@ -286,3 +286,41 @@ def test_reference_written_navigation_read_back():
     ln = doc.link_annotations()
     assert ln[0]["dest_page"] == 1 and ln[0]["uri"] is None
     assert [j["js"] for j in doc.javascript()] == ["app.alert(1);"]
+
+
+def test_embedded_media_payload_roundtrip():
+    """media_payloads: a REAL baseline JPEG embedded as an XObject
+    round-trips byte-exactly through write -> reopen -> media_objects
+    -> full pixel decode, including under encryption. Regression: the
+    XObject stream must NOT be flate-wrapped (a duplicate /Filter key
+    with first-wins parsing would return deflated bytes as the image)."""
+    import numpy as np
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.jpeg import decode_jpeg, encode_jpeg
+    from sparkpdf.kernels.write import spans_to_pdf
+
+    img = np.zeros((8, 16), dtype=np.uint8)
+    img[:, :8] = 100
+    img[:, 8:] = 180
+    jpg = encode_jpeg(img)
+    pages = [[
+        {"kind": "text", "text": "x\n", "media_ref": None},
+        {"kind": "media_ref", "text": None, "media_ref": "img00"},
+    ]]
+    for pw in (None, b"pw"):
+        pdf = spans_to_pdf(
+            pages, media_payloads={"img00": jpg}, user_password=pw
+        )
+        doc = PdfDocument(pdf, password=pw or b"")
+        media = doc.media_objects()
+        assert len(media) == 1
+        m = media[0]
+        assert (m["name"], m["page_no"]) == ("img00", 0)
+        assert (m["width"], m["height"]) == (16, 8)  # real header dims
+        assert m["data"] == jpg  # byte-exact payload back out
+        assert (decode_jpeg(m["data"]) == img).all()  # lossless tiles
+    # refs without a payload entry keep the stub and still parse
+    pdf2 = spans_to_pdf(pages)
+    m2 = PdfDocument(pdf2).media_objects()
+    assert len(m2) == 1 and m2[0]["data"].startswith(b"\xff\xd8")
