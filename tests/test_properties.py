@@ -218,3 +218,34 @@ def test_av_parsers_never_raise(data):
         for fn in (wav_info, mp4_info, av_info):
             out = fn(probe)
             assert out is None or isinstance(out, dict)
+
+
+@given(st.binary(max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_jpeg_decoder_never_raises(data):
+    """decode_jpeg returns array-or-None on ANY bytes — garbage,
+    SOI-prefixed noise, and corrupted valid files included."""
+    from sparkpdf.kernels.jpeg import decode_jpeg, jpeg_mean_luma
+
+    for probe in (data, b"\xff\xd8" + data, b"\xff\xd8\xff\xdb" + data):
+        out = decode_jpeg(probe)
+        assert out is None or out.dtype.name == "uint8"
+        jpeg_mean_luma(probe)
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_valid_file_bitflip_quarantines(seed):
+    """Flip one byte inside a VALID jpeg's scan: decode must return
+    None or a well-formed array, never raise."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    pos = int(rng.integers(2, len(enc) - 2))
+    enc[pos] ^= int(rng.integers(1, 256))
+    out = decode_jpeg(bytes(enc))
+    assert out is None or out.dtype.name == "uint8"
