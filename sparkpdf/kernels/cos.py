@@ -25,7 +25,19 @@ Object model (reference generic.py:33-51 → plain Python):
 from __future__ import annotations
 
 import re
+import sys
 from typing import Callable, NamedTuple, Optional, Tuple
+
+if sys.version_info < (3, 11):  # pragma: no cover
+    # the lexer's possessive quantifiers (*+/++, PEP 9049-era re syntax)
+    # compile only on 3.11+; fail loudly at import instead of with an
+    # opaque re.error on every executor task (pyproject.toml declares
+    # requires-python >= 3.11 for the same reason)
+    raise ImportError(
+        "sparkpdf requires Python >= 3.11 (possessive regex quantifiers "
+        "in the COS lexer); executor Python is "
+        + sys.version.split()[0]
+    )
 
 
 class PdfError(Exception):

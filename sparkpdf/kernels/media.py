@@ -57,11 +57,14 @@ def jpeg_dims(b: bytes) -> Optional[dict]:
         if marker in _SOF_MARKERS:
             if i + 9 > len(b):
                 return None
-            return {
+            out = {
                 "format": "jpeg",
                 "height": int.from_bytes(b[i + 5:i + 7], "big"),
                 "width": int.from_bytes(b[i + 7:i + 9], "big"),
             }
+            if i + 10 <= len(b):
+                out["components"] = b[i + 9]
+            return out
         if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
             return None
         i += 2 + seg_len
@@ -243,7 +246,7 @@ def mp4_info(b: bytes) -> Optional[dict]:
         for t2, s2, e2 in _iter_boxes(b, s, e):
             if t2 == b"mvhd" and s2 + 4 <= e2:
                 ver = b[s2]
-                if ver == 1 and s2 + 28 <= e2:
+                if ver == 1 and s2 + 32 <= e2:
                     scale = int.from_bytes(b[s2 + 20:s2 + 24], "big")
                     dur = int.from_bytes(b[s2 + 24:s2 + 32], "big")
                 elif s2 + 20 <= e2:

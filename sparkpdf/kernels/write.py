@@ -113,6 +113,18 @@ def page_content(spans: Sequence[dict], state: dict) -> bytes:
     return b" ".join(ops)
 
 
+# viewer preference values the reference accepts (parity:
+# _writer.py _valid_layouts:1147-1155, _valid_modes:1207-1214)
+_VALID_LAYOUTS = (
+    "/NoLayout", "/SinglePage", "/OneColumn", "/TwoColumnLeft",
+    "/TwoColumnRight", "/TwoPageLeft", "/TwoPageRight",
+)
+_VALID_MODES = (
+    "/UseNone", "/UseOutlines", "/UseThumbs", "/FullScreen",
+    "/UseOC", "/UseAttachments",
+)
+
+
 def spans_to_pdf(
     pages: Sequence[Sequence[dict]],
     compress: bool = True,
@@ -127,6 +139,9 @@ def spans_to_pdf(
     user_password: Optional[bytes] = None,
     owner_password: Optional[bytes] = None,
     encryption: str = "rc4-128",
+    permissions: int = -3904,
+    page_layout: Optional[str] = None,
+    page_mode: Optional[str] = None,
 ) -> bytes:
     """pages = list of span-lists (ordered) -> complete PDF bytes.
 
@@ -152,6 +167,12 @@ def spans_to_pdf(
         handler; all key material derives from a per-document content
         digest so output stays deterministic across executors (a Spark
         operator must be pure) while no two documents share keys/IVs.
+        encryption in {rc4-40, rc4-128, aes-128, aes-256}; permissions
+        is the /P flag (parity: _writer.py encrypt(use_128bit=False,
+        permissions_flag=...), :443-496).
+      * page_layout / page_mode -> catalog /PageLayout //PageMode
+        (parity: setPageLayout/setPageMode, _writer.py:1157-1258);
+        values validated against the reference's accepted lists.
     """
     import hashlib
 
@@ -159,7 +180,13 @@ def spans_to_pdf(
     enc_key = None
     enc_parts: dict = {}
     file_id = b""
-    perms = -3904  # print+extract allowed; modify/annotate denied
+    # permissions flag (parity: _writer.py encrypt(permissions_flag=),
+    # :443-496); default -3904 = print+extract allowed, modify denied
+    perms = int(permissions)
+    if page_layout is not None and page_layout not in _VALID_LAYOUTS:
+        raise ValueError(f"invalid page_layout {page_layout!r}")
+    if page_mode is not None and page_mode not in _VALID_MODES:
+        raise ValueError(f"invalid page_mode {page_mode!r}")
 
     # page contents are encryption-independent — build them first so the
     # per-document digest (below) can cover every byte that will differ
@@ -169,15 +196,17 @@ def spans_to_pdf(
     for spans in pages:
         state["font"] = None  # each page declares its own font
         page_payloads.append(page_content(spans, state))
+    user_payload_names = set()
     for mp_name, mp_data in (media_payloads or {}).items():
         key = mp_name.encode("latin-1", "replace")
         if key in state["xobjects"]:
             state["xobjects"][key] = bytes(mp_data)
+            user_payload_names.add(key)
 
     if user_password is not None:
         from . import crypto as _crypto
 
-        if encryption not in ("rc4-128", "aes-128", "aes-256"):
+        if encryption not in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
             raise ValueError(f"unknown encryption mode {encryption!r}")
         # Per-DOCUMENT entropy for all key material: two documents that
         # differ in any content, title, enrichment payload, or password
@@ -207,6 +236,8 @@ def spans_to_pdf(
         if javascript:
             dg.update(b"js:" + javascript.encode("utf-8"))
         dg.update(encryption.encode())
+        dg.update(f"perms:{perms}".encode())
+        dg.update(f"vp:{page_layout}:{page_mode}".encode())
         doc_digest = dg.digest()
         file_id = hashlib.md5(b"sparkpdf:" + doc_digest).digest()
         if encryption == "aes-256":
@@ -230,10 +261,13 @@ def spans_to_pdf(
                 "perms": _crypto.make_perms_entry(enc_key, perms),
             }
         else:
-            rev = 4 if encryption == "aes-128" else 3
+            # rc4-40: V=1 R=2, 40-bit key (parity: _writer.py
+            # encrypt(use_128bit=False), :443-496)
+            rev = {"aes-128": 4, "rc4-128": 3, "rc4-40": 2}[encryption]
+            keylen = 5 if encryption == "rc4-40" else 16
             o_entry, u_entry, enc_key = _crypto.make_encrypt_parts(
                 user_password, owner_password or user_password,
-                perms, file_id, rev, 16,
+                perms, file_id, rev, keylen,
             )
             enc_parts = {"u": u_entry, "o": o_entry}
 
@@ -246,7 +280,7 @@ def spans_to_pdf(
             return data
         from . import crypto as _crypto
 
-        if encryption == "rc4-128":
+        if encryption in ("rc4-40", "rc4-128"):
             return _crypto.rc4(_crypto.object_key(enc_key, idnum, 0), data)
         from . import aes as _aes
 
@@ -298,16 +332,63 @@ def spans_to_pdf(
         font_entries.append(b"/F2 %d 0 R" % f2)
     xo_entries = []
     for name, payload in state["xobjects"].items():
-        from .media import image_dims as _image_dims
+        from .media import image_dims as _image_dims, png_pixels as _png_pixels
 
-        dims = _image_dims(payload) or {"width": 1, "height": 1}
-        xo = add_stream(
-            b"/Type /XObject /Subtype /Image /Width %d /Height %d"
-            % (dims["width"], dims["height"])
-            + b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode",
-            payload,
-            deflate=False,
-        )
+        # colorspace follows the PAYLOAD, not a fixed stamp: a 3-component
+        # JPEG gets /DeviceRGB, PNGs are re-wrapped as raw FlateDecode
+        # samples, anything else user-supplied is rejected rather than
+        # mislabeled as grayscale DCT
+        dims = _image_dims(payload)
+        _CS = {1: b"/DeviceGray", 3: b"/DeviceRGB", 4: b"/DeviceCMYK"}
+        if dims is not None and dims["format"] == "jpeg":
+            cs = _CS.get(dims.get("components", 1))
+            if cs is None:
+                raise ValueError(
+                    f"unsupported JPEG component count for media payload "
+                    f"{name.decode('latin-1')!r}"
+                )
+            xo = add_stream(
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+                % (dims["width"], dims["height"])
+                + b" /ColorSpace " + cs
+                + b" /BitsPerComponent 8 /Filter /DCTDecode",
+                payload,
+                deflate=False,
+            )
+        elif dims is not None and dims["format"] == "png":
+            px = _png_pixels(payload)
+            if px is None:
+                raise ValueError(
+                    f"PNG media payload {name.decode('latin-1')!r} is not "
+                    f"an 8-bit non-interlaced PNG"
+                )
+            pw, ph, ch, raw = px
+            if ch in (2, 4):  # strip alpha: PDF image XObjects carry none
+                import numpy as _np
+
+                arr = _np.frombuffer(raw, dtype=_np.uint8)
+                raw = arr.reshape(ph, pw, ch)[..., : ch - 1].tobytes()
+                ch -= 1
+            xo = add_stream(
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+                % (pw, ph)
+                + b" /ColorSpace " + _CS[ch] + b" /BitsPerComponent 8",
+                raw,
+            )
+        elif name in user_payload_names:
+            raise ValueError(
+                f"media payload {name.decode('latin-1')!r} is not an "
+                f"embeddable image (JPEG or PNG required)"
+            )
+        else:
+            # the deterministic placeholder for refs with no payload
+            xo = add_stream(
+                b"/Type /XObject /Subtype /Image /Width 1 /Height 1"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /Filter /DCTDecode",
+                payload,
+                deflate=False,
+            )
         xo_entries.append(b"/" + name + b" %d 0 R" % xo)
     res = b"<< /Font << " + b" ".join(font_entries) + b" >>"
     if xo_entries:
@@ -496,13 +577,20 @@ def spans_to_pdf(
         names_extra += b" /OpenAction %d 0 R" % js_num
     acroform_extra = b""
     if field_refs:
+        # /NeedAppearances true — without it, filled /V values render
+        # blank in most viewers (parity: set_need_appearances_writer,
+        # _writer.py:133-152)
         acroform_extra = (
             b" /AcroForm << /Fields ["
             + b" ".join(b"%d 0 R" % r for r in field_refs)
-            + b"] >>"
+            + b"] /NeedAppearances true >>"
         )
 
     root_extra = names_extra + acroform_extra
+    if page_layout is not None:
+        root_extra += b" /PageLayout " + page_layout.encode("ascii")
+    if page_mode is not None:
+        root_extra += b" /PageMode " + page_mode.encode("ascii")
     if outlines_num:
         root_extra += b" /Outlines %d 0 R" % outlines_num
     root = add(b"<< /Type /Catalog /Pages %d 0 R" % pages_num + root_extra + b" >>")
@@ -518,12 +606,20 @@ def spans_to_pdf(
     encrypt_num = None
     if enc_key is not None:
         # the /Encrypt dict itself is never encrypted (PDF 32000 §7.6.2)
-        if encryption == "rc4-128":
+        p_entry = b" /P %d >>" % perms
+        if encryption == "rc4-40":
+            body = (
+                b"<< /Filter /Standard /V 1 /R 2"
+                b" /O (" + esc_literal(enc_parts["o"]) + b")"
+                b" /U (" + esc_literal(enc_parts["u"]) + b")"
+                + p_entry
+            )
+        elif encryption == "rc4-128":
             body = (
                 b"<< /Filter /Standard /V 2 /R 3 /Length 128"
                 b" /O (" + esc_literal(enc_parts["o"]) + b")"
                 b" /U (" + esc_literal(enc_parts["u"]) + b")"
-                b" /P -3904 >>"
+                + p_entry
             )
         elif encryption == "aes-128":
             body = (
@@ -532,7 +628,7 @@ def spans_to_pdf(
                 b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
                 b" /O (" + esc_literal(enc_parts["o"]) + b")"
                 b" /U (" + esc_literal(enc_parts["u"]) + b")"
-                b" /P -3904 >>"
+                + p_entry
             )
         else:  # aes-256, PDF 2.0
             body = (
@@ -544,7 +640,7 @@ def spans_to_pdf(
                 b" /OE (" + esc_literal(enc_parts["oe"]) + b")"
                 b" /UE (" + esc_literal(enc_parts["ue"]) + b")"
                 b" /Perms (" + esc_literal(enc_parts["perms"]) + b")"
-                b" /P -3904 >>"
+                + p_entry
             )
         encrypt_num = add(body)
 

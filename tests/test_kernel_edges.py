@@ -209,7 +209,7 @@ def test_image_dims_parsers():
     assert image_dims(make_png(640, 480)) == {
         "format": "png", "width": 640, "height": 480}
     assert image_dims(make_jpeg(1920, 1080)) == {
-        "format": "jpeg", "width": 1920, "height": 1080}
+        "format": "jpeg", "width": 1920, "height": 1080, "components": 3}
     assert image_dims(make_gif(13, 7)) == {
         "format": "gif", "width": 13, "height": 7}
     tiff = filters.ccitt_fax_wrap(b"\x01\x02", {"/K": -1, "/Columns": 1728,
@@ -276,6 +276,34 @@ def test_av_container_parsers():
     # 64-bit largesize box and v1 mvhd parse too
     big = (1).to_bytes(4, "big") + b"moov" + (16).to_bytes(8, "big")
     assert mp4_info(m[:32] + big) is not None  # no crash on largesize
+
+
+def test_mp4_v1_mvhd_truncation_no_wrong_duration():
+    """A version-1 mvhd whose 64-bit duration field is truncated must be
+    SKIPPED, not silently decoded short (the bounds check reads through
+    s2+32, so guarding only s2+28 let int.from_bytes of a short slice
+    return a wrong smaller duration)."""
+    from sparkpdf.kernels.media import mp4_info
+
+    def mp4_v1(payload_len: int) -> bytes:
+        # mvhd v1: ver/flags + 8-byte ctime + 8-byte mtime + 4-byte
+        # timescale + 8-byte duration = 32 bytes minimum
+        body = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + (1000).to_bytes(4, "big")
+            + (5000).to_bytes(8, "big")
+        )[:payload_len]
+        mvhd = (len(body) + 8).to_bytes(4, "big") + b"mvhd" + body
+        moov = (len(mvhd) + 8).to_bytes(4, "big") + b"moov" + mvhd
+        ftyp = (16).to_bytes(4, "big") + b"ftyp" + b"isom" + b"\x00" * 4
+        return ftyp + moov
+
+    full = mp4_info(mp4_v1(32))
+    assert full and full["duration_ms"] == 5000
+    # truncated inside the duration field: entry skipped entirely
+    for cut in range(25, 32):
+        got = mp4_info(mp4_v1(cut))
+        assert got is not None and "duration_ms" not in got, cut
 
 
 def test_dict_scanner_linear_on_ws_bomb():

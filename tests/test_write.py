@@ -324,3 +324,148 @@ def test_embedded_media_payload_roundtrip():
     pdf2 = spans_to_pdf(pages)
     m2 = PdfDocument(pdf2).media_objects()
     assert len(m2) == 1 and m2[0]["data"].startswith(b"\xff\xd8")
+
+
+def test_rc4_40_write_reference_decrypts():
+    """RC4-40 (V=1 R=2) write + permissions_flag parity: the reference
+    (encrypt(use_128bit=False, permissions_flag=...), _writer.py:443-496)
+    must decrypt our output and see the /P we asked for."""
+    pages = [[{"kind": "text", "text": "forty bits\n", "media_ref": None}]]
+    pdf = spans_to_pdf(
+        pages, user_password=b"pw", encryption="rc4-40", permissions=-44
+    )
+    ref = load_reference()
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    assert rd.decrypt("pw") == 1
+    assert rd.getPage(0).extractText() == "forty bits\n"
+    assert rd.trailer["/Encrypt"]["/P"] == -44
+    assert rd.trailer["/Encrypt"]["/V"] == 1
+    # our own reader agrees
+    res = extract_doc(pdf, password=b"pw")
+    assert res["error"] is None
+    assert res["spans"][0]["text"] == "forty bits\n"
+    # permissions flag also honored on the other handlers
+    p2 = spans_to_pdf(
+        pages, user_password=b"pw", encryption="rc4-128", permissions=-1852
+    )
+    rd2 = ref.PdfFileReader(io.BytesIO(p2), strict=False)
+    assert rd2.decrypt("pw") == 1
+    assert rd2.trailer["/Encrypt"]["/P"] == -1852
+    # reference rejects V=4/5 — check the raw (never-encrypted) dict
+    for mode in ("aes-128", "aes-256"):
+        p3 = spans_to_pdf(
+            pages, user_password=b"pw", encryption=mode, permissions=-1852
+        )
+        assert b" /P -1852 >>" in p3
+        res3 = extract_doc(p3, password=b"pw")
+        assert res3["error"] is None
+
+
+def test_write_viewer_prefs_reference_reads():
+    """Catalog /PageLayout //PageMode (parity: setPageLayout/setPageMode,
+    _writer.py:1157-1258) — written values read back via the reference's
+    own getPageLayout/getPageMode."""
+    pages = [[{"kind": "text", "text": "vp\n", "media_ref": None}]]
+    pdf = spans_to_pdf(
+        pages, page_layout="/TwoColumnLeft", page_mode="/UseOutlines"
+    )
+    ref = load_reference()
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    assert rd.getPageLayout() == "/TwoColumnLeft"
+    assert rd.getPageMode() == "/UseOutlines"
+    # engine reads its own output too
+    from sparkpdf.kernels.document import PdfDocument
+
+    doc = PdfDocument(pdf)
+    assert doc.page_layout() == "/TwoColumnLeft"
+    assert doc.page_mode() == "/UseOutlines"
+    # invalid values rejected like the reference warns
+    with pytest.raises(ValueError):
+        spans_to_pdf(pages, page_layout="/Sideways")
+    with pytest.raises(ValueError):
+        spans_to_pdf(pages, page_mode="/UseMagic")
+    # unset -> absent
+    rd0 = ref.PdfFileReader(io.BytesIO(spans_to_pdf(pages)), strict=False)
+    assert rd0.getPageLayout() is None and rd0.getPageMode() is None
+
+
+def test_need_appearances_flag_set():
+    """/AcroForm //NeedAppearances true whenever fields are written
+    (parity: set_need_appearances_writer, _writer.py:133-152) — without
+    it filled /V values render blank in most viewers."""
+    pages = [[{"kind": "text", "text": "f\n", "media_ref": None}]]
+    pdf = spans_to_pdf(pages, form_fields=[("name", "Alice")])
+    ref = load_reference()
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    acro = rd.trailer["/Root"]["/AcroForm"]
+    assert acro["/NeedAppearances"].value is True  # BooleanObject
+    f0 = acro["/Fields"][0].getObject()
+    assert f0["/T"] == b"name" and f0["/V"] == b"Alice"
+    # no fields -> no AcroForm at all
+    rd0 = ref.PdfFileReader(io.BytesIO(spans_to_pdf(pages)), strict=False)
+    assert "/AcroForm" not in rd0.trailer["/Root"]
+
+
+def test_media_payload_colorspace_follows_content():
+    """XObject /ColorSpace derives from the payload: 3-component JPEG ->
+    /DeviceRGB, grayscale -> /DeviceGray, PNG -> re-wrapped raw samples
+    under /FlateDecode, non-image payloads rejected."""
+    import numpy as np
+
+    from sparkpdf.kernels import jpeg as J
+
+    rng = np.random.default_rng(7)
+    pages = [[{"kind": "text", "text": "x\n", "media_ref": None},
+              {"kind": "media_ref", "text": None, "media_ref": "Im1"}]]
+    ref = load_reference()
+
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    rd = ref.PdfFileReader(
+        io.BytesIO(spans_to_pdf(pages, media_payloads={"Im1": J.encode_jpeg(rgb)})),
+        strict=False,
+    )
+    xo = rd.getPage(0)["/Resources"]["/XObject"]["/Im1"]
+    assert xo["/ColorSpace"] == "/DeviceRGB" and xo["/Filter"] == "/DCTDecode"
+    assert (xo["/Width"], xo["/Height"]) == (16, 16)
+
+    gray = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    rd2 = ref.PdfFileReader(
+        io.BytesIO(spans_to_pdf(pages, media_payloads={"Im1": J.encode_jpeg(gray)})),
+        strict=False,
+    )
+    assert rd2.getPage(0)["/Resources"]["/XObject"]["/Im1"]["/ColorSpace"] == "/DeviceGray"
+
+    # PNG (RGBA): alpha stripped, raw FlateDecode samples, pixel-exact
+    import struct
+    import zlib
+
+    def png(w, h, ch, data):
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d))
+            )
+
+        ct = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+        rows = b"".join(
+            b"\x00" + data[y * w * ch:(y + 1) * w * ch] for y in range(h)
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b"")
+        )
+
+    rgba = bytes(rng.integers(0, 256, 4 * 4 * 4, dtype=np.uint8))
+    rd3 = ref.PdfFileReader(
+        io.BytesIO(spans_to_pdf(pages, media_payloads={"Im1": png(4, 4, 4, rgba)})),
+        strict=False,
+    )
+    xo3 = rd3.getPage(0)["/Resources"]["/XObject"]["/Im1"]
+    assert xo3["/ColorSpace"] == "/DeviceRGB"
+    got = xo3.getData()
+    arr = np.frombuffer(rgba, np.uint8).reshape(4, 4, 4)[..., :3].tobytes()
+    assert got == arr
+
+    with pytest.raises(ValueError):
+        spans_to_pdf(pages, media_payloads={"Im1": b"not an image"})
