@@ -994,7 +994,10 @@ def q_pdf_embedded_media(spark, sf_dir):
     )
 
     pdfs = write_pdfs_with_jpeg_media(_t(spark, sf_dir, "documents"))
-    feats = extract_media_features(extract_media_payloads(pdfs))
+    payloads = extract_media_payloads(pdfs)  # error col = quarantine lane
+    feats = extract_media_features(
+        payloads.filter(F.col("error").isNull()).drop("error")
+    )
     return feats.select(
         "doc_id",
         "media_ref",
@@ -2169,25 +2172,33 @@ def oracle_sql() -> dict[str, str]:
                      / (1000.0 * width * height), 6) AS mean_luma
         FROM xy GROUP BY doc_id, width, height
     """
-    # av_media_features: expected WAV/MP4 container metadata restated by
-    # formula; the engine must parse the real RIFF chunks / BMFF boxes
+    # av_media_features: expected WAV/MP4/MP3/MKV container metadata
+    # restated by formula; the engine must parse the real RIFF chunks /
+    # BMFF boxes / Layer-III frame headers / EBML elements to match
     sql["av_media_features"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END
                    AS modality,
-               CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 400
-                         ELSE 500 + doc_id % 1000 END AS INTEGER)
+               CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+                               WHEN 2 THEN 'mp3' ELSE 'mkv' END AS fmt,
+               CAST(CASE doc_id % 4
+                         WHEN 0 THEN 100 + doc_id % 400
+                         WHEN 1 THEN 500 + doc_id % 1000
+                         WHEN 2 THEN (5 + doc_id % 20) * 36
+                         ELSE 700 + doc_id % 900 END AS INTEGER)
                    AS duration_ms,
-               CAST(CASE WHEN doc_id % 2 = 0
-                         THEN 8000 + (doc_id % 8) * 1000
+               CAST(CASE doc_id % 4
+                         WHEN 0 THEN 8000 + (doc_id % 8) * 1000
+                         WHEN 2 THEN 32000
                          ELSE -1 END AS INTEGER) AS sample_rate,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN -1
-                         ELSE 320 + (doc_id % 8) * 16 END AS INTEGER)
-                   AS width,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN -1
-                         ELSE 240 + (doc_id % 4) * 16 END AS INTEGER)
-                   AS height
+               CAST(CASE doc_id % 4
+                         WHEN 1 THEN 320 + (doc_id % 8) * 16
+                         WHEN 3 THEN 100 + doc_id % 300
+                         ELSE -1 END AS INTEGER) AS width,
+               CAST(CASE doc_id % 4
+                         WHEN 1 THEN 240 + (doc_id % 4) * 16
+                         WHEN 3 THEN 80 + doc_id % 200
+                         ELSE -1 END AS INTEGER) AS height
         FROM documents
     """
     # media_dims: expected dims restated by formula; the engine must

@@ -99,6 +99,44 @@ def timed_extraction(
     }
 
 
+def timed_jpeg_decode() -> dict:
+    """Single-core JPEG pixel-decode throughput (round-3 weak item: the
+    MCU loop is now LUT-Huffman + batched-numpy IDCT). Representative
+    mix: 4:4:4 gray, 4:2:0 color with restarts, 4:2:2 color. Best-of-3
+    passes; reports megapixels/s and MB/s of encoded bytes."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:256, 0:256]
+    photo = np.stack([
+        np.clip(128 + 80 * np.sin(xx / 23) + rng.normal(0, 8, (256, 256)), 0, 255),
+        np.clip(128 + 80 * np.cos(yy / 31) + rng.normal(0, 8, (256, 256)), 0, 255),
+        np.clip(128 + 50 * np.sin((xx + yy) / 17) + rng.normal(0, 8, (256, 256)), 0, 255),
+    ], axis=-1).astype(np.uint8)
+    encs = [
+        encode_jpeg(photo[..., 0]),
+        encode_jpeg(photo, subsampling="420", restart_interval=8),
+        encode_jpeg(photo, subsampling="422"),
+    ]
+    n_px = 3 * 256 * 256
+    n_mb = sum(len(e) for e in encs) / 1e6
+    for e in encs:  # warm LUT caches
+        assert decode_jpeg(e) is not None
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        for e in encs:
+            decode_jpeg(e)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return {
+        "megapixels_per_sec": round(n_px / best / 1e6, 2),
+        "mb_per_sec": round(n_mb / best, 2),
+    }
+
+
 def scaling_worker(cpus: int, corpus_path: str):
     """Timed extraction over a pre-built parquet corpus (shared by all
     parallelism levels so every run does IDENTICAL work): quarter-pass
@@ -193,6 +231,7 @@ def main():
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
+        "jpeg_decode": timed_jpeg_decode(),
     }
     # north-rule scaling evidence: identical job at N and 4N parallelism.
     # Two pairs are reported: (2,8) runs in the regime where the single

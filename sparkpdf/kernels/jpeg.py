@@ -1,11 +1,19 @@
 """Baseline JPEG (ITU-T T.81) codec, pure Python + numpy — from the
 public spec, like kernels/ccitt_g4.py.
 
-Scope: baseline sequential DCT, 8-bit, grayscale or 3-component 4:4:4
-(no chroma subsampling), restart markers tolerated; progressive /
-subsampled / 12-bit files return None (quarantine discipline — the
-reference passes ALL DCT payloads through undecoded,
-/root/reference/filters.py:321-330, so any pixel decode exceeds it).
+Scope: baseline sequential DCT, 8-bit, grayscale or 3-component with
+arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), DRI /
+restart markers decoded per T.81 E.2.4 (byte-align + DC predictor
+reset at every RSTn); progressive / 12-bit / arithmetic files return
+None (quarantine discipline — the reference passes ALL DCT payloads
+through undecoded, /root/reference/filters.py:321-330, so any pixel
+decode exceeds it).
+
+The decode hot path is vectorized: entropy decoding uses a 16-bit
+Huffman peek LUT (one list index per symbol instead of a Python loop
+per BIT), coefficients are scattered sparsely into one (nblocks, 64)
+array per component, and dezigzag + dequant + IDCT + chroma upsample
++ color convert all run as batched numpy ops.
 
 The encoder exists so fixtures and the oracle corpus are self-made:
 both directions share only the constant tables, and the decoder is
@@ -160,49 +168,133 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
 
 
-class _BitReader:
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
+import functools
 
-    def bit(self) -> int:
-        if self.n == 0:
-            while True:
-                if self.pos >= len(self.data):
-                    raise ValueError("truncated scan")
-                b = self.data[self.pos]
-                self.pos += 1
-                if b == 0xFF:
-                    nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-                    if nxt == 0x00:
-                        self.pos += 1  # stuffed
-                    elif 0xD0 <= nxt <= 0xD7:
-                        self.pos += 1  # restart marker: skip, reset bits
-                        continue
-                    else:
-                        raise ValueError("marker inside scan")
-                self.acc = b
-                self.n = 8
-                break
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+_ZZ = np.array(ZIGZAG)
 
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
 
-    def huff(self, table) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.bit()
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("bad huffman code")
+@functools.lru_cache(maxsize=32)
+def _huff_lut(bits: tuple, values: tuple):
+    """16-bit peek LUT: index the next 16 bits of the stream, get
+    (code_length << 8) | symbol back (0 = invalid prefix). One list
+    index replaces a Python loop per BIT — this is the decode hot
+    path's main lever. Cached per table; real corpora overwhelmingly
+    reuse the Annex K tables, so the 64 KiB build cost amortizes to
+    zero."""
+    lut = np.zeros(1 << 16, dtype=np.uint32)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = values[k]
+            k += 1
+            lo = code << (16 - length)
+            lut[lo: lo + (1 << (16 - length))] = (length << 8) | sym
+            code += 1
+        code <<= 1
+    return lut.tolist()  # list indexing beats numpy scalar indexing
+
+
+def _split_scan(data: bytes, i: int) -> List[bytes]:
+    """Entropy-coded scan data from offset i, split at RSTn markers and
+    destuffed (FF 00 -> FF). Segment boundaries are exactly the T.81
+    E.2.4 restart boundaries: the decoder byte-aligns by construction
+    (each segment starts fresh) and resets DC predictors per segment."""
+    n = len(data)
+    segs: List[bytes] = []
+    start = p = i
+    while True:
+        f = data.find(b"\xff", p)
+        if f == -1 or f + 1 >= n:
+            segs.append(data[start:n])
+            break
+        m = data[f + 1]
+        if m == 0x00:
+            p = f + 2  # stuffed literal FF
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(data[start:f])
+            start = p = f + 2
+        else:  # real marker terminates the scan
+            segs.append(data[start:f])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+def _decode_mcus(seg: bytes, mcu_lo: int, mcu_hi: int, comp_meta,
+                 sparse, pred) -> None:
+    """Entropy-decode MCUs [mcu_lo, mcu_hi) from one destuffed restart
+    segment. Nonzero coefficients append to per-component sparse
+    (block_idx, zigzag_idx, value) lists — the dense scatter + IDCT
+    happen once, batched, in the caller. pred[] is the running DC
+    predictor (reset by the caller at restart boundaries)."""
+    d = seg
+    L = len(d)
+    i = 0
+    acc = 0
+    nb = 0
+    for m in range(mcu_lo, mcu_hi):
+        for ci, nblk, dc_lut, ac_lut in comp_meta:
+            bi_base = m * nblk
+            bl, kl, vl = sparse[ci]
+            for sb in range(nblk):
+                bi = bi_base + sb
+                while nb < 16:
+                    acc = (acc << 8) | (d[i] if i < L else 0)
+                    i += 1
+                    nb += 8
+                t = dc_lut[(acc >> (nb - 16)) & 0xFFFF]
+                if t == 0:
+                    raise ValueError("bad huffman code")
+                nb -= t >> 8
+                s = t & 0xFF
+                if s:
+                    while nb < s:
+                        acc = (acc << 8) | (d[i] if i < L else 0)
+                        i += 1
+                        nb += 8
+                    v = (acc >> (nb - s)) & ((1 << s) - 1)
+                    nb -= s
+                    pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                if pred[ci]:
+                    bl.append(bi)
+                    kl.append(0)
+                    vl.append(pred[ci])
+                k = 1
+                while k < 64:
+                    while nb < 16:
+                        acc = (acc << 8) | (d[i] if i < L else 0)
+                        i += 1
+                        nb += 8
+                    t = ac_lut[(acc >> (nb - 16)) & 0xFFFF]
+                    if t == 0:
+                        raise ValueError("bad huffman code")
+                    nb -= t >> 8
+                    rs = t & 0xFF
+                    s = rs & 0x0F
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC overflow")
+                    while nb < s:
+                        acc = (acc << 8) | (d[i] if i < L else 0)
+                        i += 1
+                        nb += 8
+                    v = (acc >> (nb - s)) & ((1 << s) - 1)
+                    nb -= s
+                    bl.append(bi)
+                    kl.append(k)
+                    vl.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+                acc &= (1 << nb) - 1  # keep the int small
+    if 8 * i - nb > 8 * L:
+        # consumed virtual zero-padding past the segment end: the
+        # stream was truncated (a well-formed segment never decodes
+        # into its pad bits)
+        raise ValueError("truncated scan")
 
 
 def _extend(v: int, t: int) -> int:
@@ -223,13 +315,43 @@ def _magnitude(v: int) -> Tuple[int, int]:
 # --- encoder -----------------------------------------------------------------
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _pad_edge(p: np.ndarray, H: int, W: int) -> np.ndarray:
+    h0, w0 = p.shape
+    return np.pad(p, ((0, H - h0), (0, W - w0)), mode="edge")
+
+
+def _mcu_zigzag_blocks(plane: np.ndarray, hi: int, vi: int, mcux: int,
+                       mcuy: int, q: np.ndarray) -> list:
+    """Component plane -> list of 64-int zigzagged quantized blocks in
+    MCU-interleave order (my, mx, bv, bh). Transform + quantize run as
+    one batched numpy op; only entropy coding stays per-block."""
+    padded = _pad_edge(plane, mcuy * vi * 8, mcux * hi * 8)
+    blocks = (
+        padded.reshape(mcuy, vi, 8, mcux, hi, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
+    coeff = np.matmul(np.matmul(_T, blocks - 128.0), _T.T)
+    quant = np.round(coeff / q).astype(np.int64).reshape(-1, 64)
+    return quant[:, _ZZ].tolist()
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """8-bit image -> baseline JPEG. pixels: (h, w) grayscale or
     (h, w, 3) RGB; dimensions need not be multiples of 8 (edge blocks
-    replicate). 4:4:4, Annex K tables, no restarts."""
+    replicate). Annex K tables. subsampling: "444", "422" or "420"
+    (color only; chroma is box-averaged). restart_interval > 0 emits a
+    DRI segment and RSTn markers every that-many MCUs (byte-aligned,
+    DC predictors reset — T.81 E.2.4)."""
+    pixels = np.asarray(pixels)
     if pixels.ndim == 2:
-        comps = [pixels.astype(np.float64)]
+        planes = [pixels.astype(np.float64)]
         color = False
+        sfh = sfv = 1
     else:
         r = pixels[..., 0].astype(np.float64)
         g = pixels[..., 1].astype(np.float64)
@@ -237,22 +359,25 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        comps = [y, cb, cr]
         color = True
-    h, w = comps[0].shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    # pad by edge replication
-    padded = []
-    for c in comps:
-        p = np.zeros((bh * 8, bw * 8))
-        p[:h, :w] = c
-        p[h:, :w] = c[-1:, :]
-        p[:, w:] = p[:, w - 1: w]
-        padded.append(p)
+        sfh, sfv = _SUBSAMPLING[subsampling]
+        if (sfh, sfv) != (1, 1):
+            h0, w0 = y.shape
+            H2, W2 = -(-h0 // sfv) * sfv, -(-w0 // sfh) * sfh
+            cb = _pad_edge(cb, H2, W2).reshape(
+                H2 // sfv, sfv, W2 // sfh, sfh).mean(axis=(1, 3))
+            cr = _pad_edge(cr, H2, W2).reshape(
+                H2 // sfv, sfv, W2 // sfh, sfh).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+    h, w = planes[0].shape
+    factors = [(sfh, sfv)] + [(1, 1)] * (len(planes) - 1)
+    mcux = -(-w // (8 * sfh))
+    mcuy = -(-h // (8 * sfv))
+    n_mcus = mcux * mcuy
 
     qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
-    dc_dec0, dc_enc0 = _canonical_codes(*DC_LUMA)
-    ac_dec0, ac_enc0 = _canonical_codes(*AC_LUMA)
+    _, dc_enc0 = _canonical_codes(*DC_LUMA)
+    _, ac_enc0 = _canonical_codes(*AC_LUMA)
     dc_enc = [dc_enc0]
     ac_enc = [ac_enc0]
     if color:
@@ -261,16 +386,27 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
         dc_enc += [dc_enc1, dc_enc1]
         ac_enc += [ac_enc1, ac_enc1]
 
+    zz_blocks = [
+        _mcu_zigzag_blocks(
+            planes[ci], fi[0], fi[1], mcux, mcuy, qts[min(ci, len(qts) - 1)]
+        )
+        for ci, fi in enumerate(factors)
+    ]
+
     bwr = _BitWriter()
-    pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, comp in enumerate(padded):
-                block = comp[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-                coeff = _T @ block @ _T.T
-                q = qts[min(ci, len(qts) - 1)]
-                quant = np.round(coeff / q).astype(np.int64)
-                zz = [int(quant.flat[ZIGZAG[i]]) for i in range(64)]
+    pred = [0] * len(planes)
+    ptr = [0] * len(planes)
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            bwr.flush()  # byte-align with 1-fill before the marker
+            bwr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = [0] * len(planes)
+        for ci, (hi_f, vi_f) in enumerate(factors):
+            for _ in range(hi_f * vi_f):
+                zz = zz_blocks[ci][ptr[ci]]
+                ptr[ci] += 1
                 # DC
                 diff = zz[0] - pred[ci]
                 pred[ci] = zz[0]
@@ -307,16 +443,19 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
     for ti, q in enumerate(qts):
         zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
         out += seg(0xDB, bytes([ti]) + zzq)
-    nc = len(comps)
+    nc = len(planes)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
-        sof += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+        hi_f, vi_f = factors[ci]
+        sof += bytes([ci + 1, (hi_f << 4) | vi_f, min(ci, len(qts) - 1)])
     out += seg(0xC0, sof)
     hts = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
     if color:
         hts += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
     for tid, (bits, vals) in hts:
         out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -332,7 +471,9 @@ def encode_jpeg(pixels: np.ndarray) -> bytes:
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
     """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    None for progressive / subsampled / 12-bit / malformed input."""
+    Handles arbitrary integer chroma subsampling (4:4:4/4:2:2/4:2:0/...)
+    and DRI/RSTn restart intervals. None for progressive / 12-bit /
+    arithmetic / malformed input."""
     try:
         return _decode(data)
     except Exception:
@@ -343,10 +484,11 @@ def _decode(data: bytes):
     if data[:2] != b"\xff\xd8":
         return None
     qt = {}
-    huff_dc = {}
+    huff_dc = {}  # th -> (bits tuple, values tuple)
     huff_ac = {}
     frame = None
     scan_comps = None
+    restart_interval = 0
     i = 2
     n = len(data)
     while i + 4 <= n:
@@ -374,12 +516,13 @@ def _decode(data: bytes):
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
-                bits = list(seg[j + 1:j + 17])
+                bits = tuple(seg[j + 1:j + 17])
                 nv = sum(bits)
-                vals = list(seg[j + 17:j + 17 + nv])
-                dec, _ = _canonical_codes(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                vals = tuple(seg[j + 17:j + 17 + nv])
+                (huff_dc if tc == 0 else huff_ac)[th] = (bits, vals)
                 j += 17 + nv
+        elif marker == 0xDD:  # DRI: restart interval in MCUs
+            restart_interval = int.from_bytes(seg[:2], "big")
         elif marker == 0xC0:
             prec = seg[0]
             h = int.from_bytes(seg[1:3], "big")
@@ -390,9 +533,14 @@ def _decode(data: bytes):
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
-                if samp != 0x11:
-                    return None  # subsampling out of scope
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0x0F
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    return None
+                comps.append((cid, tq, hi, vi))
+            if nc == 1:
+                # single-component scans have no interleave: sampling
+                # factors are ignored, the MCU is one block (T.81 A.2.2)
+                comps = [(comps[0][0], comps[0][1], 1, 1)]
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -409,47 +557,70 @@ def _decode(data: bytes):
     if frame is None or scan_comps is None:
         return None
     h, w, comps = frame
-    if len(scan_comps) != len(comps):
+    if h == 0 or w == 0 or len(scan_comps) != len(comps):
         return None
-    bh, bw = -(-h // 8), -(-w // 8)
-    rd = _BitReader(data, i)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
-    pred = [0] * len(comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comps):
-                _, dtab, atab = scan_comps[ci]
-                dc_t = huff_dc[dtab]
-                ac_t = huff_ac[atab]
-                zz = [0] * 64
-                t = rd.huff(dc_t)
-                diff = _extend(rd.bits(t), t) if t else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.huff(ac_t)
-                    r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC overflow")
-                    zz[k] = _extend(rd.bits(s), s)
-                    k += 1
-                coeff = np.zeros((8, 8))
-                for kk in range(64):
-                    coeff.flat[ZIGZAG[kk]] = zz[kk]
-                coeff *= qt[tq]
-                block = _T.T @ coeff @ _T + 128.0
-                planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = block
-    crop = [p[:h, :w] for p in planes]
-    if len(crop) == 1:
-        return np.clip(np.round(crop[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = crop
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    if any(hmax % c[2] or vmax % c[3] for c in comps):
+        return None  # non-integer upsampling ratios: out of scope
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+
+    segs = _split_scan(data, i)
+    if restart_interval:
+        need = -(-total_mcus // restart_interval)
+        if len(segs) < need:
+            raise ValueError("missing restart segments")
+    else:
+        if len(segs) != 1:
+            raise ValueError("RST markers without DRI")
+        need = 1
+
+    comp_meta = []
+    sparse = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        _, dtab, atab = scan_comps[ci]
+        comp_meta.append((
+            ci, hi * vi, _huff_lut(*huff_dc[dtab]), _huff_lut(*huff_ac[atab]),
+        ))
+        sparse.append(([], [], []))
+
+    step = restart_interval or total_mcus
+    for s in range(need):
+        lo = s * step
+        hi_m = min(lo + step, total_mcus)
+        pred = [0] * len(comps)  # T.81 E.2.4: predictors reset per RST
+        _decode_mcus(segs[s], lo, hi_m, comp_meta, sparse, pred)
+
+    planes = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        nblk = total_mcus * hi * vi
+        arr = np.zeros((nblk, 64))
+        bl, kl, vl = sparse[ci]
+        if bl:
+            arr[bl, kl] = vl
+        nat = np.zeros_like(arr)
+        nat[:, _ZZ] = arr  # dezigzag, batched
+        deq = nat.reshape(-1, 8, 8) * qt[tq]
+        blocks = np.matmul(np.matmul(_T.T, deq), _T) + 128.0
+        plane = (
+            blocks.reshape(mcuy, mcux, vi, hi, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * vi * 8, mcux * hi * 8)
+        )
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        plane = plane[:chh, :cw]
+        ry, rx = vmax // vi, hmax // hi
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128)
     g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
     b = y + 1.772 * (cb - 128)

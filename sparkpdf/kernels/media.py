@@ -267,11 +267,171 @@ def mp4_info(b: bytes) -> Optional[dict]:
     return out
 
 
+# --- MP3 (MPEG-1/2 audio layer III frame headers, public ISO 11172-3) --------
+
+_MP3_BITRATES = {  # kbps by version (3=MPEG1, 2=MPEG2, 0=MPEG2.5), Layer III
+    3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _mp3_frame(b: bytes, i: int):
+    """Parse one Layer-III frame header at offset i ->
+    (frame_len, sample_rate, kbps, channels, samples_per_frame), or
+    None if no valid header starts there."""
+    if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (b[i + 1] >> 3) & 3
+    layer = (b[i + 1] >> 1) & 3
+    if ver == 1 or layer != 1:  # reserved version / not Layer III
+        return None
+    br_idx = b[i + 2] >> 4
+    sr_idx = (b[i + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format / reserved
+        return None
+    kbps = _MP3_BITRATES[ver][br_idx]
+    sr = _MP3_RATES[ver][sr_idx]
+    pad = (b[i + 2] >> 1) & 1
+    mode = b[i + 3] >> 6
+    spf = 1152 if ver == 3 else 576
+    flen = (144000 if ver == 3 else 72000) * kbps // sr + pad
+    return flen, sr, kbps, (1 if mode == 3 else 2), spf
+
+
+def mp3_info(b: bytes) -> Optional[dict]:
+    """MP3: skip an ID3v2 tag if present, then walk Layer-III frame
+    headers; duration = full frames x samples-per-frame / rate."""
+    if len(b) < 4:
+        return None
+    i = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            return None
+        i = 10 + (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+    first = _mp3_frame(b, i)
+    if first is None:
+        return None
+    _, sr, kbps, channels, spf = first
+    frames = 0
+    n = len(b)
+    while frames < 1_000_000:
+        f = _mp3_frame(b, i)
+        if f is None or i + f[0] > n:
+            break  # trailing partial frame / junk: count full frames only
+        frames += 1
+        i += f[0]
+    if frames == 0:
+        return None
+    return {
+        "format": "mp3",
+        "sample_rate": sr,
+        "bitrate_kbps": kbps,
+        "channels": channels,
+        "duration_ms": frames * spf * 1000 // sr,
+    }
+
+
+# --- Matroska/WebM (EBML, public matroska.org spec) ---------------------------
+
+
+def _ebml_vint(b: bytes, i: int, keep_marker: bool):
+    """EBML variable-length integer at offset i -> (value, next_pos).
+    Element IDs keep the length-marker bit; sizes clear it."""
+    if i >= len(b) or b[i] == 0:
+        return None
+    ln = 9 - b[i].bit_length()
+    if i + ln > len(b):
+        return None
+    if keep_marker:
+        return int.from_bytes(b[i:i + ln], "big"), i + ln
+    val = b[i] & ((1 << (8 - ln)) - 1)
+    for k in range(1, ln):
+        val = (val << 8) | b[i + k]
+    return val, i + ln
+
+
+def _ebml_walk(b: bytes, i: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements."""
+    while i < end:
+        r = _ebml_vint(b, i, True)
+        if r is None:
+            return
+        eid, j = r
+        r = _ebml_vint(b, j, False)
+        if r is None:
+            return
+        size, k = r
+        if size == (1 << (7 * (k - j))) - 1:  # unknown-size element
+            body_end = end
+        else:
+            body_end = k + size
+        if body_end > end:
+            return
+        yield eid, k, body_end
+        i = body_end
+
+
+def mkv_info(b: bytes) -> Optional[dict]:
+    """Matroska/WebM: EBML DocType + Segment/Info (TimestampScale ->
+    duration) + the first video track's PixelWidth/PixelHeight."""
+    if b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    import struct as _struct
+
+    out: dict = {"format": "mkv"}
+    for eid, s, e in _ebml_walk(b, 0, len(b)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for e2, s2, e2e in _ebml_walk(b, s, e):
+                if e2 == 0x4282:  # DocType
+                    dt = b[s2:e2e].split(b"\x00")[0].decode("latin-1")
+                    out["format"] = "webm" if dt == "webm" else "mkv"
+        elif eid == 0x18538067:  # Segment
+            scale = 1_000_000  # ns per timestamp unit (spec default)
+            dur = None
+            for e2, s2, e2e in _ebml_walk(b, s, e):
+                if e2 == 0x1549A966:  # Info
+                    for e3, s3, e3e in _ebml_walk(b, s2, e2e):
+                        if e3 == 0x2AD7B1 and e3e > s3:  # TimestampScale
+                            scale = int.from_bytes(b[s3:e3e], "big")
+                        elif e3 == 0x4489:  # Duration (float)
+                            raw = b[s3:e3e]
+                            if len(raw) == 4:
+                                dur = _struct.unpack(">f", raw)[0]
+                            elif len(raw) == 8:
+                                dur = _struct.unpack(">d", raw)[0]
+                elif e2 == 0x1654AE6B:  # Tracks
+                    for e3, s3, e3e in _ebml_walk(b, s2, e2e):
+                        if e3 != 0xAE:  # TrackEntry
+                            continue
+                        for e4, s4, e4e in _ebml_walk(b, s3, e3e):
+                            if e4 != 0xE0:  # Video
+                                continue
+                            for e5, s5, e5e in _ebml_walk(b, s4, e4e):
+                                if e5 == 0xB0 and "width" not in out:
+                                    out["width"] = int.from_bytes(
+                                        b[s5:e5e], "big")
+                                elif e5 == 0xBA and "height" not in out:
+                                    out["height"] = int.from_bytes(
+                                        b[s5:e5e], "big")
+            if dur is not None and scale:
+                out["duration_ms"] = int(dur * scale / 1e6)
+    return out
+
+
 def av_info(b: bytes) -> Optional[dict]:
     """Sniff audio/video containers by magic."""
     if not b:
         return None
-    return wav_info(b) or mp4_info(b)
+    return wav_info(b) or mp4_info(b) or mkv_info(b) or mp3_info(b)
 
 
 # --- PNG pixel decode (round 3) ----------------------------------------------

@@ -91,30 +91,32 @@ def _decode_image(payload: bytes) -> dict:
 
 
 def _decode_audio(payload: bytes) -> dict:
-    """REAL container decode for WAV/RIFF (kernels/media.wav_info):
-    sample rate, channels, bit depth, duration from the fmt/data
-    chunks. Non-WAV codecs (mp3/ogg/flac...) need decoders not present
-    in this container — they raise and quarantine to empty features."""
-    from ..kernels.media import wav_info
+    """REAL container decode for WAV/RIFF (fmt/data chunks) and MP3
+    (Layer-III frame-header walk, kernels/media.mp3_info): sample rate,
+    channels, bitrate, duration. Other codecs (ogg/flac/aac...) need
+    decoders not present in this container — they raise and quarantine
+    to empty features."""
+    from ..kernels.media import mp3_info, wav_info
 
-    meta = wav_info(payload)
+    meta = wav_info(payload) or mp3_info(payload)
     if meta is None:
         raise NotImplementedError(
-            "audio decode beyond WAV requires codecs not in this container"
+            "audio decode beyond WAV/MP3 requires codecs not in this container"
         )
     return meta
 
 
 def _decode_video(payload: bytes) -> dict:
-    """REAL container decode for MP4/ISO-BMFF (kernels/media.mp4_info):
-    duration from mvhd, frame dims from the first trak's tkhd. Other
-    containers (mkv/webm/avi...) raise and quarantine."""
-    from ..kernels.media import mp4_info
+    """REAL container decode for MP4/ISO-BMFF (mvhd/tkhd boxes) and
+    Matroska/WebM (EBML Segment/Info/Tracks, kernels/media.mkv_info):
+    duration + frame dims. Other containers (avi/flv...) raise and
+    quarantine."""
+    from ..kernels.media import mkv_info, mp4_info
 
-    meta = mp4_info(payload)
+    meta = mp4_info(payload) or mkv_info(payload)
     if meta is None:
         raise NotImplementedError(
-            "video decode beyond MP4 requires codecs not in this container"
+            "video decode beyond MP4/MKV requires codecs not in this container"
         )
     return meta
 
@@ -199,30 +201,44 @@ def synthesize_g4_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_av_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL audio/video container per doc (WAV for
-    even doc_id, MP4 for odd) with formula metadata the oracle can
-    restate in SQL while the engine must parse the real binary headers:
+    """documents -> one REAL audio/video container per doc (doc_id % 4:
+    0=WAV, 1=MP4, 2=MP3, 3=Matroska) with formula metadata the oracle
+    can restate in SQL while the engine must parse the real binary
+    headers (RIFF chunks / BMFF boxes / Layer-III frame walk / EBML):
       WAV: sample_rate = 8000 + (d%8)*1000, duration_ms = 100 + d%400
       MP4: width = 320 + (d%8)*16, height = 240 + (d%4)*16,
-           duration_ms = 500 + d%1000"""
+           duration_ms = 500 + d%1000
+      MP3: sample_rate = 32000, frames = 5 + d%20 ->
+           duration_ms = (5 + d%20) * 36
+      MKV: width = 100 + d%300, height = 80 + d%200,
+           duration_ms = 700 + d%900"""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..testing.imagegen import make_mp4, make_wav
+        from ..testing.imagegen import make_mkv, make_mp3, make_mp4, make_wav
 
         for pdf in batches:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                if d % 2 == 0:
+                v = d % 4
+                if v == 0:
                     modality = "audio"
                     payload = make_wav(8000 + (d % 8) * 1000, 100 + d % 400)
-                else:
+                elif v == 1:
                     modality = "video"
                     payload = make_mp4(
                         320 + (d % 8) * 16, 240 + (d % 4) * 16, 500 + d % 1000
+                    )
+                elif v == 2:
+                    modality = "audio"
+                    payload = make_mp3(5 + d % 20, id3=(d % 8 == 6))
+                else:
+                    modality = "video"
+                    payload = make_mkv(
+                        100 + d % 300, 80 + d % 200, 700 + d % 900
                     )
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"av-{d}")
@@ -233,18 +249,27 @@ def synthesize_av_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+MEDIA_PAYLOAD_SCHEMA = StructType(
+    MEDIA_SCHEMA.fields + [StructField("error", StringType())]
+)
+
+
 def extract_media_payloads(pdf_raw: DataFrame) -> DataFrame:
-    """pdf_raw -> media(doc_id, media_ref, modality, payload): pulls
-    every embedded image XObject out of each document (the bridge that
-    feeds PDFs into the same feature/dedup pipelines as standalone
-    media). Unparseable documents are skipped (quarantine); media_ref
-    is 'p{page}/{name}' so multi-page name reuse stays unique."""
+    """pdf_raw -> media(doc_id, media_ref, modality, payload, error):
+    pulls every embedded image XObject out of each document (the bridge
+    that feeds PDFs into the same feature/dedup pipelines as standalone
+    media). Invariant 2 (extract_doc never drops a doc) holds here too:
+    an unparseable document yields ONE row with null payload and the
+    error string — silent drops are unaccountable losses at corpus
+    scale. media_ref is 'p{page}/{name}' so multi-page name reuse stays
+    unique."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.document import PdfDocument
 
+        cols = ("doc_id", "media_ref", "modality", "payload", "error")
         for pdf in batches:
-            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            out = {k: [] for k in cols}
             for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
                 try:
                     doc = PdfDocument(bytes(blob))
@@ -253,49 +278,75 @@ def extract_media_payloads(pdf_raw: DataFrame) -> DataFrame:
                         out["media_ref"].append(f"p{m['page_no']}/{m['name']}")
                         out["modality"].append("image")
                         out["payload"].append(m["data"])
-                except Exception:
-                    continue
+                        out["error"].append(None)
+                except Exception as exc:  # quarantine, never drop
+                    out["doc_id"].append(str(doc_id))
+                    out["media_ref"].append(None)
+                    out["modality"].append(None)
+                    out["payload"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}"[:500])
             yield pd.DataFrame(out)
 
     return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
-        gen, schema=MEDIA_SCHEMA
+        gen, schema=MEDIA_PAYLOAD_SCHEMA
     )
+
+
+def _tile_jpeg(d: int) -> bytes:
+    """The deterministic planted-tile JPEG for doc d: flat 8x8 tiles at
+    78 + 2*((t*7 + d) % 51) (even offsets from 128 survive Annex-K DC
+    quantization exactly). Encoding varies by doc so the corpus
+    exercises every decoder path while the ORACLE FORMULA never moves:
+      d%3==0 -> grayscale 4:4:4
+      d%3==1 -> gray-valued RGB, 4:2:0, restart_interval=2
+      d%3==2 -> gray-valued RGB, 4:2:2, restart_interval=1
+    Gray-valued RGB keeps decode lossless under subsampling: Y == v
+    (the luma weights sum to 1) and Cb == Cr == 128 exactly, so chroma
+    box-averaging and upsampling are the identity."""
+    import numpy as np
+
+    from ..kernels.jpeg import encode_jpeg
+
+    w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
+    img = np.zeros((h, w), dtype=np.uint8)
+    tiles_x = w // 8
+    for ty in range(h // 8):
+        for tx in range(tiles_x):
+            t = ty * tiles_x + tx
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                78 + 2 * ((t * 7 + d) % 51)
+            )
+    variant = d % 3
+    if variant == 0:
+        return encode_jpeg(img)
+    rgb = np.repeat(img[..., None], 3, axis=2)
+    if variant == 1:
+        return encode_jpeg(rgb, subsampling="420", restart_interval=2)
+    return encode_jpeg(rgb, subsampling="422", restart_interval=1)
 
 
 def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL baseline JPEG per doc (kernels/jpeg.py
-    encoder), grayscale flat 8x8 tiles whose values survive Annex-K
-    quantization EXACTLY (even offsets from 128, DC quant step 16):
+    encoder) with planted flat tiles (_tile_jpeg):
       width = 16 + (doc_id % 4) * 8, height = 8 + (doc_id % 2) * 8,
       tile t value = 78 + 2 * ((t*7 + doc_id) % 51)
     so the oracle restates the decoded mean luminance in pure SQL while
-    the engine must run the full Huffman + IDCT decode to match."""
+    the engine must run the full Huffman + IDCT decode — including the
+    4:2:0/4:2:2 chroma upsample and DRI/RSTn restart handling on two of
+    every three docs — to match."""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from ..kernels.jpeg import encode_jpeg
-
         for pdf in batches:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
-                img = np.zeros((h, w), dtype=np.uint8)
-                tiles_x = w // 8
-                for ty in range(h // 8):
-                    for tx in range(tiles_x):
-                        t = ty * tiles_x + tx
-                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
-                            78 + 2 * ((t * 7 + d) % 51)
-                        )
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"jpg-{d}")
                 out["modality"].append("image")
-                out["payload"].append(encode_jpeg(img))
+                out["payload"].append(_tile_jpeg(d))
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
@@ -313,24 +364,12 @@ def write_pdfs_with_jpeg_media(documents: DataFrame) -> DataFrame:
     schema = "doc_id string, pdf_bytes binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        from ..kernels.jpeg import encode_jpeg
         from ..kernels.write import spans_to_pdf
 
         for pdf in batches:
             out = {"doc_id": [], "pdf_bytes": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
-                img = np.zeros((h, w), dtype=np.uint8)
-                tiles_x = w // 8
-                for ty in range(h // 8):
-                    for tx in range(tiles_x):
-                        t = ty * tiles_x + tx
-                        img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
-                            78 + 2 * ((t * 7 + d) % 51)
-                        )
                 page = [
                     {"kind": "text", "text": f"doc {d}\n", "media_ref": None},
                     {"kind": "media_ref", "text": None, "media_ref": "img00"},
@@ -338,7 +377,7 @@ def write_pdfs_with_jpeg_media(documents: DataFrame) -> DataFrame:
                 out["doc_id"].append(str(d))
                 out["pdf_bytes"].append(
                     spans_to_pdf(
-                        [page], media_payloads={"img00": encode_jpeg(img)}
+                        [page], media_payloads={"img00": _tile_jpeg(d)}
                     )
                 )
             yield pd.DataFrame(out)

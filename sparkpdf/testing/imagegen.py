@@ -113,3 +113,49 @@ def make_mp4(width: int, height: int, duration_ms: int,
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
     ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
     return ftyp + moov
+
+
+def make_mp3(n_frames: int, sample_rate: int = 32000, kbps: int = 64,
+             id3: bool = False) -> bytes:
+    """Minimal valid MPEG-1 Layer III stream: n_frames identical frame
+    headers with zero-filled payloads (header-only probing is the
+    point). duration_ms = n_frames * 1152 * 1000 / sample_rate."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+              160, 192, 224, 256, 320).index(kbps)
+    # FF FB = sync + MPEG1 + Layer III + no CRC; mode byte 0 = stereo
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00])
+    flen = 144000 * kbps // sample_rate
+    frame = hdr + bytes(flen - 4)
+    out = b""
+    if id3:  # ID3v2.4 tag, 10-byte syncsafe body
+        out = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    return out + frame * n_frames
+
+
+def _ebml_el(eid: bytes, body: bytes) -> bytes:
+    n = len(body)
+    if n < 127:
+        return eid + bytes([0x80 | n]) + body
+    return eid + b"\x01" + n.to_bytes(7, "big")[:7].rjust(7, b"\x00") + body
+
+
+def make_mkv(width: int, height: int, duration_ms: int,
+             doctype: bytes = b"matroska") -> bytes:
+    """Minimal valid Matroska/EBML: EBML header (DocType) + Segment
+    with Info (TimestampScale 1 ms, float Duration) and one video
+    TrackEntry carrying PixelWidth/PixelHeight."""
+    header = _ebml_el(b"\x1a\x45\xdf\xa3", _ebml_el(b"\x42\x82", doctype))
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", width.to_bytes(2, "big"))
+        + _ebml_el(b"\xba", height.to_bytes(2, "big")),
+    )
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", video))
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment

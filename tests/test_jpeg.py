@@ -120,3 +120,83 @@ def test_random_blocks_roundtrip(seed):
             )
     exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
     assert (dec == exp).all()
+
+
+def test_subsampled_gray_valued_rgb_lossless():
+    """4:2:0 / 4:2:2 decode EXACTLY on gray-valued RGB even-offset
+    tiles: Y == v (0.299+0.587+0.114 == 1), Cb == Cr == 128 exactly, so
+    chroma box-averaging and upsampling are identity — the same
+    DC-quant-16 losslessness argument as the 4:4:4 flat-tile test."""
+    img = np.zeros((32, 48, 3), dtype=np.uint8)
+    vals = [[128, 130, 78], [178, 152, 96], [100, 144, 202], [64, 88, 126]]
+    for ty in range(4):
+        for tx in range(3):
+            img[ty * 8:(ty + 1) * 8, tx * 16:(tx + 1) * 16, :] = vals[ty][tx]
+    for ss in ("444", "422", "420"):
+        enc = encode_jpeg(img, subsampling=ss)
+        dec = decode_jpeg(enc)
+        assert dec is not None and dec.shape == img.shape, ss
+        assert (dec == img).all(), ss
+        # sampling byte in SOF matches the request
+        sf = {"444": 0x11, "422": 0x21, "420": 0x22}[ss]
+        sof = enc.index(b"\xff\xc0")
+        assert enc[sof + 11] == sf
+
+
+def test_subsampled_smooth_rgb_quality():
+    """Chroma-varying smooth content decodes with small error through
+    the 4:2:0/4:2:2 downsample->upsample chain, and odd (non-MCU-
+    multiple) dimensions crop correctly."""
+    h, w = 37, 53
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        np.clip(128 + 70 * np.sin(xx / 8.0), 0, 255),
+        np.clip(128 + 70 * np.cos(yy / 9.0), 0, 255),
+        np.clip(128 + 50 * np.sin((xx + yy) / 11.0), 0, 255),
+    ], axis=-1).astype(np.uint8)
+    for ss in ("422", "420"):
+        dec = decode_jpeg(encode_jpeg(img, subsampling=ss))
+        assert dec.shape == (h, w, 3), ss
+        assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 8.0, ss
+
+
+@pytest.mark.parametrize("ri", [1, 2, 3, 5])
+def test_restart_markers_decode_identically(ri):
+    """DRI/RSTn streams (T.81 E.2.4) decode to EXACTLY the same pixels
+    as the restart-free encoding of the same image — byte-alignment and
+    DC-predictor reset at each RSTn are both load-bearing here (a
+    decoder that fails either produces different DC levels)."""
+    rng = np.random.default_rng(ri)
+    gray = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    for img, ss in ((gray, "444"), (rgb, "444"), (rgb, "420")):
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss))
+        enc = encode_jpeg(img, subsampling=ss, restart_interval=ri)
+        assert b"\xff\xdd" in enc  # DRI present
+        sfh, sfv = {"444": (1, 1), "420": (2, 2)}[ss]
+        n_mcus = -(-img.shape[1] // (8 * sfh)) * -(-img.shape[0] // (8 * sfv))
+        if n_mcus > ri:  # at least one restart boundary exists
+            assert any(bytes([0xFF, 0xD0 + k]) in enc for k in range(8))
+        dec = decode_jpeg(enc)
+        assert dec is not None
+        assert np.array_equal(dec, base), (ss, ri)
+
+
+def test_restart_malformed_quarantines():
+    """RST markers with the DRI segment stripped, and a truncated
+    restart segment, both return None (never wrong pixels)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = encode_jpeg(img, restart_interval=1)
+    # strip the 6-byte DRI segment: RSTn now appear without DRI
+    dri = enc.index(b"\xff\xdd")
+    assert decode_jpeg(enc[:dri] + enc[dri + 6:]) is None
+    # truncate inside the last restart segment
+    last_rst = max(enc.rfind(bytes([0xFF, 0xD0 + k])) for k in range(8))
+    assert decode_jpeg(enc[:last_rst + 4]) is None
+    # fewer segments than the MCU count demands
+    first_rst = min(
+        p for p in (enc.find(bytes([0xFF, 0xD0 + k])) for k in range(8))
+        if p != -1
+    )
+    assert decode_jpeg(enc[:first_rst] + b"\xff\xd9") is None

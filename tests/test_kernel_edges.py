@@ -392,3 +392,39 @@ def test_png_pixel_decode_all_filters():
             b = (9 * p + 6 + y) % 256
             tot += 299 * r + 587 * g + 114 * b
     assert png_mean_luma(p2) == round(tot / (1000.0 * 24), 6)
+
+
+def test_mp3_and_mkv_header_parse():
+    """MP3 Layer-III frame-header walk + Matroska EBML parse (public
+    ISO 11172-3 / matroska.org specs): planted metadata reads back
+    exactly; truncations and junk never raise."""
+    from sparkpdf.kernels.media import av_info, mkv_info, mp3_info
+    from sparkpdf.testing.imagegen import make_mkv, make_mp3
+
+    m = make_mp3(12)
+    got = mp3_info(m)
+    assert got == {
+        "format": "mp3", "sample_rate": 32000, "bitrate_kbps": 64,
+        "channels": 2, "duration_ms": 432,  # 12 frames * 36 ms
+    }
+    # ID3v2 prefix skipped; other rates/bitrates honored
+    assert mp3_info(make_mp3(7, id3=True))["duration_ms"] == 7 * 36
+    g = mp3_info(make_mp3(5, sample_rate=48000, kbps=96))
+    assert g["sample_rate"] == 48000 and g["duration_ms"] == 5 * 1152 * 1000 // 48000
+    # trailing junk after the last full frame: full frames still counted
+    assert mp3_info(m + b"\xff\xfb")["duration_ms"] == 432
+    # truncation sweep never raises; partial final frame not counted
+    for n in range(0, len(m), 13):
+        out = mp3_info(m[:n])
+        assert out is None or out["duration_ms"] % 36 == 0
+
+    k = make_mkv(640, 360, 1500)
+    assert mkv_info(k) == {
+        "format": "mkv", "width": 640, "height": 360, "duration_ms": 1500,
+    }
+    assert mkv_info(make_mkv(100, 80, 700, doctype=b"webm"))["format"] == "webm"
+    for n in range(0, len(k), 7):
+        mkv_info(k[:n])
+    assert av_info(m)["format"] == "mp3"
+    assert av_info(k)["format"] == "mkv"
+    assert mp3_info(b"\xff\xe0") is None and mkv_info(b"\x1a\x45") is None

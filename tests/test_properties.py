@@ -206,7 +206,9 @@ def test_av_parsers_never_raise(data):
     """wav_info/mp4_info/av_info must return dict-or-None on ANY bytes
     — fuzzed garbage, truncations, and magic-prefixed noise included
     (quarantine discipline: the feature kernel relies on it)."""
-    from sparkpdf.kernels.media import av_info, mp4_info, wav_info
+    from sparkpdf.kernels.media import (
+        av_info, mkv_info, mp3_info, mp4_info, wav_info,
+    )
 
     for probe in (
         data,
@@ -214,8 +216,11 @@ def test_av_parsers_never_raise(data):
         b"RIFF\x10\x00\x00\x00WAVE" + data,
         data[:4] + b"ftyp" + data[4:],
         (8).to_bytes(4, "big") + b"ftyp" + data,
+        b"\xff\xfb" + data,
+        b"ID3" + data,
+        b"\x1a\x45\xdf\xa3" + data,
     ):
-        for fn in (wav_info, mp4_info, av_info):
+        for fn in (wav_info, mp4_info, mp3_info, mkv_info, av_info):
             out = fn(probe)
             assert out is None or isinstance(out, dict)
 
@@ -243,8 +248,13 @@ def test_jpeg_valid_file_bitflip_quarantines(seed):
     from sparkpdf.kernels.jpeg import decode_jpeg, encode_jpeg
 
     rng = np.random.default_rng(seed)
-    img = rng.integers(0, 256, (8, 16), dtype=np.uint8)
-    enc = bytearray(encode_jpeg(img))
+    ss = ("444", "422", "420")[seed % 3]
+    ri = (0, 1, 3)[(seed // 3) % 3]
+    if seed % 2:
+        img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    else:
+        img = rng.integers(0, 256, (8, 16), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img, subsampling=ss, restart_interval=ri))
     pos = int(rng.integers(2, len(enc) - 2))
     enc[pos] ^= int(rng.integers(1, 256))
     out = decode_jpeg(bytes(enc))

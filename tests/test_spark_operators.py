@@ -178,8 +178,8 @@ def test_extract_arrow_and_pandas_paths_identical(spark, corpus, monkeypatch):
 
 
 def test_av_media_features_and_quarantine(spark, docs):
-    """Audio/video modality dispatch: WAV/MP4 containers yield real
-    header metadata; foreign/corrupt payloads quarantine to empty
+    """Audio/video modality dispatch: WAV/MP4/MP3/MKV containers yield
+    real header metadata; foreign/corrupt payloads quarantine to empty
     features (NotImplementedError inside the kernel, never a dead
     task)."""
     from pyspark.sql import Row
@@ -192,22 +192,34 @@ def test_av_media_features_and_quarantine(spark, docs):
     assert len(feats) == 60
     for r in feats:
         d = int(r.doc_id)
-        if d % 2 == 0:
+        v = d % 4
+        if v == 0:
             assert r.modality == "audio" and r.format == "wav"
             assert r.sample_rate == 8000 + (d % 8) * 1000
             assert r.duration_ms == 100 + d % 400
             assert r.width is None and r.height is None
-        else:
+        elif v == 1:
             assert r.modality == "video" and r.format == "mp4"
             assert r.duration_ms == 500 + d % 1000
             assert r.width == 320 + (d % 8) * 16
             assert r.height == 240 + (d % 4) * 16
             assert r.sample_rate is None
-    # quarantine: an mp3-ish payload under 'audio' and garbage 'video'
+        elif v == 2:
+            assert r.modality == "audio" and r.format == "mp3"
+            assert r.sample_rate == 32000
+            assert r.duration_ms == (5 + d % 20) * 36
+            assert r.width is None and r.height is None
+        else:
+            assert r.modality == "video" and r.format == "mkv"
+            assert r.duration_ms == 700 + d % 900
+            assert r.width == 100 + d % 300
+            assert r.height == 80 + d % 200
+            assert r.sample_rate is None
+    # quarantine: an ogg-ish payload under 'audio' and garbage 'video'
     bad = spark.createDataFrame(
         [
             Row(doc_id="x1", media_ref="a", modality="audio",
-                payload=bytearray(b"ID3\x04rubbish")),
+                payload=bytearray(b"OggS\x00rubbish")),
             Row(doc_id="x2", media_ref="v", modality="video",
                 payload=bytearray(b"\x00\x00\x00\x00junk")),
         ],
@@ -891,3 +903,53 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         assert "Exchange" in plain_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_media_payload_extraction_never_drops_docs(spark):
+    """Invariant 2 extended to media extraction: EVERY input doc_id
+    appears in extract_media_payloads output — valid docs as payload
+    rows (error null), poison docs as exactly ONE error row (payload
+    null) — never silently dropped."""
+    import numpy as np
+    from pyspark.sql import Row
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.operators.multimodal import extract_media_payloads
+
+    rng = np.random.default_rng(5)
+    page = [
+        {"kind": "text", "text": "t\n", "media_ref": None},
+        {"kind": "media_ref", "text": None, "media_ref": "img00"},
+    ]
+    good = spans_to_pdf(
+        [page],
+        media_payloads={
+            "img00": encode_jpeg(
+                rng.integers(0, 256, (8, 8), dtype=np.uint8)
+            )
+        },
+    )
+    rows = [Row(doc_id="ok", pdf_bytes=bytearray(good))]
+    # poison docs: pure garbage, truncated header, bit-flipped body
+    rows.append(Row(doc_id="junk", pdf_bytes=bytearray(b"not a pdf")))
+    rows.append(Row(doc_id="trunc", pdf_bytes=bytearray(good[:40])))
+    flip = bytearray(good)
+    for k in range(60, len(flip), 5):  # shred the xref/body
+        flip[k] ^= 0xFF
+    rows.append(Row(doc_id="flip", pdf_bytes=flip))
+    df = spark.createDataFrame(rows, "doc_id string, pdf_bytes binary")
+    out = extract_media_payloads(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {"ok", "junk", "trunc", "flip"}
+    ok_rows = by_doc["ok"]
+    assert len(ok_rows) == 1 and ok_rows[0].error is None
+    assert ok_rows[0].payload is not None and ok_rows[0].media_ref == "p0/img00"
+    for bad in ("junk", "trunc", "flip"):
+        bad_rows = by_doc[bad]
+        # poison -> exactly one quarantine row OR parsed-but-empty (the
+        # repairer can salvage a media-free skeleton; that is not a drop)
+        assert len(bad_rows) >= 1, bad
+        for r in bad_rows:
+            assert (r.error is None) == (r.payload is not None), bad
