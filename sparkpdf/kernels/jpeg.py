@@ -1,13 +1,15 @@
-"""Baseline JPEG (ITU-T T.81) codec, pure Python + numpy — from the
-public spec, like kernels/ccitt_g4.py.
+"""JPEG (ITU-T T.81) codec, pure Python + numpy — from the public
+spec, like kernels/ccitt_g4.py.
 
-Scope: baseline sequential DCT, 8-bit, grayscale or 3-component with
-arbitrary integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), DRI /
-restart markers decoded per T.81 E.2.4 (byte-align + DC predictor
-reset at every RSTn); progressive / 12-bit / arithmetic files return
-None (quarantine discipline — the reference passes ALL DCT payloads
-through undecoded, /root/reference/filters.py:321-330, so any pixel
-decode exceeds it).
+Scope: 8-bit huffman DCT, grayscale or 3-component, BOTH baseline
+sequential (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection +
+successive approximation per Annex G, all four scan kinds), arbitrary
+integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), DRI / restart
+markers decoded per T.81 E.2.4 (byte-align + DC predictor reset at
+every RSTn); 12-bit / arithmetic / lossless / hierarchical files
+return None (quarantine discipline — the reference passes ALL DCT
+payloads through undecoded, /root/reference/filters.py:321-330, so
+any pixel decode exceeds it).
 
 The decode hot path is vectorized: entropy decoding uses a 16-bit
 Huffman peek LUT (one list index per symbol instead of a Python loop
@@ -195,14 +197,17 @@ def _huff_lut(bits: tuple, values: tuple):
     return lut.tolist()  # list indexing beats numpy scalar indexing
 
 
-def _split_scan(data: bytes, i: int) -> List[bytes]:
+def _split_scan(data: bytes, i: int) -> Tuple[List[bytes], int]:
     """Entropy-coded scan data from offset i, split at RSTn markers and
-    destuffed (FF 00 -> FF). Segment boundaries are exactly the T.81
-    E.2.4 restart boundaries: the decoder byte-aligns by construction
-    (each segment starts fresh) and resets DC predictors per segment."""
+    destuffed (FF 00 -> FF), plus the offset of the terminating marker
+    (so multi-scan progressive files can resume the marker walk there).
+    Segment boundaries are exactly the T.81 E.2.4 restart boundaries:
+    the decoder byte-aligns by construction (each segment starts fresh)
+    and resets DC predictors per segment."""
     n = len(data)
     segs: List[bytes] = []
     start = p = i
+    end = n
     while True:
         f = data.find(b"\xff", p)
         if f == -1 or f + 1 >= n:
@@ -216,28 +221,46 @@ def _split_scan(data: bytes, i: int) -> List[bytes]:
             start = p = f + 2
         else:  # real marker terminates the scan
             segs.append(data[start:f])
+            end = f
             break
-    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs], end
 
 
-def _decode_mcus(seg: bytes, mcu_lo: int, mcu_hi: int, comp_meta,
-                 sparse, pred) -> None:
+def _mcu_block_indices(my: int, mx: int, hi_f: int, vi_f: int, bw_i: int):
+    """Raster block indices of one component's blocks inside MCU
+    (my, mx) — interleave order (bv, bh) per T.81 A.2.3, addressed into
+    the component's full padded raster grid of width bw_i blocks."""
+    base_row = my * vi_f
+    base_col = mx * hi_f
+    for bv in range(vi_f):
+        row = (base_row + bv) * bw_i + base_col
+        for bh in range(hi_f):
+            yield row + bh
+
+
+def _decode_mcus(seg: bytes, mcu_lo: int, mcu_hi: int, mcux: int,
+                 comp_meta, sparse, pred) -> None:
     """Entropy-decode MCUs [mcu_lo, mcu_hi) from one destuffed restart
     segment. Nonzero coefficients append to per-component sparse
-    (block_idx, zigzag_idx, value) lists — the dense scatter + IDCT
-    happen once, batched, in the caller. pred[] is the running DC
-    predictor (reset by the caller at restart boundaries)."""
+    (block_idx, zigzag_idx, value) lists — block indices are RASTER
+    order over the component's padded grid (shared with the
+    progressive path) — and the dense scatter + IDCT happen once,
+    batched, in the caller. pred[] is the running DC predictor (reset
+    by the caller at restart boundaries)."""
     d = seg
     L = len(d)
     i = 0
     acc = 0
     nb = 0
     for m in range(mcu_lo, mcu_hi):
-        for ci, nblk, dc_lut, ac_lut in comp_meta:
-            bi_base = m * nblk
+        my, mx = divmod(m, mcux)
+        for ci, hi_f, vi_f, bw_i, dc_lut, ac_lut in comp_meta:
             bl, kl, vl = sparse[ci]
-            for sb in range(nblk):
-                bi = bi_base + sb
+            if hi_f == 1 and vi_f == 1:  # hot path: one block per MCU
+                indices = (my * bw_i + mx,)
+            else:
+                indices = _mcu_block_indices(my, mx, hi_f, vi_f, bw_i)
+            for bi in indices:
                 while nb < 16:
                     acc = (acc << 8) | (d[i] if i < L else 0)
                     i += 1
@@ -339,14 +362,9 @@ def _mcu_zigzag_blocks(plane: np.ndarray, hi: int, vi: int, mcux: int,
     return quant[:, _ZZ].tolist()
 
 
-def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """8-bit image -> baseline JPEG. pixels: (h, w) grayscale or
-    (h, w, 3) RGB; dimensions need not be multiples of 8 (edge blocks
-    replicate). Annex K tables. subsampling: "444", "422" or "420"
-    (color only; chroma is box-averaged). restart_interval > 0 emits a
-    DRI segment and RSTn markers every that-many MCUs (byte-aligned,
-    DC predictors reset — T.81 E.2.4)."""
+def _prepare_components(pixels: np.ndarray, subsampling: str):
+    """Shared encoder front half: RGB->YCbCr, chroma box-downsample.
+    Returns (planes, factors, color, h, w, mcux, mcuy)."""
     pixels = np.asarray(pixels)
     if pixels.ndim == 2:
         planes = [pixels.astype(np.float64)]
@@ -373,6 +391,48 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
     factors = [(sfh, sfv)] + [(1, 1)] * (len(planes) - 1)
     mcux = -(-w // (8 * sfh))
     mcuy = -(-h // (8 * sfv))
+    return planes, factors, color, h, w, mcux, mcuy
+
+
+def _jpeg_headers(h, w, planes, factors, qts, color, sof_marker,
+                  restart_interval, ac_pair=None):
+    """SOI + DQT + SOFn + DHT (+ DRI) header bytes shared by the
+    sequential and progressive encoders."""
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    out = bytearray(b"\xff\xd8")
+    for ti, q in enumerate(qts):
+        zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
+        out += seg(0xDB, bytes([ti]) + zzq)
+    nc = len(planes)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        hi_f, vi_f = factors[ci]
+        sof += bytes([ci + 1, (hi_f << 4) | vi_f, min(ci, len(qts) - 1)])
+    out += seg(sof_marker, sof)
+    ac_l, ac_c = ac_pair if ac_pair else (AC_LUMA, AC_CHROMA)
+    hts = [(0x00, DC_LUMA), (0x10, ac_l)]
+    if color:
+        hts += [(0x01, DC_CHROMA), (0x11, ac_c)]
+    for tid, (bits, vals) in hts:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return out, seg
+
+
+def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """8-bit image -> baseline JPEG. pixels: (h, w) grayscale or
+    (h, w, 3) RGB; dimensions need not be multiples of 8 (edge blocks
+    replicate). Annex K tables. subsampling: "444", "422" or "420"
+    (color only; chroma is box-averaged). restart_interval > 0 emits a
+    DRI segment and RSTn markers every that-many MCUs (byte-aligned,
+    DC predictors reset — T.81 E.2.4)."""
+    planes, factors, color, h, w, mcux, mcuy = _prepare_components(
+        pixels, subsampling)
     n_mcus = mcux * mcuy
 
     qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
@@ -436,26 +496,9 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
                     bwr.put(c, ln)
     bwr.flush()
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
-
-    out = bytearray(b"\xff\xd8")
-    for ti, q in enumerate(qts):
-        zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
-        out += seg(0xDB, bytes([ti]) + zzq)
+    out, seg = _jpeg_headers(h, w, planes, factors, qts, color, 0xC0,
+                             restart_interval)
     nc = len(planes)
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
-    for ci in range(nc):
-        hi_f, vi_f = factors[ci]
-        sof += bytes([ci + 1, (hi_f << 4) | vi_f, min(ci, len(qts) - 1)])
-    out += seg(0xC0, sof)
-    hts = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
-    if color:
-        hts += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
-    for tid, (bits, vals) in hts:
-        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
-    if restart_interval:
-        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -466,14 +509,295 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
     return bytes(out)
 
 
+def _raster_zigzag_blocks(plane: np.ndarray, bw_i: int, bh_i: int,
+                          q: np.ndarray) -> list:
+    """Component plane -> quantized zigzag blocks in RASTER order over
+    the padded (bh_i x bw_i)-block grid (the progressive encoder's
+    per-component addressing)."""
+    padded = _pad_edge(plane, bh_i * 8, bw_i * 8)
+    blocks = (
+        padded.reshape(bh_i, 8, bw_i, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coeff = np.matmul(np.matmul(_T, blocks - 128.0), _T.T)
+    quant = np.round(coeff / q).astype(np.int64).reshape(-1, 64)
+    return quant[:, _ZZ].tolist()
+
+
+# progressive-encoder AC tables: Annex K + the single free 16-bit code
+# slot spent on EOB1 (symbol 0x10; runs of 2-3 blocks with one ext bit)
+# — sequential tables define only EOB0/ZRL, and the Kraft sum leaves
+# exactly one unused 16-bit code in each
+PROG_AC_LUMA = (
+    AC_LUMA[0][:15] + [AC_LUMA[0][15] + 1],
+    AC_LUMA[1] + [0x10],
+)
+PROG_AC_CHROMA = (
+    AC_CHROMA[0][:15] + [AC_CHROMA[0][15] + 1],
+    AC_CHROMA[1] + [0x10],
+)
+
+
+class _RefineState:
+    """Encoder-side EOB-run bookkeeping for progressive AC scans: the
+    pending EOB run plus the correction bits each covered block owns
+    (T.81 G.1.2.3 — every EOBn code must be followed by exactly the
+    correction bits of the blocks it covers, in block order)."""
+
+    __slots__ = ("eobrun", "be")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.be: list = []  # one bit-list per covered block
+
+    def add_block(self, bits_for_block: list):
+        self.eobrun += 1
+        self.be.append(bits_for_block)
+
+    def flush(self, bwr, ac_enc):
+        i = 0
+        while self.eobrun:
+            if self.eobrun >= 2:
+                n = 2 + min(self.eobrun - 2, 1)
+                c, ln = ac_enc[0x10]  # EOB1: run 2-3, one ext bit
+                bwr.put(c, ln)
+                bwr.put(n - 2, 1)
+            else:
+                n = 1
+                c, ln = ac_enc[0x00]  # EOB0
+                bwr.put(c, ln)
+            for blk in self.be[i:i + n]:
+                for b in blk:
+                    bwr.put(b, 1)
+            i += n
+            self.eobrun -= n
+        self.be = []
+
+
+def _enc_ac_first_block(bwr, st, zz, ac_enc, ss, se, al):
+    """One block of a first AC scan (Ah=0): zero-run/size coding of
+    the magnitude-shifted band, trailing zeros folded into the EOB
+    run."""
+    vs = []
+    for k in range(ss, se + 1):
+        v = zz[k]
+        vs.append((v >> al) if v >= 0 else -((-v) >> al))
+    last_nz = -1
+    for j in range(len(vs) - 1, -1, -1):
+        if vs[j]:
+            last_nz = j
+            break
+    if last_nz < 0:
+        st.add_block([])
+        return
+    st.flush(bwr, ac_enc)
+    run = 0
+    for j in range(last_nz + 1):
+        v = vs[j]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]
+            bwr.put(c, ln)
+            run -= 16
+        t, codebits = _magnitude(v)
+        c, ln = ac_enc[(run << 4) | t]
+        bwr.put(c, ln)
+        bwr.put(codebits, t)
+        run = 0
+    if last_nz < se - ss:
+        st.add_block([])
+
+
+def _enc_ac_refine_block(bwr, st, zz, ac_enc, ss, se, al):
+    """One block of a refinement AC scan (Ah=Al+1): newly-nonzero
+    coefficients as (run, 1) codes with sign bits; one correction bit
+    per already-nonzero coefficient, routed through the proper buffer
+    (after the owning code, or after the EOB run that covers it)."""
+    absv = []
+    for k in range(ss, se + 1):
+        v = zz[k]
+        absv.append(((-v) if v < 0 else v) >> al)
+    last_new = -1
+    for j in range(len(absv) - 1, -1, -1):
+        if absv[j] == 1:
+            last_new = j
+            break
+    r = 0
+    br: list = []
+    for j, a in enumerate(absv):
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and j <= last_new:
+            st.flush(bwr, ac_enc)
+            c, ln = ac_enc[0xF0]
+            bwr.put(c, ln)
+            r -= 16
+            for b in br:
+                bwr.put(b, 1)
+            br = []
+        if a > 1:  # nonzero history: correction bit only
+            br.append(a & 1)
+            continue
+        st.flush(bwr, ac_enc)
+        c, ln = ac_enc[(r << 4) | 1]
+        bwr.put(c, ln)
+        bwr.put(1 if zz[ss + j] > 0 else 0, 1)
+        for b in br:
+            bwr.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.add_block(br)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """8-bit image -> PROGRESSIVE JPEG (SOF2). Scan script exercises
+    every Annex G decode path: interleaved DC first (Al=1), per-
+    component AC first (Ss=1..63, Al=1), DC refinement (raw bits), and
+    per-component AC refinement (Ah=1 -> Al=0, correction bits). The
+    decoded pixels are bit-identical to the sequential encoding of the
+    same image (same quantized coefficients — tests pin this)."""
+    planes, factors, color, h, w, mcux, mcuy = _prepare_components(
+        pixels, subsampling)
+    qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
+    _, dc_enc0 = _canonical_codes(*DC_LUMA)
+    _, ac_enc0 = _canonical_codes(*PROG_AC_LUMA)
+    dc_enc = [dc_enc0]
+    ac_enc = [ac_enc0]
+    if color:
+        _, dc_enc1 = _canonical_codes(*DC_CHROMA)
+        _, ac_enc1 = _canonical_codes(*PROG_AC_CHROMA)
+        dc_enc += [dc_enc1, dc_enc1]
+        ac_enc += [ac_enc1, ac_enc1]
+    grids = []
+    zz_blocks = []
+    for ci, (hi_f, vi_f) in enumerate(factors):
+        bw_i, bh_i = mcux * hi_f, mcuy * vi_f
+        grids.append((bw_i, bh_i))
+        zz_blocks.append(_raster_zigzag_blocks(
+            planes[ci], bw_i, bh_i, qts[min(ci, len(qts) - 1)]))
+
+    out, seg = _jpeg_headers(h, w, planes, factors, qts, color, 0xC2,
+                             restart_interval,
+                             ac_pair=(PROG_AC_LUMA, PROG_AC_CHROMA))
+    nc = len(planes)
+    n_mcus = mcux * mcuy
+
+    def sos(sel_tables, ss, se, ah, al):
+        body = bytes([len(sel_tables)])
+        for cid, tdta in sel_tables:
+            body += bytes([cid, tdta])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def rst_boundary(bwr, idx, rst_counter):
+        bwr.flush()
+        bwr.out += bytes([0xFF, 0xD0 + (rst_counter & 7)])
+
+    # --- scan 1: DC first, all components interleaved, Al=1
+    out += sos([(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(nc)],
+               0, 0, 0, 1)
+    bwr = _BitWriter()
+    pred = [0] * nc
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            rst_boundary(bwr, m, rst)
+            rst += 1
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi_f, vi_f = factors[ci]
+            for bi in _mcu_block_indices(my, mx, hi_f, vi_f, grids[ci][0]):
+                val = zz_blocks[ci][bi][0] >> 1  # arithmetic shift, Al=1
+                diff = val - pred[ci]
+                pred[ci] = val
+                t, codebits = _magnitude(diff)
+                c, ln = dc_enc[ci][t]
+                bwr.put(c, ln)
+                if t:
+                    bwr.put(codebits, t)
+    bwr.flush()
+    out += bwr.out
+
+    # --- scans 2..: AC first per component, Ss=1..63, Al=1
+    for ci in range(nc):
+        out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 0, 1)
+        bwr = _BitWriter()
+        st = _RefineState()
+        bw_i, bh_i = grids[ci]
+        hi_f, vi_f = factors[ci]
+        cw = -(-w * hi_f // factors[0][0])
+        chh = -(-h * vi_f // factors[0][1])
+        bis = [r_ * bw_i + c_
+               for r_ in range(-(-chh // 8)) for c_ in range(-(-cw // 8))]
+        rst = 0
+        for idx, bi in enumerate(bis):
+            if restart_interval and idx and idx % restart_interval == 0:
+                st.flush(bwr, ac_enc[ci])
+                rst_boundary(bwr, idx, rst)
+                rst += 1
+            _enc_ac_first_block(bwr, st, zz_blocks[ci][bi], ac_enc[ci],
+                                1, 63, 1)
+        st.flush(bwr, ac_enc[ci])
+        bwr.flush()
+        out += bwr.out
+
+    # --- DC refinement: one raw bit per block (Ah=1, Al=0)
+    out += sos([(ci + 1, 0) for ci in range(nc)], 0, 0, 1, 0)
+    bwr = _BitWriter()
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            rst_boundary(bwr, m, rst)
+            rst += 1
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            hi_f, vi_f = factors[ci]
+            for bi in _mcu_block_indices(my, mx, hi_f, vi_f, grids[ci][0]):
+                bwr.put(zz_blocks[ci][bi][0] & 1, 1)
+    bwr.flush()
+    out += bwr.out
+
+    # --- AC refinement per component (Ah=1 -> Al=0)
+    for ci in range(nc):
+        out += sos([(ci + 1, 0 if ci == 0 else 1)], 1, 63, 1, 0)
+        bwr = _BitWriter()
+        st = _RefineState()
+        bw_i, bh_i = grids[ci]
+        hi_f, vi_f = factors[ci]
+        cw = -(-w * hi_f // factors[0][0])
+        chh = -(-h * vi_f // factors[0][1])
+        bis = [r_ * bw_i + c_
+               for r_ in range(-(-chh // 8)) for c_ in range(-(-cw // 8))]
+        rst = 0
+        for idx, bi in enumerate(bis):
+            if restart_interval and idx and idx % restart_interval == 0:
+                st.flush(bwr, ac_enc[ci])
+                rst_boundary(bwr, idx, rst)
+                rst += 1
+            _enc_ac_refine_block(bwr, st, zz_blocks[ci][bi], ac_enc[ci],
+                                 1, 63, 0)
+        st.flush(bwr, ac_enc[ci])
+        bwr.flush()
+        out += bwr.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder -----------------------------------------------------------------
 
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
-    """Baseline JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB.
-    Handles arbitrary integer chroma subsampling (4:4:4/4:2:2/4:2:0/...)
-    and DRI/RSTn restart intervals. None for progressive / 12-bit /
-    arithmetic / malformed input."""
+    """JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB. Handles
+    baseline sequential AND progressive (spectral selection +
+    successive approximation, T.81 Annex G) frames, arbitrary integer
+    chroma subsampling (4:4:4/4:2:2/4:2:0/...), and DRI/RSTn restart
+    intervals. None for 12-bit / arithmetic / hierarchical / malformed
+    input."""
     try:
         return _decode(data)
     except Exception:
@@ -487,7 +811,8 @@ def _decode(data: bytes):
     huff_dc = {}  # th -> (bits tuple, values tuple)
     huff_ac = {}
     frame = None
-    scan_comps = None
+    progressive = False
+    scans = []  # one dict per SOS, in stream order
     restart_interval = 0
     i = 2
     n = len(data)
@@ -496,7 +821,9 @@ def _decode(data: bytes):
             i += 1
             continue
         marker = data[i + 1]
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
         ln = int.from_bytes(data[i + 2:i + 4], "big")
@@ -523,7 +850,9 @@ def _decode(data: bytes):
                 j += 17 + nv
         elif marker == 0xDD:  # DRI: restart interval in MCUs
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
@@ -538,26 +867,38 @@ def _decode(data: bytes):
                     return None
                 comps.append((cid, tq, hi, vi))
             if nc == 1:
-                # single-component scans have no interleave: sampling
+                # single-component frames have no interleave: sampling
                 # factors are ignored, the MCU is one block (T.81 A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline frame types
+            return None  # lossless / arithmetic / hierarchical frames
         elif marker == 0xDA:
+            if frame is None:
+                return None
             ns = seg[0]
-            scan_comps = []
+            sel = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c:3 + 2 * c]
-                scan_comps.append((cs, tables >> 4, tables & 0x0F))
-            i = i + 2 + ln
-            break
+                sel.append((cs, tables >> 4, tables & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segs, scan_end = _split_scan(data, i + 2 + ln)
+            scans.append({
+                "sel": sel, "Ss": ss, "Se": se,
+                "Ah": ahal >> 4, "Al": ahal & 0x0F,
+                "ri": restart_interval, "segs": segs,
+                "dc": dict(huff_dc), "ac": dict(huff_ac),
+            })
+            if not progressive:
+                break  # sequential: single interleaved scan
+            i = scan_end
+            continue
         i += 2 + ln
-    if frame is None or scan_comps is None:
+    if frame is None or not scans:
         return None
     h, w, comps = frame
-    if h == 0 or w == 0 or len(scan_comps) != len(comps):
+    if h == 0 or w == 0:
         return None
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
@@ -566,48 +907,29 @@ def _decode(data: bytes):
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     total_mcus = mcux * mcuy
+    grid = []  # per comp: (bw_i blocks wide, bh_i blocks tall)
+    for cid, tq, hi, vi in comps:
+        grid.append((mcux * hi, mcuy * vi))
 
-    segs = _split_scan(data, i)
-    if restart_interval:
-        need = -(-total_mcus // restart_interval)
-        if len(segs) < need:
-            raise ValueError("missing restart segments")
+    if progressive:
+        coefs = _decode_progressive_scans(
+            data, comps, scans, grid, mcux, total_mcus, h, w, hmax, vmax)
     else:
-        if len(segs) != 1:
-            raise ValueError("RST markers without DRI")
-        need = 1
-
-    comp_meta = []
-    sparse = []
-    for ci, (cid, tq, hi, vi) in enumerate(comps):
-        _, dtab, atab = scan_comps[ci]
-        comp_meta.append((
-            ci, hi * vi, _huff_lut(*huff_dc[dtab]), _huff_lut(*huff_ac[atab]),
-        ))
-        sparse.append(([], [], []))
-
-    step = restart_interval or total_mcus
-    for s in range(need):
-        lo = s * step
-        hi_m = min(lo + step, total_mcus)
-        pred = [0] * len(comps)  # T.81 E.2.4: predictors reset per RST
-        _decode_mcus(segs[s], lo, hi_m, comp_meta, sparse, pred)
+        coefs = _decode_sequential_scan(
+            comps, scans[0], grid, mcux, total_mcus)
 
     planes = []
     for ci, (cid, tq, hi, vi) in enumerate(comps):
-        nblk = total_mcus * hi * vi
-        arr = np.zeros((nblk, 64))
-        bl, kl, vl = sparse[ci]
-        if bl:
-            arr[bl, kl] = vl
-        nat = np.zeros_like(arr)
+        bw_i, bh_i = grid[ci]
+        arr = coefs[ci]
+        nat = np.zeros(arr.shape)
         nat[:, _ZZ] = arr  # dezigzag, batched
         deq = nat.reshape(-1, 8, 8) * qt[tq]
         blocks = np.matmul(np.matmul(_T.T, deq), _T) + 128.0
         plane = (
-            blocks.reshape(mcuy, mcux, vi, hi, 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcuy * vi * 8, mcux * hi * 8)
+            blocks.reshape(bh_i, bw_i, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_i * 8, bw_i * 8)
         )
         cw = -(-w * hi // hmax)
         chh = -(-h * vi // vmax)
@@ -627,6 +949,325 @@ def _decode(data: bytes):
     return np.clip(
         np.round(np.stack([r, g, b], axis=-1)), 0, 255
     ).astype(np.uint8)
+
+
+def _decode_sequential_scan(comps, scan, grid, mcux, total_mcus):
+    """Baseline/extended-sequential: one interleaved scan through the
+    sparse fast path. Returns per-component (nblocks, 64) float arrays
+    of quantized coefficients in zigzag-column order."""
+    sel = scan["sel"]
+    if len(sel) != len(comps):
+        raise ValueError("sequential scan must cover all components")
+    restart_interval = scan["ri"]
+    segs = scan["segs"]
+    if restart_interval:
+        need = -(-total_mcus // restart_interval)
+        if len(segs) < need:
+            raise ValueError("missing restart segments")
+    else:
+        if len(segs) != 1:
+            raise ValueError("RST markers without DRI")
+        need = 1
+    comp_meta = []
+    sparse = []
+    for ci, (cid, tq, hi, vi) in enumerate(comps):
+        _, dtab, atab = sel[ci]
+        comp_meta.append((
+            ci, hi, vi, grid[ci][0],
+            _huff_lut(*scan["dc"][dtab]), _huff_lut(*scan["ac"][atab]),
+        ))
+        sparse.append(([], [], []))
+    step = restart_interval or total_mcus
+    for s in range(need):
+        lo = s * step
+        hi_m = min(lo + step, total_mcus)
+        pred = [0] * len(comps)  # T.81 E.2.4: predictors reset per RST
+        _decode_mcus(segs[s], lo, hi_m, mcux, comp_meta, sparse, pred)
+    coefs = []
+    for ci, (bw_i, bh_i) in enumerate(grid):
+        arr = np.zeros((bw_i * bh_i, 64))
+        bl, kl, vl = sparse[ci]
+        if bl:
+            arr[bl, kl] = vl
+        coefs.append(arr)
+    return coefs
+
+
+# --- progressive mode (T.81 Annex G: spectral selection + successive
+# approximation) ---------------------------------------------------------------
+
+
+def _decode_progressive_scans(data, comps, scans, grid, mcux, total_mcus,
+                              h, w, hmax, vmax):
+    """Run every SOS of a progressive frame against per-component dense
+    coefficient arrays (int64, zigzag-column order, raster block
+    rows). DC scans may be interleaved; AC scans are single-component
+    per T.81 G.1.1. Restart segments reset DC predictors and EOB
+    runs."""
+    coefs = [np.zeros((bw_i * bh_i, 64), dtype=np.int64)
+             for bw_i, bh_i in grid]
+    id2ci = {c[0]: ci for ci, c in enumerate(comps)}
+    for scan in scans:
+        sel = scan["sel"]
+        ss, se = scan["Ss"], scan["Se"]
+        ah, al = scan["Ah"], scan["Al"]
+        ri = scan["ri"]
+        segs = scan["segs"]
+        if ss == 0:  # DC scan (Se must be 0)
+            if se != 0:
+                raise ValueError("DC scan with Se != 0")
+            # traversal: interleaved MCU order over the scan's comps
+            # (single-comp frames degenerate to one block per MCU)
+            members = []
+            for cs, dtab, _ in sel:
+                ci = id2ci[cs]
+                members.append((ci, comps[ci][2], comps[ci][3],
+                                grid[ci][0], dtab))
+            n_units = total_mcus
+
+            def pairs_for(lo, hi_m, members=members):
+                for m in range(lo, hi_m):
+                    my, mx = divmod(m, mcux)
+                    for ci, hi_f, vi_f, bw_i, _dt in members:
+                        for bi in _mcu_block_indices(my, mx, hi_f, vi_f, bw_i):
+                            yield ci, bi
+
+            step = ri or n_units
+            need = -(-n_units // step)
+            if len(segs) < need:
+                raise ValueError("missing restart segments")
+            if ah == 0:
+                luts = {ci: _huff_lut(*scan["dc"][dt])
+                        for ci, _h, _v, _b, dt in members}
+                for s in range(need):
+                    pred = {ci: 0 for ci, *_ in members}
+                    _prog_dc_first(
+                        segs[s],
+                        pairs_for(s * step, min((s + 1) * step, n_units)),
+                        luts, coefs, pred, al)
+            else:
+                for s in range(need):
+                    _prog_dc_refine(
+                        segs[s],
+                        pairs_for(s * step, min((s + 1) * step, n_units)),
+                        coefs, al)
+        else:  # AC scan: exactly one component
+            if len(sel) != 1:
+                raise ValueError("interleaved AC scan")
+            cs, _dt, atab = sel[0]
+            ci = id2ci[cs]
+            cid, tq, hi_f, vi_f = comps[ci]
+            bw_i, bh_i = grid[ci]
+            # non-interleaved grid: ceil over the COMPONENT's own dims
+            cw = -(-w * hi_f // hmax)
+            chh = -(-h * vi_f // vmax)
+            nbc = -(-cw // 8)
+            nbr = -(-chh // 8)
+            bis = [r * bw_i + c for r in range(nbr) for c in range(nbc)]
+            n_units = len(bis)
+            step = ri or n_units
+            need = -(-n_units // step)
+            if len(segs) < need:
+                raise ValueError("missing restart segments")
+            lut = _huff_lut(*scan["ac"][atab])
+            fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+            for s in range(need):
+                fn(segs[s], bis[s * step:(s + 1) * step], lut,
+                   coefs[ci], ss, se, al)
+    return coefs
+
+
+def _prog_dc_first(seg, pairs, luts, coefs, pred, al):
+    """First DC scan (Ah=0): huffman-coded DIFF, value placed at
+    <<Al precision. pred resets per restart segment (caller)."""
+    d = seg
+    L = len(d)
+    i = 0
+    acc = 0
+    nb = 0
+    for ci, bi in pairs:
+        while nb < 16:
+            acc = (acc << 8) | (d[i] if i < L else 0)
+            i += 1
+            nb += 8
+        t = luts[ci][(acc >> (nb - 16)) & 0xFFFF]
+        if t == 0:
+            raise ValueError("bad huffman code")
+        nb -= t >> 8
+        s = t & 0xFF
+        if s:
+            while nb < s:
+                acc = (acc << 8) | (d[i] if i < L else 0)
+                i += 1
+                nb += 8
+            v = (acc >> (nb - s)) & ((1 << s) - 1)
+            nb -= s
+            pred[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        coefs[ci][bi, 0] = pred[ci] << al
+        acc &= (1 << nb) - 1
+    if 8 * i - nb > 8 * L:
+        raise ValueError("truncated scan")
+
+
+def _prog_dc_refine(seg, pairs, coefs, al):
+    """DC refinement (Ah>0): one raw bit per block, OR'd at Al —
+    correct for negatives too (two's complement, G.1.2.1)."""
+    d = seg
+    L = len(d)
+    i = 0
+    acc = 0
+    nb = 0
+    p1 = 1 << al
+    for ci, bi in pairs:
+        if nb < 1:
+            acc = (acc << 8) | (d[i] if i < L else 0)
+            i += 1
+            nb += 8
+        nb -= 1
+        if (acc >> nb) & 1:
+            coefs[ci][bi, 0] |= p1
+        acc &= (1 << nb) - 1
+    if 8 * i - nb > 8 * L:
+        raise ValueError("truncated scan")
+
+
+def _prog_ac_first(seg, bis, lut, coef, ss, se, al):
+    """First AC scan for a band (Ah=0): zero-run/size coding with EOBn
+    run-length codes (G.1.2.2); values placed at <<Al precision."""
+    d = seg
+    L = len(d)
+    i = 0
+    acc = 0
+    nb = 0
+    eobrun = 0
+    for bi in bis:
+        if eobrun:
+            eobrun -= 1
+            continue
+        row = coef[bi]
+        k = ss
+        while k <= se:
+            while nb < 16:
+                acc = (acc << 8) | (d[i] if i < L else 0)
+                i += 1
+                nb += 8
+            t = lut[(acc >> (nb - 16)) & 0xFFFF]
+            if t == 0:
+                raise ValueError("bad huffman code")
+            nb -= t >> 8
+            rs = t & 0xFF
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:  # EOBn: run of 2^r + ext blocks ends here
+                    eobrun = (1 << r) - 1
+                    if r:
+                        while nb < r:
+                            acc = (acc << 8) | (d[i] if i < L else 0)
+                            i += 1
+                            nb += 8
+                        eobrun += (acc >> (nb - r)) & ((1 << r) - 1)
+                        nb -= r
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("AC overflow")
+            while nb < s:
+                acc = (acc << 8) | (d[i] if i < L else 0)
+                i += 1
+                nb += 8
+            v = (acc >> (nb - s)) & ((1 << s) - 1)
+            nb -= s
+            row[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << al
+            k += 1
+        acc &= (1 << nb) - 1
+    if 8 * i - nb > 8 * L:
+        raise ValueError("truncated scan")
+
+
+def _prog_ac_refine(seg, bis, lut, coef, ss, se, al):
+    """AC refinement (Ah>0, G.1.2.3): newly-nonzero coefficients arrive
+    as runs with a sign bit; every already-nonzero coefficient passed —
+    including during ZRL skips and EOB runs — consumes one correction
+    bit that sharpens it by +-2^Al away from zero."""
+    d = seg
+    L = len(d)
+    i = 0
+    acc = 0
+    nb = 0
+    p1 = 1 << al
+    eobrun = 0
+
+    def getbit():
+        nonlocal acc, nb, i
+        if nb < 1:
+            acc = (acc << 8) | (d[i] if i < L else 0)
+            i += 1
+            nb += 8
+        nb -= 1
+        return (acc >> nb) & 1
+
+    for bi in bis:
+        row = coef[bi]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                while nb < 16:
+                    acc = (acc << 8) | (d[i] if i < L else 0)
+                    i += 1
+                    nb += 8
+                t = lut[(acc >> (nb - 16)) & 0xFFFF]
+                if t == 0:
+                    raise ValueError("bad huffman code")
+                nb -= t >> 8
+                rs = t & 0xFF
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            while nb < r:
+                                acc = (acc << 8) | (d[i] if i < L else 0)
+                                i += 1
+                                nb += 8
+                            eobrun += (acc >> (nb - r)) & ((1 << r) - 1)
+                            nb -= r
+                        break
+                    # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement size")
+                    newval = p1 if getbit() else -p1
+                # advance over r zero-history positions, correcting
+                # nonzero-history coefficients as they are passed
+                while k <= se:
+                    c = row[k]
+                    if c:
+                        if getbit() and not (c & p1):
+                            row[k] = c + (p1 if c > 0 else -p1)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    row[k] = newval
+                k += 1
+                acc &= (1 << nb) - 1
+        if eobrun > 0:
+            # EOB-covered remainder: correction bits only
+            while k <= se:
+                c = row[k]
+                if c:
+                    if getbit() and not (c & p1):
+                        row[k] = c + (p1 if c > 0 else -p1)
+                k += 1
+            eobrun -= 1
+        acc &= (1 << nb) - 1
+    if 8 * i - nb > 8 * L:
+        raise ValueError("truncated scan")
 
 
 def jpeg_mean_luma(data: bytes):

@@ -595,13 +595,16 @@ def write_pdfs_enriched(
     interleaved: DataFrame,
     password: bytes | None = None,
     encryption: str = "rc4-128",
+    permissions: int = -3904,
 ) -> DataFrame:
     """Write side with the full enrichment surface (C6/D6): per doc a
     deterministic /Info title 'doc-{id}', one bookmark 'bm-{id}' and one
     URI link 'https://example.org/w/{id}', optionally encrypted with
-    `password` (rc4-128 / aes-128 / aes-256). The REFERENCE decrypts
-    and reads the RC4 output (tests/test_write.py interop); it rejects
-    the AES modes, which our reader decrypts (tests/test_aes.py)."""
+    `password` (rc4-40 / rc4-128 / aes-128 / aes-256) and a /P
+    permissions flag (parity: _writer.py encrypt(use_128bit=False,
+    permissions_flag=...), :443-496). The REFERENCE decrypts and reads
+    the RC4 output (tests/test_write.py interop); it rejects the AES
+    modes, which our reader decrypts (tests/test_aes.py)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.write import spans_to_pdf
@@ -627,6 +630,42 @@ def write_pdfs_enriched(
                         form_fields=[(f"wfld-{d}", f"wval-{d}")],
                         user_password=password,
                         encryption=encryption,
+                        permissions=permissions,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    return interleaved.select("doc_id", "spans").mapInPandas(
+        gen, schema=PDF_RAW_SCHEMA
+    )
+
+
+def write_pdfs_viewer_prefs(interleaved: DataFrame) -> DataFrame:
+    """Write side of P6: per doc a single-page PDF whose catalog
+    carries /PageLayout = layouts[doc_id % 7] and /PageMode =
+    modes[doc_id % 6] (the reference's full accepted lists,
+    setPageLayout/setPageMode _writer.py:1157-1258), doc_id-derived so
+    the DuckDB oracle restates them by formula."""
+    from ..kernels.write import _VALID_LAYOUTS, _VALID_MODES
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.write import spans_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                d = int(doc_id)
+                page = [
+                    {"kind": s["kind"], "text": s["text"],
+                     "media_ref": s["media_ref"]}
+                    for s in spans
+                ]
+                out["doc_id"].append(str(doc_id))
+                out["pdf_bytes"].append(
+                    spans_to_pdf(
+                        [page],
+                        page_layout=_VALID_LAYOUTS[d % 7],
+                        page_mode=_VALID_MODES[d % 6],
                     )
                 )
             yield pd.DataFrame(out)

