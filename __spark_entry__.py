@@ -216,6 +216,22 @@ def q_write_encrypted(spark, sf_dir):
     )
 
 
+def q_gif_pixel_stats(spark, sf_dir):
+    # REAL GIF frame decode (round 4: variable-width LSB LZW + palette
+    # expansion + 4-pass de-interlace, kernels/media.py): the planted
+    # gray palette makes the decoded mean luminance a pure doc_id
+    # formula the oracle restates; odd docs are interlaced
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_gif_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_gif_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_write_rc4_40(spark, sf_dir):
     # C6 extended (r3 verdict item 6): RC4-40 (V=1 R=2) write with a
     # non-default /P permissions flag; decrypt-extract round-trip. The
@@ -1138,7 +1154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "simhash_pairs": q_simhash_pairs,
         "sessionize": q_sessionize,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1154,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": q_media_dims,
         "av_media_features": q_av_media_features,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "gif_pixel_stats": q_gif_pixel_stats,
         "pdf_embedded_media": q_pdf_embedded_media,
         "write_enriched": q_write_enriched,
         "write_rc4_40": q_write_rc4_40,
@@ -1162,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
         # ---- driver window boundary (50) ----
+        "simhash_pairs": q_simhash_pairs,
         "split_docs_multi": q_split_docs_multi,
         "page_range_extract": q_page_range_extract,
         "insert_page": q_insert_page,
@@ -2168,6 +2185,23 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM tiles GROUP BY doc_id, width, height
+    """
+    # gif_pixel_stats: gray palette[k] = 30 + ((d + k*7) % 26) * 8;
+    # width is a multiple of the 8-entry palette and index = (x+y) % 8,
+    # so decoded mean luminance == average of the palette exactly
+    sql["gif_pixel_stats"] = """
+        WITH pals AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 8) AS INTEGER) AS height,
+                   unnest(range(0, 8)) AS k,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM pals GROUP BY doc_id, width, height
     """
     # pdf_embedded_media: same planted tiles as jpeg_pixel_stats, but
     # the engine must round-trip them THROUGH a written PDF first

@@ -267,6 +267,163 @@ def mp4_info(b: bytes) -> Optional[dict]:
     return out
 
 
+# --- GIF frame decode (GIF89a spec, Appendix F: variable-width LSB LZW) ------
+
+
+def _gif_lzw(data: bytes, mcs: int, npix: int) -> bytes:
+    """GIF-flavor LZW: LSB-first packing, CLEAR=2^mcs, END=CLEAR+1,
+    code width grows from mcs+1 to 12 as the table fills (cap 4096
+    entries until the next CLEAR)."""
+    clear = 1 << mcs
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    width = mcs + 1
+    out = bytearray()
+    acc = 0
+    nb = 0
+    pos = 0
+    prev = None
+    while len(out) < npix:
+        while nb < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            acc |= data[pos] << nb
+            pos += 1
+            nb += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nb -= width
+        if code == clear:
+            table = list(init)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:npix])
+
+
+def gif_pixels(b: bytes):
+    """Decode the FIRST image frame of a GIF87a/89a to
+    (frame_width, frame_height, 3, rgb_bytes): real LZW decode +
+    palette expansion + 4-pass row de-interlace. None for malformed
+    files — quarantine-friendly."""
+    try:
+        return _gif_decode_first(b)
+    except Exception:
+        return None
+
+
+def _gif_decode_first(b: bytes):
+    import numpy as _np
+
+    if gif_dims(b) is None or len(b) < 13:
+        return None
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 7))
+        gct = b[pos:pos + sz]
+        pos += sz
+    n = len(b)
+    while pos < n:
+        intro = b[pos]
+        if intro == 0x21:  # extension: label + sub-blocks until 0
+            pos += 2
+            while pos < n and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif intro == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            iw = int.from_bytes(b[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(b[pos + 7:pos + 9], "little")
+            ipacked = b[pos + 9]
+            pos += 10
+            lct = None
+            if ipacked & 0x80:
+                sz = 3 * (2 << (ipacked & 7))
+                lct = b[pos:pos + sz]
+                pos += sz
+            interlaced = bool(ipacked & 0x40)
+            if pos >= n or iw == 0 or ih == 0:
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not (2 <= mcs <= 11):
+                return None
+            data = bytearray()
+            while pos < n:
+                bl = b[pos]
+                pos += 1
+                if bl == 0:
+                    break
+                data += b[pos:pos + bl]
+                pos += bl
+            idx = _np.frombuffer(
+                _gif_lzw(bytes(data), mcs, iw * ih), _np.uint8)
+            if len(idx) < iw * ih:
+                return None
+            pal = lct if lct is not None else gct
+            if pal is None:
+                return None
+            pal_arr = _np.frombuffer(
+                pal[: len(pal) // 3 * 3], _np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= len(pal_arr):
+                return None
+            frame = pal_arr[idx].reshape(ih, iw, 3)
+            if interlaced:  # GIF 4-pass row interlace
+                out = _np.zeros_like(frame)
+                r = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    nrows = len(range(start, ih, step))
+                    out[start::step] = frame[r:r + nrows]
+                    r += nrows
+                frame = out
+            return iw, ih, 3, frame.tobytes()
+        elif intro == 0x3B:  # trailer
+            return None
+        else:
+            return None
+    return None
+
+
+def gif_mean_luma(b: bytes):
+    """Mean ITU-R 601 luminance of a GIF's first frame (same integer
+    discipline as png_mean_luma: one division, 6dp)."""
+    import numpy as _np
+
+    decoded = gif_pixels(b)
+    if decoded is None:
+        return None
+    w, h, _ch, pix = decoded
+    arr = _np.frombuffer(pix, _np.uint8).reshape(h, w, 3).astype(_np.int64)
+    total = int(
+        (arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114).sum()
+    )
+    return round(total / (1000.0 * w * h), 6)
+
+
 # --- MP3 (MPEG-1/2 audio layer III frame headers, public ISO 11172-3) --------
 
 _MP3_BITRATES = {  # kbps by version (3=MPEG1, 2=MPEG2, 0=MPEG2.5), Layer III
@@ -443,21 +600,40 @@ def av_info(b: bytes) -> Optional[dict]:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # colortype -> samples/pixel
 
 
+# Adam7 interlace pass origins/strides (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+_PNG_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
+
+
 def png_pixels(b: bytes):
-    """Decode an 8-bit non-interlaced PNG (gray/RGB/gray+A/RGBA) to
-    (width, height, channels, pixel_bytes). Returns None for other
-    depths/interlace/malformed files — quarantine-friendly."""
+    """Decode a PNG to (width, height, channels, pixel_bytes) with
+    8-bit samples. Covers every legal colortype/bit-depth combination
+    (gray 1/2/4/8/16, palette 1/2/4/8 via PLTE expansion to RGB,
+    RGB/gray+A/RGBA 8/16 — 16-bit keeps the high byte) and Adam7
+    interlacing. Returns None for malformed files —
+    quarantine-friendly."""
     import zlib as _zlib
+
+    import numpy as _np
 
     d = png_dims(b)
     if d is None or len(b) < 33:
         return None
     depth, ctype, interlace = b[24], b[25], b[28]
-    ch = _PNG_CHANNELS.get(ctype)
-    if depth != 8 or ch is None or interlace != 0:
+    if ctype not in _PNG_LEGAL_DEPTHS or depth not in _PNG_LEGAL_DEPTHS[ctype]:
         return None
-    # walk chunks, concatenating IDAT payloads
+    if interlace not in (0, 1):
+        return None
+    ch = 1 if ctype == 3 else _PNG_CHANNELS[ctype]
+    # walk chunks, concatenating IDAT payloads + capturing PLTE
     idat = bytearray()
+    plte = None
     i = 8
     n = len(b)
     while i + 8 <= n:
@@ -465,6 +641,8 @@ def png_pixels(b: bytes):
         tag = b[i + 4:i + 8]
         if tag == b"IDAT":
             idat += b[i + 8:i + 8 + ln]
+        elif tag == b"PLTE":
+            plte = b[i + 8:i + 8 + ln]
         elif tag == b"IEND":
             break
         i += 12 + ln  # len + tag + payload + crc
@@ -475,19 +653,63 @@ def png_pixels(b: bytes):
     except _zlib.error:
         return None
     w, h = d["width"], d["height"]
-    if len(raw) != h * (1 + w * ch):
-        return None
     from .filters import _apply_predictor
 
-    try:
+    def one_pass(off: int, pw: int, ph: int):
+        rowbytes = (pw * ch * depth + 7) // 8
+        need = ph * (rowbytes + 1)
+        if off + need > len(raw):
+            raise ValueError("truncated PNG image data")
         pix = _apply_predictor(
-            raw,
-            {"/Predictor": 15, "/Colors": ch, "/BitsPerComponent": 8,
-             "/Columns": w},
+            raw[off:off + need],
+            {"/Predictor": 15, "/Colors": ch, "/BitsPerComponent": depth,
+             "/Columns": pw},
         )
+        a = _np.frombuffer(pix, _np.uint8).reshape(ph, rowbytes)
+        if depth == 8:
+            sub = a[:, :pw * ch].reshape(ph, pw, ch)
+        elif depth == 16:
+            sub = a.reshape(ph, rowbytes // 2, 2)[:, :pw * ch, 0].reshape(
+                ph, pw, ch)  # high byte == 8-bit sample
+        else:  # 1/2/4-bit, single channel (gray or palette index)
+            bits = _np.unpackbits(a, axis=1)
+            g = bits[:, : (rowbytes * 8 // depth) * depth].reshape(
+                ph, -1, depth)
+            weights = (1 << _np.arange(depth - 1, -1, -1)).astype(_np.uint8)
+            sub = (g * weights).sum(axis=2).astype(_np.uint8)[:, :pw]
+            sub = sub.reshape(ph, pw, 1)
+        return sub, off + need
+
+    try:
+        out = _np.zeros((h, w, ch), _np.uint8)
+        off = 0
+        if interlace == 0:
+            out, off = one_pass(0, w, h)
+        else:
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub, off = one_pass(off, pw, ph)
+                out[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            return None  # trailing garbage in the image datastream
+        if ctype == 3:
+            if plte is None or len(plte) % 3:
+                return None
+            pal = _np.frombuffer(plte, _np.uint8).reshape(-1, 3)
+            idx = out[..., 0]
+            if int(idx.max(initial=0)) >= len(pal):
+                return None
+            out = pal[idx]  # (h, w, 3)
+        elif ctype == 0 and depth < 8:
+            maxv = (1 << depth) - 1
+            out = (out.astype(_np.uint16) * 255 // maxv).astype(_np.uint8)
+        out = _np.ascontiguousarray(out)
+        return w, h, out.shape[2], out.tobytes()
     except Exception:
         return None
-    return w, h, ch, pix
 
 
 def png_mean_luma(b: bytes):

@@ -68,7 +68,12 @@ def _decode_image(payload: bytes) -> dict:
     Unrecognised payloads report no dimensions."""
     import os
 
-    from ..kernels.media import image_dims, ink_ratio, png_mean_luma
+    from ..kernels.media import (
+        gif_mean_luma,
+        image_dims,
+        ink_ratio,
+        png_mean_luma,
+    )
 
     meta = image_dims(payload) or {}
     if os.environ.get("SPARKPDF_PIXEL_STATS", "1") == "0":
@@ -81,8 +86,15 @@ def _decode_image(payload: bytes) -> dict:
         if r is not None:
             meta["ink_ratio"] = round(r, 6)
     elif meta.get("format") == "png":
-        # REAL pixel decode (zlib + PNG row filters, kernels/media.py)
+        # REAL pixel decode (zlib + PNG row filters, kernels/media.py;
+        # round 4 widens to palette / 1-16 bit / Adam7)
         luma = png_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
+    elif meta.get("format") == "gif":
+        # REAL first-frame decode (GIF-flavor LZW + palette expansion
+        # + 4-pass de-interlace, kernels/media.py — round 4)
+        luma = gif_mean_luma(payload)
         if luma is not None:
             meta["mean_luma"] = luma
     elif meta.get("format") == "jpeg":
@@ -252,6 +264,42 @@ def synthesize_av_media(documents: DataFrame) -> DataFrame:
                 out["media_ref"].append(f"av-{d}")
                 out["modality"].append(modality)
                 out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_gif_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL LZW-coded GIF frame per doc. The planted
+    gray palette and index pattern make the decoded mean luminance a
+    pure doc_id formula (GIF decode is lossless palette lookup):
+      npal = 8, palette[k] = gray 30 + ((d + k*7) % 26) * 8
+      width = 24 + (d%3)*8  (a multiple of npal), height = 8 + d%8
+      index(x, y) = (x + y) % 8  -> every palette entry appears equally
+      often in each row, so mean_luma = avg_k palette[k], exactly.
+    Odd docs are INTERLACED (4-pass row order) — same pixels, so the
+    oracle doesn't move while the de-interlacer is exercised."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_gif_frame
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + d % 8
+                pal = [(v, v, v) for v in
+                       (30 + ((d + k * 7) % 26) * 8 for k in range(8))]
+                rows = [[(x + y) % 8 for x in range(w)] for y in range(h)]
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"gif-{d}")
+                out["modality"].append("image")
+                out["payload"].append(
+                    make_gif_frame(rows, pal, interlace=bool(d % 2))
+                )
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)

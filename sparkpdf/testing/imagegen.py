@@ -159,3 +159,74 @@ def make_mkv(width: int, height: int, duration_ms: int,
     tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", video))
     segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks)
     return header + segment
+
+
+def _gif_lzw_literals(indices, mcs: int) -> bytes:
+    """GIF LZW stream that encodes every pixel as a literal code,
+    tracking the decoder's table growth so the variable code width
+    stays in sync (the classic 'uncompressed GIF' technique)."""
+    clear = 1 << mcs
+    end = clear + 1
+    width = mcs + 1
+    acc = 0
+    nb = 0
+    out = bytearray()
+
+    def emit(code: int, w: int):
+        nonlocal acc, nb
+        acc |= code << nb
+        nb += w
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+
+    emit(clear, width)
+    table_size = clear + 2
+    first = True
+    for p in indices:
+        emit(int(p), width)
+        if first:
+            first = False
+        else:
+            if table_size < 4096:
+                table_size += 1
+            if table_size == (1 << width) and width < 12:
+                width += 1
+    emit(end, width)
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif_frame(index_rows, palette, interlace: bool = False) -> bytes:
+    """Full valid GIF89a with one LZW-coded frame: index_rows is an
+    (h, w) iterable of palette indices, palette an iterable of (r,g,b).
+    interlace=True stores rows in GIF 4-pass order."""
+    rows = [list(r) for r in index_rows]
+    h, w = len(rows), len(rows[0])
+    pal = [tuple(c) for c in palette]
+    s = 0
+    while (2 << s) < len(pal):
+        s += 1
+    pal += [(0, 0, 0)] * ((2 << s) - len(pal))
+    gct = b"".join(bytes(c) for c in pal)
+    mcs = max(2, s + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | s, 0, 0])
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    order = rows
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(rows[start::step])
+    flat = [p for r in order for p in r]
+    data = _gif_lzw_literals(flat, mcs)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)

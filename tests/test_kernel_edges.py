@@ -445,3 +445,142 @@ def test_pixel_stats_env_knob(monkeypatch):
     monkeypatch.setenv("SPARKPDF_PIXEL_STATS", "0")
     hdr = _decode_image(enc)
     assert "mean_luma" not in hdr and hdr["width"] == 8
+
+
+def test_png_full_colortype_depth_matrix():
+    """png_pixels covers every legal PNG colortype/bit-depth combo plus
+    Adam7: palette (PLTE expansion), 1/4-bit gray (scaled), 16-bit
+    (high byte), and interlaced == non-interlaced pixel equality —
+    all against independently packed files (filter 0 rows)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from sparkpdf.kernels.media import png_mean_luma, png_pixels
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    def build(w, h, depth, ctype, interlace, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    def pack_rows(arr, pw, depth):
+        ph = arr.shape[0]
+        rows = b""
+        for y in range(ph):
+            if depth == 8:
+                rows += b"\x00" + arr[y].astype(np.uint8).tobytes()
+            elif depth == 16:
+                rows += b"\x00" + arr[y].astype(">u2").tobytes()
+            else:
+                bits = []
+                for x in range(pw):
+                    bits.extend(
+                        int(c) for c in format(int(arr[y, x, 0]), f"0{depth}b")
+                    )
+                while len(bits) % 8:
+                    bits.append(0)
+                rows += b"\x00" + np.packbits(
+                    np.array(bits, np.uint8)).tobytes()
+        return rows
+
+    rng = np.random.default_rng(0)
+    pal = (np.arange(48, dtype=np.uint8).reshape(16, 3) * 5)
+
+    idx = rng.integers(0, 16, (7, 9, 1), dtype=np.uint8)
+    w, h, ch, pix = png_pixels(
+        build(9, 7, 8, 3, 0, pack_rows(idx, 9, 8), plte=pal.tobytes()))
+    assert ch == 3
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(7, 9, 3), pal[idx[..., 0]])
+
+    idx4 = rng.integers(0, 16, (5, 5, 1), dtype=np.uint8)
+    _, _, _, pix = png_pixels(
+        build(5, 5, 4, 3, 0, pack_rows(idx4, 5, 4), plte=pal.tobytes()))
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(5, 5, 3), pal[idx4[..., 0]])
+
+    g1 = rng.integers(0, 2, (6, 11, 1), dtype=np.uint8)
+    _, _, ch, pix = png_pixels(build(11, 6, 1, 0, 0, pack_rows(g1, 11, 1)))
+    assert ch == 1
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(6, 11), g1[..., 0] * 255)
+
+    g16 = rng.integers(0, 65536, (4, 6, 1), dtype=np.uint32)
+    _, _, _, pix = png_pixels(build(6, 4, 16, 0, 0, pack_rows(g16, 6, 16)))
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(4, 6),
+        (g16[..., 0] >> 8).astype(np.uint8))
+
+    c16 = rng.integers(0, 65536, (3, 5, 3), dtype=np.uint32)
+    _, _, _, pix = png_pixels(build(5, 3, 16, 2, 0, pack_rows(c16, 5, 16)))
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(3, 5, 3),
+        (c16 >> 8).astype(np.uint8))
+
+    # Adam7: interleaved passes decode to the SAME pixels
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    rows_i = b""
+    for x0, y0, dx, dy in adam7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size:
+            rows_i += pack_rows(sub, sub.shape[1], 8)
+    png_i = build(17, 13, 8, 2, 1, rows_i)
+    _, _, _, pix = png_pixels(png_i)
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(13, 17, 3), img)
+    assert png_mean_luma(png_i) is not None
+    # palette index out of range / missing PLTE / truncations quarantine
+    assert png_pixels(build(5, 5, 4, 3, 0, pack_rows(idx4, 5, 4))) is None
+    bad_idx = np.full((2, 2, 1), 17, dtype=np.uint8)
+    assert png_pixels(
+        build(2, 2, 8, 3, 0, pack_rows(bad_idx, 2, 8),
+              plte=pal.tobytes())) is None
+    for n in range(0, len(png_i), 13):
+        png_pixels(png_i[:n])
+
+
+def test_gif_frame_decode():
+    """Real GIF frame decode: variable-width LSB LZW, palette
+    expansion, 4-pass de-interlace — against independently built files
+    (literal-code streams that exercise table/width growth)."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import gif_mean_luma, gif_pixels
+    from sparkpdf.testing.imagegen import make_gif, make_gif_frame
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (11, 3), dtype=np.uint8)
+    idx = rng.integers(0, 11, (14, 23), dtype=np.uint8)
+    exp = pal[idx]
+
+    for interlace in (False, True):
+        gif = make_gif_frame(idx, pal, interlace=interlace)
+        w, h, ch, pix = gif_pixels(gif)
+        assert (w, h, ch) == (23, 14, 3)
+        assert np.array_equal(
+            np.frombuffer(pix, np.uint8).reshape(14, 23, 3), exp), interlace
+    # integer-exact luma against direct computation
+    gif = make_gif_frame(idx, pal)
+    a = exp.astype(np.int64)
+    total = int((a[..., 0] * 299 + a[..., 1] * 587 + a[..., 2] * 114).sum())
+    assert gif_mean_luma(gif) == round(total / (1000.0 * 23 * 14), 6)
+    # large frame: LZW table crosses the 4096-entry cap at width 12
+    big = rng.integers(0, 11, (70, 70), dtype=np.uint8)
+    w, h, ch, pix = gif_pixels(make_gif_frame(big, pal))
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(70, 70, 3), pal[big])
+    # header-only fixture (no frame) and truncations quarantine
+    assert gif_pixels(make_gif(8, 8)) is None
+    full = make_gif_frame(idx, pal, interlace=True)
+    for n in range(0, len(full), 11):
+        out = gif_pixels(full[:n])
+        assert out is None or len(out) == 4
