@@ -232,6 +232,19 @@ def q_gif_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_dup_substring_ranges(spark, sf_dir):
+    # exact substring-duplication ranges (round 4): maximal char ranges
+    # covered by 40-grams that occur >1 time corpus-wide — the
+    # 'remove these byte ranges' curation primitive. Spark shuffles on
+    # xxhash64(gram); the oracle groups by the gram TEXT itself, so the
+    # value-hash also certifies collision-freeness at this scale.
+    from sparkpdf.operators.dedup import duplicate_substring_ranges
+
+    return duplicate_substring_ranges(
+        _t(spark, sf_dir, "documents"), min_len=40
+    )
+
+
 def q_write_rc4_40(spark, sf_dir):
     # C6 extended (r3 verdict item 6): RC4-40 (V=1 R=2) write with a
     # non-default /P permissions flag; decrypt-extract round-trip. The
@@ -1154,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dup_substring_ranges": q_dup_substring_ranges,
         "sessionize": q_sessionize,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1163,7 +1177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
-        "doc_fingerprint": q_doc_fingerprint,
         # round 3/4: write-side enrichment + media decode + HTML
         "multimodal_features": q_multimodal_features,
         "media_dims": q_media_dims,
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
         # ---- driver window boundary (50) ----
+        "doc_fingerprint": q_doc_fingerprint,
         "simhash_pairs": q_simhash_pairs,
         "split_docs_multi": q_split_docs_multi,
         "page_range_extract": q_page_range_extract,
@@ -2185,6 +2199,36 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM tiles GROUP BY doc_id, width, height
+    """
+    # dup_substring_ranges: maximal ranges covered by 40-grams occurring
+    # >1 time corpus-wide; DuckDB groups by the gram TEXT (Spark uses
+    # xxhash64 — agreement certifies collision-freeness), then the same
+    # lag + running-sum interval union
+    sql["dup_substring_ranges"] = """
+        WITH grams AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   substring(text, CAST(i + 1 AS INTEGER), 40) AS g
+            FROM documents,
+                 unnest(range(0, CAST(greatest(length(text) - 39, 0)
+                                      AS BIGINT))) AS t(i)
+        ), dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS n
+                FROM grams
+            ) WHERE n > 1
+        ), grp AS (
+            SELECT doc_id, pos,
+                   SUM(CASE WHEN prev IS NULL OR pos - prev > 40
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM (SELECT doc_id, pos,
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                             AS prev
+                  FROM dup)
+        )
+        SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS range_start,
+               CAST(MAX(pos) + 40 AS INTEGER) AS range_end
+        FROM grp GROUP BY doc_id, gid
     """
     # gif_pixel_stats: gray palette[k] = 30 + ((d + k*7) % 26) * 8;
     # width is a multiple of the 8-entry palette and index = (x+y) % 8,

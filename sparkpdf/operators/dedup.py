@@ -412,3 +412,64 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def duplicate_substring_ranges(documents: DataFrame,
+                               min_len: int = 40) -> DataFrame:
+    """Exact substring-duplication ranges (the 'remove these byte
+    ranges' curation primitive, à la exact-substring training-data
+    dedup): every maximal character range of a document that is covered
+    by length-`min_len` grams occurring more than once in the corpus
+    (cross-doc or within-doc).
+
+    Plan shape (100 TB): gram enumeration is MAP-SIDE
+    (transform(sequence) + posexplode, no premature explode of the
+    text); duplication detection is ONE shuffle on xxhash64(gram) — an
+    8-byte uniform key instead of the 40-char gram text (collision
+    probability ~n^2/2^64; the DuckDB oracle groups by the gram text
+    itself, so a collision would surface as a hash mismatch); range
+    merging is ONE shuffle on doc_id with a lag + running-sum interval
+    union (touching or overlapping gram intervals coalesce).
+
+    Output: (doc_id, range_start, range_end) — 0-based, end-exclusive
+    character offsets.
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    grams = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.when(
+                F.length("text") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.length("text") - L),
+                    lambda i: F.col("text").substr(i + 1, F.lit(L)),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "g"),
+    )
+    dup = (
+        grams.withColumn("h", F.xxhash64("g"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("n") > 1)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        dup.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "boundary",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > L),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("gid", F.sum("boundary").over(w))
+        .groupBy("doc_id", "gid")
+        .agg(
+            F.min("pos").cast("int").alias("range_start"),
+            (F.max("pos") + L).cast("int").alias("range_end"),
+        )
+        .drop("gid")
+    )

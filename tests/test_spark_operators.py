@@ -953,3 +953,49 @@ def test_media_payload_extraction_never_drops_docs(spark):
         assert len(bad_rows) >= 1, bad
         for r in bad_rows:
             assert (r.error is None) == (r.payload is not None), bad
+
+
+def test_duplicate_substring_ranges(spark):
+    """Exact substring-duplication ranges: planted shared runs come
+    back as maximal merged intervals; unique docs produce nothing; the
+    plan shuffles only on the gram hash and doc_id (two Exchanges)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import duplicate_substring_ranges
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="1", text="A" * 50 + "unique-middle-part-one!!" + "B" * 50),
+            Row(doc_id="2", text="B" * 50 + "totally different middle" + "A" * 50),
+            Row(doc_id="3", text="no duplication here - short unique text!!"),
+            Row(doc_id="4", text="tiny"),  # shorter than min_len
+        ]
+    )
+    out = duplicate_substring_ranges(docs, min_len=40)
+    rows = sorted(
+        (r.doc_id, r.range_start, r.range_end) for r in out.collect()
+    )
+    # the A-run and B-run are shared between docs 1 and 2; the middles
+    # and doc 3 are unique; doc 4 is sub-gram-length
+    assert rows == [
+        (1, 0, 50), (1, 74, 124),
+        (2, 0, 50), (2, 74, 124),
+    ]
+    # ranges always satisfy 0 <= start < end <= len(text)
+    lens = {r.doc_id: len(r.text) for r in docs.collect()}
+    for doc_id, s, e in rows:
+        assert 0 <= s < e <= lens[str(doc_id)]
+    # interval-union property: within a doc, ranges are disjoint and
+    # separated by more than zero chars
+    by_doc = {}
+    for doc_id, s, e in rows:
+        by_doc.setdefault(doc_id, []).append((s, e))
+    for ranges in by_doc.values():
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert s2 > e1
+    # plan: exactly two Exchanges (gram-hash window + doc_id window);
+    # the final (doc_id, gid) aggregate REUSES the doc_id partitioning.
+    # AQE's toString repeats the tree under '== Initial Plan ==' —
+    # count only the final plan section.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2, plan
