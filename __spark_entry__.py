@@ -245,6 +245,24 @@ def q_dup_substring_ranges(spark, sf_dir):
     )
 
 
+def q_substring_scrub(spark, sf_dir):
+    # the exact-substring dedup TRANSFORM: duplicated ranges cut out of
+    # the text JVM-side (F.aggregate fold over the sorted range list).
+    # The oracle recomputes removed-char counts and the resulting clean
+    # length from the same interval union — a mis-cut segment would
+    # shift clean_len and mismatch.
+    from sparkpdf.operators.dedup import remove_duplicate_substrings
+
+    out = remove_duplicate_substrings(
+        _t(spark, sf_dir, "documents"), min_len=40
+    )
+    return out.select(
+        "doc_id",
+        "n_dup_chars",
+        F.length("text").alias("clean_len"),
+    )
+
+
 def q_write_rc4_40(spark, sf_dir):
     # C6 extended (r3 verdict item 6): RC4-40 (V=1 R=2) write with a
     # non-default /P permissions flag; decrypt-extract round-trip. The
@@ -1191,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
         # ---- driver window boundary (50) ----
+        "substring_scrub": q_substring_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_pairs": q_simhash_pairs,
         "split_docs_multi": q_split_docs_multi,
@@ -2229,6 +2248,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS range_start,
                CAST(MAX(pos) + 40 AS INTEGER) AS range_end
         FROM grp GROUP BY doc_id, gid
+    """
+    # substring_scrub: removed-char count + resulting clean length from
+    # the same interval union (LEFT JOIN keeps duplication-free docs)
+    sql["substring_scrub"] = f"""
+        WITH ranges AS ({sql['dup_substring_ranges']}),
+        per_doc AS (
+            SELECT doc_id,
+                   SUM(range_end - range_start) AS n_dup
+            FROM ranges GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_dup, 0) AS INTEGER) AS n_dup_chars,
+               CAST(length(d.text) - COALESCE(p.n_dup, 0) AS INTEGER)
+                   AS clean_len
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     """
     # gif_pixel_stats: gray palette[k] = 30 + ((d + k*7) % 26) * 8;
     # width is a multiple of the 8-entry palette and index = (x+y) % 8,

@@ -13,6 +13,10 @@ Stages (each output lands under --output for auditability):
   3. pii          scrub emails / long digit runs, keep audit counts
   4. dedup        minhash-LSH pairs -> connected components -> keep the
                   min-doc_id representative of every cluster
+  4b. substrings  (--substring-min-len N, default 0 = off) cut every
+                  character range covered by duplicated N-grams out of
+                  the surviving docs (exact-substring dedup); ranges
+                  land under --output/dup_ranges for audit
   5. chunk        surviving docs -> overlapping training windows
 
 Every stage is DataFrame-native (mapInPandas only inside extraction);
@@ -36,6 +40,7 @@ def main(argv=None):
     ap.add_argument("--overlap", type=int, default=100)
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--dup-jaccard", type=float, default=0.9)
+    ap.add_argument("--substring-min-len", type=int, default=0)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,6 +92,28 @@ def main(argv=None):
     unique_docs = scrubbed.join(keepers, "doc_id")
     n_unique = unique_docs.count()
 
+    # 4b. exact-substring dedup (optional): cut duplicated ranges out
+    # of the surviving docs; range list parqueted for audit
+    n_dup_chars = 0
+    if args.substring_min_len > 0:
+        from sparkpdf.operators.dedup import (
+            duplicate_substring_ranges,
+            remove_duplicate_substrings,
+        )
+
+        duplicate_substring_ranges(
+            unique_docs.select("doc_id", "text"), args.substring_min_len
+        ).write.mode("overwrite").parquet(f"{out}/dup_ranges")
+        cut = remove_duplicate_substrings(
+            unique_docs.select("doc_id", "text"), args.substring_min_len
+        )
+        n_dup_chars = int(
+            cut.agg(F.sum("n_dup_chars")).collect()[0][0] or 0
+        )
+        unique_docs = unique_docs.drop("text").join(
+            cut.select("doc_id", "text"), "doc_id"
+        )
+
     # 5. training windows
     chunks = chunk_documents(
         unique_docs, chunk_chars=args.chunk_chars, overlap=args.overlap
@@ -99,6 +126,7 @@ def main(argv=None):
         "errored": n_errors,
         "quality_kept": n_quality,
         "unique_after_dedup": n_unique,
+        "dup_substring_chars_cut": n_dup_chars,
         "chunks": n_chunks,
     }
     print(json.dumps(summary))

@@ -473,3 +473,59 @@ def duplicate_substring_ranges(documents: DataFrame,
         )
         .drop("gid")
     )
+
+
+def remove_duplicate_substrings(documents: DataFrame,
+                                min_len: int = 40) -> DataFrame:
+    """Cut every duplicated range (duplicate_substring_ranges) out of
+    the text — the exact-substring dedup transform (every occurrence is
+    removed, the published default of the technique). Pure JVM-side:
+    the per-doc range list is folded with F.aggregate into (cursor,
+    kept-text) — no Python in the cut.
+
+    Output: doc_id, text (cleaned), n_dup_chars (audit count)."""
+    L = int(min_len)
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ranges = (
+        duplicate_substring_ranges(docs, L)
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("range_start", "range_end"))
+            ).alias("rs")
+        )
+    )
+    joined = docs.join(ranges, "doc_id", "left")
+    folded = F.aggregate(
+        "rs",
+        F.struct(F.lit(0).alias("pos"), F.lit("").alias("acc")),
+        lambda a, r: F.struct(
+            r["range_end"].alias("pos"),
+            F.concat(
+                a["acc"],
+                F.col("text").substr(
+                    a["pos"] + 1, r["range_start"] - a["pos"]
+                ),
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"],
+            F.col("text").substr(a["pos"] + 1, F.length("text") - a["pos"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("rs").isNull(), F.col("text"))
+        .otherwise(folded)
+        .alias("text"),
+        F.coalesce(
+            F.aggregate(
+                "rs",
+                F.lit(0),
+                lambda a, r: a + r["range_end"] - r["range_start"],
+            ),
+            F.lit(0),
+        ).alias("n_dup_chars"),
+    )

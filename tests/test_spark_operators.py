@@ -999,3 +999,29 @@ def test_duplicate_substring_ranges(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_remove_duplicate_substrings(spark):
+    """The exact-substring dedup TRANSFORM: duplicated ranges are cut
+    from the text (every occurrence), unique docs pass through
+    untouched, and the audit count equals the removed chars."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import remove_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="1", text="A" * 50 + "unique-middle-part-one!!" + "B" * 50),
+            Row(doc_id="2", text="B" * 50 + "totally different middle" + "A" * 50),
+            Row(doc_id="3", text="no duplication here - just unique text!!"),
+        ]
+    )
+    rows = {r.doc_id: r for r in remove_duplicate_substrings(docs, 40).collect()}
+    assert rows[1].text == "unique-middle-part-one!!"
+    assert rows[2].text == "totally different middle"
+    assert rows[1].n_dup_chars == rows[2].n_dup_chars == 100
+    assert rows[3].text == "no duplication here - just unique text!!"
+    assert rows[3].n_dup_chars == 0
+    # conservation: clean_len + n_dup_chars == original length
+    orig = {r.doc_id: len(r.text) for r in docs.collect()}
+    for d, r in rows.items():
+        assert len(r.text) + r.n_dup_chars == orig[str(d)]
