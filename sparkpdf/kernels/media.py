@@ -163,6 +163,158 @@ def tiff_g4_pixels(b: bytes):
     return decode(b[off:off + size], d["width"], d["height"])
 
 
+def _tiff_tag_array(b: bytes, want: int):
+    """All values of a SHORT/LONG IFD tag (inline when they fit in the
+    4-byte value field, else at the pointed-to offset)."""
+    bo = "little" if b[:2] == b"II" else "big"
+    ifd = int.from_bytes(b[4:8], bo)
+    n = int.from_bytes(b[ifd:ifd + 2], bo)
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        tag = int.from_bytes(b[e:e + 2], bo)
+        if tag != want:
+            continue
+        typ = int.from_bytes(b[e + 2:e + 4], bo)
+        cnt = int.from_bytes(b[e + 4:e + 8], bo)
+        size = 2 if typ == 3 else 4
+        if typ not in (3, 4) or cnt == 0:
+            return None
+        if cnt * size <= 4:
+            base = e + 8
+        else:
+            base = int.from_bytes(b[e + 8:e + 12], bo)
+        if base + cnt * size > len(b):
+            return None
+        return [
+            int.from_bytes(b[base + i * size:base + (i + 1) * size], bo)
+            for i in range(cnt)
+        ]
+    return None
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                break
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def tiff_pixels(b: bytes):
+    """Decode a baseline multi-strip TIFF to (width, height, channels,
+    pixel_bytes) with 8-bit samples: compressions 1 (none), 5 (LZW —
+    the same MSB-first EarlyChange variant as PDF's LZWDecode) and
+    32773 (PackBits); 8-bit gray/RGB and 1-bit bilevel (photometric 0
+    inverted per WhiteIsZero); horizontal-differencing predictor (tag
+    317 = 2). Fax-compressed TIFFs go through tiff_g4_pixels instead.
+    None for anything else — quarantine-friendly."""
+    try:
+        return _tiff_decode(b)
+    except Exception:
+        return None
+
+
+def _tiff_decode(b: bytes):
+    import numpy as _np
+
+    d = tiff_dims(b)
+    if d is None:
+        return None
+    comp = _tiff_tag(b, 259) or 1
+    if comp not in (1, 5, 32773):
+        return None
+    w, h = d["width"], d["height"]
+    if w == 0 or h == 0:
+        return None
+    spp = _tiff_tag(b, 277) or 1
+    bits = _tiff_tag_array(b, 258) or [1]
+    if len(set(bits)) != 1:
+        return None
+    depth = bits[0]
+    photometric = _tiff_tag(b, 262)
+    predictor = _tiff_tag(b, 317) or 1
+    if (depth, spp) not in ((8, 1), (8, 3), (1, 1)):
+        return None
+    if predictor not in (1, 2) or (predictor == 2 and depth != 8):
+        return None
+    offs = _tiff_tag_array(b, 273)
+    sizes = _tiff_tag_array(b, 279)
+    if not offs or not sizes or len(offs) != len(sizes):
+        return None
+    rows_per_strip = _tiff_tag(b, 278) or h
+    rowbytes = (w * spp * depth + 7) // 8
+    from .filters import lzw_decode
+
+    out_rows = bytearray()
+    row0 = 0
+    for off, size in zip(offs, sizes):
+        if off + size > len(b):
+            return None
+        nrows = min(rows_per_strip, h - row0)
+        expect = nrows * rowbytes
+        raw = b[off:off + size]
+        if comp == 5:
+            raw = lzw_decode(raw, None)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        if len(raw) < expect:
+            return None
+        out_rows += raw[:expect]
+        row0 += nrows
+    if row0 < h:
+        return None
+    if depth == 8:
+        arr = _np.frombuffer(bytes(out_rows), _np.uint8).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: cumsum per row
+            arr = _np.cumsum(arr.astype(_np.uint32), axis=1).astype(
+                _np.uint8)
+        if photometric == 0:  # WhiteIsZero
+            arr = 255 - arr
+    else:  # 1-bit bilevel
+        a = _np.frombuffer(bytes(out_rows), _np.uint8).reshape(h, rowbytes)
+        bits_arr = _np.unpackbits(a, axis=1)[:, :w]
+        if photometric == 0:  # 0 = white
+            arr = ((1 - bits_arr) * 255).astype(_np.uint8)
+        else:
+            arr = (bits_arr * 255).astype(_np.uint8)
+        arr = arr.reshape(h, w, 1)
+    arr = _np.ascontiguousarray(arr)
+    return w, h, arr.shape[2], arr.tobytes()
+
+
+def tiff_mean_luma(b: bytes):
+    """Mean ITU-R 601 luminance of a baseline TIFF (same integer
+    discipline as png_mean_luma)."""
+    import numpy as _np
+
+    decoded = tiff_pixels(b)
+    if decoded is None:
+        return None
+    w, h, ch, pix = decoded
+    arr = _np.frombuffer(pix, _np.uint8).reshape(h, w, ch).astype(_np.int64)
+    if ch >= 3:
+        total = int(
+            (arr[..., 0] * 299 + arr[..., 1] * 587 + arr[..., 2] * 114).sum()
+        )
+    else:
+        total = int(arr[..., 0].sum() * 1000)
+    return round(total / (1000.0 * w * h), 6)
+
+
 def ink_ratio(b: bytes) -> Optional[float]:
     """Black-pixel fraction of a G4 TIFF payload (scanned-corpus quality
     signal: near-0 = blank page, near-1 = saturated scan)."""

@@ -85,6 +85,14 @@ def _decode_image(payload: bytes) -> dict:
         r = ink_ratio(payload)
         if r is not None:
             meta["ink_ratio"] = round(r, 6)
+        else:
+            # non-fax TIFF: baseline strip decode (none/LZW/PackBits,
+            # kernels/media.tiff_pixels — round 4)
+            from ..kernels.media import tiff_mean_luma
+
+            luma = tiff_mean_luma(payload)
+            if luma is not None:
+                meta["mean_luma"] = luma
     elif meta.get("format") == "png":
         # REAL pixel decode (zlib + PNG row filters, kernels/media.py;
         # round 4 widens to palette / 1-16 bit / Adam7)

@@ -230,3 +230,110 @@ def make_gif_frame(index_rows, palette, interlace: bool = False) -> bytes:
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Apple PackBits: repeat runs >=3 as (257-n, byte), else literals."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def make_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
+              photometric=None, predictor: int = 1,
+              byte_order: str = "II") -> bytes:
+    """Baseline multi-strip TIFF from an (h, w[, ch]) uint8-like array:
+    compression 1 (none), 5 (LZW) or 32773 (PackBits); optional
+    horizontal-differencing predictor (317=2); strips of
+    rows_per_strip rows (0 = single strip)."""
+    import numpy as np
+
+    from .pdfgen import lzw_encode
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    if photometric is None:
+        photometric = 2 if ch == 3 else 1
+    rps = rows_per_strip or h
+    src = arr
+    if predictor == 2:
+        diff = src.astype(np.int16)
+        diff[:, 1:, :] -= src[:, :-1, :].astype(np.int16)
+        src = (diff & 0xFF).astype(np.uint8)
+    strips = []
+    for r0 in range(0, h, rps):
+        raw = src[r0:r0 + rps].tobytes()
+        if compression == 5:
+            raw = lzw_encode(raw)
+        elif compression == 32773:
+            raw = _packbits_encode(raw)
+        strips.append(raw)
+    bo = "little" if byte_order == "II" else "big"
+
+    def _e(v, n):
+        return int(v).to_bytes(n, bo)
+
+    nstrips = len(strips)
+    # header + IFD later; strip data first at offset 8
+    data = bytearray()
+    strip_offsets = []
+    pos = 8
+    for sdat in strips:
+        strip_offsets.append(pos)
+        data += sdat
+        pos += len(sdat)
+    # external arrays (offsets/counts/bits) if they don't fit inline
+    tags = []
+
+    def tag(tid, typ, cnt, values):
+        tags.append((tid, typ, cnt, values))
+
+    tag(256, 4, 1, [w])
+    tag(257, 4, 1, [h])
+    tag(258, 3, ch, [8] * ch)
+    tag(259, 3, 1, [compression])
+    tag(262, 3, 1, [photometric])
+    tag(273, 4, nstrips, strip_offsets)
+    tag(277, 3, 1, [ch])
+    tag(278, 4, 1, [rps])
+    tag(279, 4, nstrips, [len(s) for s in strips])
+    if predictor != 1:
+        tag(317, 3, 1, [predictor])
+    tags.sort()
+    ifd_off = pos
+    ext = bytearray()
+    ext_off = ifd_off + 2 + 12 * len(tags) + 4
+    entries = b""
+    for tid, typ, cnt, values in tags:
+        size = 2 if typ == 3 else 4
+        entries += _e(tid, 2) + _e(typ, 2) + _e(cnt, 4)
+        if cnt * size <= 4:
+            field = b"".join(_e(v, size) for v in values)
+            entries += field + b"\x00" * (4 - len(field))
+        else:
+            entries += _e(ext_off, 4)
+            ext += b"".join(_e(v, size) for v in values)
+            ext_off += cnt * size
+    header = (byte_order.encode() + _e(42, 2) + _e(ifd_off, 4))
+    return (header + bytes(data)
+            + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))

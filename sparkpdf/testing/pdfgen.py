@@ -75,12 +75,19 @@ def flate_png_paeth_encode(data: bytes, columns: int) -> bytes:
 
 
 def lzw_encode(data: bytes) -> bytes:
-    """Variable-width LZW matching the decoder's growth rule
-    (width++ once the table reaches 2**width - 1, "early change")."""
+    """Variable-width LZW matching the DECODERS' growth rule. The
+    decoders (ours and the reference's) grow their table one code
+    LATER than the encoder (the first post-CLEAR code adds no entry),
+    and bump the width when that lagged table reaches 2**width - 1 —
+    seen from the encoder's unlagged next_code, the threshold is
+    2**width exactly (a off-by-one here only bites once the table
+    passes ~253 entries, i.e. inputs of a few hundred low-redundancy
+    bytes). A CLEAR is emitted before the table could outgrow the
+    12-bit code space."""
     table = {bytes([i]): i for i in range(256)}
     next_code = 258
     width = 9
-    out = bitbuf = 0
+    bitbuf = 0
     nbits = 0
     result = bytearray()
 
@@ -102,7 +109,12 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[w + c] = next_code
         next_code += 1
-        if next_code >= (1 << width) - 1 and width < 12:
+        if next_code >= 4095:
+            emit(256, width)  # CLEAR before the 12-bit space overflows
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        elif next_code >= (1 << width) and width < 12:
             width += 1
         w = c
     if w:

@@ -584,3 +584,76 @@ def test_gif_frame_decode():
     for n in range(0, len(full), 11):
         out = gif_pixels(full[:n])
         assert out is None or len(out) == 4
+
+
+def test_lzw_width_bump_and_overflow_roundtrip():
+    """Deterministic LZW regression beyond what the hypothesis sizes
+    reach: the encoder's width-bump timing was one code EARLY relative
+    to both decoders (visible only past ~253 table entries), and the
+    table now CLEARs before outgrowing 12-bit codes. Round-trips
+    through our decoder AND the reference's at sizes that cross every
+    width transition and the 4095-entry overflow."""
+    import numpy as np
+
+    from sparkpdf.kernels.filters import lzw_decode
+    from sparkpdf.testing.pdfgen import lzw_encode
+    from sparkpdf.testing.reference import load_reference
+
+    ref = load_reference()
+    rng = np.random.default_rng(6)
+    for data in (
+        bytes(rng.integers(0, 256, 663, dtype=np.uint8)),   # 9->10 bump
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),  # ->11/12
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),  # overflow CLEAR
+        bytes(rng.integers(0, 4, 30000, dtype=np.uint8)),   # compressible
+    ):
+        enc = lzw_encode(data)
+        assert lzw_decode(enc, None) == data
+        assert bytes(ref.filters.LZWDecode.decode(enc, None)) == data
+
+
+def test_tiff_strip_pixel_decode():
+    """Baseline TIFF strip decode: none/LZW/PackBits compressions,
+    multi-strip, both byte orders, horizontal-differencing predictor,
+    1-bit bilevel with WhiteIsZero inversion — against independently
+    built files (testing/imagegen.make_tiff)."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import tiff_mean_luma, tiff_pixels
+    from sparkpdf.testing.imagegen import make_tiff
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for rps in (0, 4):
+            for bo in ("II", "MM"):
+                t = make_tiff(img, compression=comp, rows_per_strip=rps,
+                              byte_order=bo)
+                got = tiff_pixels(t)
+                assert got is not None, (comp, rps, bo)
+                w, h, ch, pix = got
+                assert (w, h, ch) == (17, 13, 3)
+                assert np.array_equal(
+                    np.frombuffer(pix, np.uint8).reshape(13, 17, 3), img
+                ), (comp, rps, bo)
+    # gray + predictor 2 + LZW + strips
+    g = rng.integers(0, 256, (9, 21), dtype=np.uint8)
+    t = make_tiff(g, compression=5, predictor=2, rows_per_strip=3)
+    w, h, ch, pix = tiff_pixels(t)
+    assert ch == 1
+    assert np.array_equal(np.frombuffer(pix, np.uint8).reshape(9, 21), g)
+    # integer luma discipline
+    assert tiff_mean_luma(t) == round(int(g.astype(np.int64).sum())
+                                      / (9 * 21), 6)
+    # truncation sweep never raises
+    for n in range(0, len(t), 13):
+        out = tiff_pixels(t[:n])
+        assert out is None or len(out) == 4
+    # the G4 fax wrap still routes through ink_ratio, not strip decode
+    from sparkpdf.kernels import filters
+    from sparkpdf.kernels.ccitt_g4 import g4_encode
+    from sparkpdf.kernels.media import ink_ratio
+
+    fax = filters.ccitt_fax_wrap(g4_encode([[1] * 8], 8),
+                                 {"/K": -1, "/Columns": 8, "/Rows": 1})
+    assert ink_ratio(fax) == 1.0 and tiff_pixels(fax) is None
