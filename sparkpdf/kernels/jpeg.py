@@ -821,6 +821,9 @@ def _decode(data: bytes):
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:

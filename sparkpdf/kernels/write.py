@@ -142,6 +142,7 @@ def spans_to_pdf(
     permissions: int = -3904,
     page_layout: Optional[str] = None,
     page_mode: Optional[str] = None,
+    xref_stream: bool = False,
 ) -> bytes:
     """pages = list of span-lists (ordered) -> complete PDF bytes.
 
@@ -173,6 +174,9 @@ def spans_to_pdf(
       * page_layout / page_mode -> catalog /PageLayout //PageMode
         (parity: setPageLayout/setPageMode, _writer.py:1157-1258);
         values validated against the reference's accepted lists.
+      * xref_stream=True -> a PDF 1.5 cross-reference STREAM instead of
+        the classic table (the reference only writes classic tables but
+        reads both; §7.5.8, never encrypted).
     """
     import hashlib
 
@@ -649,6 +653,34 @@ def spans_to_pdf(
     for i, body in enumerate(bodies, start=1):
         offsets[i] = len(out)
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    if xref_stream:
+        # PDF 1.5 cross-reference STREAM (§7.5.8) — the reference only
+        # ever writes classic tables but reads both, as do we (S5).
+        # Never encrypted, like the /Encrypt dict itself.
+        xref_num = len(bodies) + 1
+        xref_pos = len(out)
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for i in range(1, xref_num):
+            rows += bytes([1]) + offsets[i].to_bytes(4, "big") + b"\x00\x00"
+        rows += bytes([1]) + xref_pos.to_bytes(4, "big") + b"\x00\x00"
+        data = zlib.compress(bytes(rows))
+        dct = (
+            b"<< /Type /XRef /Size %d /W [1 4 2] /Filter /FlateDecode"
+            b" /Length %d /Root %d 0 R" % (xref_num + 1, len(data), root)
+        )
+        if info_num:
+            dct += b" /Info %d 0 R" % info_num
+        if encrypt_num:
+            dct += b" /Encrypt %d 0 R" % encrypt_num
+        fid = (file_id or b"\x00" * 16).hex().encode()
+        dct += b" /ID [<%s> <%s>] >>" % (fid, fid)
+        out += (
+            b"%d 0 obj\n" % xref_num + dct + b"\nstream\n" + data
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
     xref_pos = len(out)
     out += b"xref\n0 %d\n" % (len(bodies) + 1)
     out += b"0000000000 65535 f \n"

@@ -578,14 +578,25 @@ def _write_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for s in spans
             ]
             out["doc_id"].append(str(doc_id))
-            out["pdf_bytes"].append(spans_to_pdf([page]))
+            # even docs get the classic xref table, odd docs the PDF 1.5
+            # cross-reference STREAM — the round-trip query certifies
+            # both serializations with the same oracle
+            try:
+                d = int(doc_id)
+            except (TypeError, ValueError):
+                d = 0
+            out["pdf_bytes"].append(
+                spans_to_pdf([page], xref_stream=bool(d % 2))
+            )
         yield pd.DataFrame(out)
 
 
 def write_pdfs(interleaved: DataFrame) -> DataFrame:
     """documents_interleaved -> pdf_raw (single-page docs). The inverse
     of extract_spans: extract(write(spans)) == spans, and the REFERENCE
-    reads the written files (tests/test_write.py)."""
+    reads the written files (tests/test_write.py). Odd doc_ids are
+    serialized with a PDF 1.5 xref STREAM, even ones with the classic
+    table (both read back identically)."""
     return interleaved.select("doc_id", "spans").mapInPandas(
         _write_batches, schema=PDF_RAW_SCHEMA
     )

@@ -256,3 +256,50 @@ def test_progressive_truncation_and_corruption_quarantine():
     # patch the first AC SOS (1 component) to claim 2 components
     # (cheap structural negative: just assert garbage Ns quarantines)
     assert decode_jpeg(enc.replace(b"\xff\xc2", b"\xff\xc6")) is None
+
+
+def test_weird_but_valid_marker_structures():
+    """Wild-corpus JPEG structure tolerance: APPn/COM segments anywhere,
+    fill bytes between segments, DQT redefinition between scans of a
+    progressive file, and DNL-free streams — decoded pixels must be
+    unaffected by cosmetic segment insertion."""
+    from sparkpdf.kernels.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    enc = encode_jpeg(img)
+    base = decode_jpeg(enc)
+    # insert APP1 (EXIF-ish), COM, and APP13 right after SOI + a fill
+    # byte run before the first marker of the tail
+    cosmetic = (
+        enc[:2]
+        + seg(0xE1, b"Exif\x00\x00" + bytes(40))
+        + seg(0xFE, b"a comment with \xff\x00 bytes inside")
+        + seg(0xED, bytes(17))
+        + b"\xff\xff"  # fill bytes are legal between segments
+        + enc[2:]
+    )
+    got = decode_jpeg(cosmetic)
+    assert got is not None and np.array_equal(got, base)
+
+    # progressive: redefine a quant table BETWEEN scans — tables are
+    # captured per scan, and DQT only matters at reconstruction, so the
+    # LAST definition wins; redefining with the SAME values must not
+    # change pixels
+    penc = encode_jpeg_progressive(img)
+    pbase = decode_jpeg(penc)
+    assert pbase is not None
+    first_sos = penc.index(b"\xff\xda")
+    # find the second scan's SOS and splice a duplicate DQT before it
+    second_sos = penc.index(b"\xff\xda", first_sos + 2)
+    dqt_start = penc.index(b"\xff\xdb")
+    dqt_len = int.from_bytes(penc[dqt_start + 2:dqt_start + 4], "big") + 2
+    dqt = penc[dqt_start:dqt_start + dqt_len]
+    spliced = penc[:second_sos] + dqt + penc[second_sos:]
+    got = decode_jpeg(spliced)
+    assert got is not None and np.array_equal(got, pbase)

@@ -469,3 +469,43 @@ def test_media_payload_colorspace_follows_content():
 
     with pytest.raises(ValueError):
         spans_to_pdf(pages, media_payloads={"Im1": b"not an image"})
+
+
+def test_xref_stream_output():
+    """xref_stream=True writes a PDF 1.5 cross-reference STREAM
+    (§7.5.8) instead of the classic table: our reader's S5 path and
+    the REFERENCE both read it back, round-trip equality holds, and
+    the xref stream itself stays unencrypted under encryption."""
+    pages = [[{"kind": "text", "text": "xref stream doc\n", "media_ref": None}]]
+    pdf = spans_to_pdf(
+        pages, title="t", bookmarks=[("b", 0)], xref_stream=True
+    )
+    assert b"/Type /XRef" in pdf and b"trailer" not in pdf
+    res = extract_doc(pdf)
+    assert res["error"] is None
+    assert res["spans"][0]["text"] == "xref stream doc\n"
+    ref = load_reference()
+    rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+    assert rd.getPage(0).extractText() == "xref stream doc\n"
+    assert rd.getDocumentInfo().title == b"t"
+    assert rd.getOutlines()[0]["/Title"] == b"b"
+    # span-level equality vs the classic-table serialization
+    classic = extract_doc(spans_to_pdf(pages, title="t", bookmarks=[("b", 0)]))
+    key = lambda r: [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+    assert key(res) == key(classic)
+    # encrypted: xref stream must remain readable (never encrypted)
+    enc = spans_to_pdf(
+        pages, user_password=b"pw", encryption="rc4-128", xref_stream=True
+    )
+    r2 = extract_doc(enc, password=b"pw")
+    assert r2["error"] is None and r2["spans"][0]["text"] == "xref stream doc\n"
+    rd2 = ref.PdfFileReader(io.BytesIO(enc), strict=False)
+    assert rd2.decrypt("pw") == 1
+    assert rd2.getPage(0).extractText() == "xref stream doc\n"
+    # wrong password still detected through the stream-xref path
+    import pytest as _pytest
+    from sparkpdf.kernels.cos import PdfError
+    from sparkpdf.kernels.document import PdfDocument
+
+    with _pytest.raises(PdfError):
+        PdfDocument(enc, password=b"nope")
