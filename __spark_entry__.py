@@ -263,6 +263,18 @@ def q_substring_scrub(spark, sf_dir):
     )
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    # eval-set decontamination (round 4): per doc, how many 5-token
+    # windows appear in a benchmark set (here: the texts of docs with
+    # doc_id % 97 == 0). Benchmark grams are broadcast — the corpus
+    # side never shuffles on content.
+    from sparkpdf.operators.text import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return benchmark_contamination(docs, bench, n=5)
+
+
 def q_write_rc4_40(spark, sf_dir):
     # C6 extended (r3 verdict item 6): RC4-40 (V=1 R=2) write with a
     # non-default /P permissions flag; decrypt-extract round-trip. The
@@ -1186,7 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dup_substring_ranges": q_dup_substring_ranges,
-        "sessionize": q_sessionize,
+        "benchmark_contamination": q_benchmark_contamination,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1209,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
         # ---- driver window boundary (50) ----
+        "sessionize": q_sessionize,
         "substring_scrub": q_substring_scrub,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash_pairs": q_simhash_pairs,
@@ -2325,6 +2338,29 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_occurrences
         FROM grams GROUP BY md5(gram)
         HAVING COUNT(DISTINCT doc_id) >= 2
+    """
+    # benchmark_contamination: benchmark = texts of docs with
+    # doc_id % 97 == 0; hits = 5-token windows shared with that set
+    sql["benchmark_contamination"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), win AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(t) - 4),
+                       i -> array_to_string(list_slice(t, i + 1, i + 5),
+                                            ' '))) AS gram
+            FROM toks WHERE len(t) >= 5
+        ), bench AS (
+            SELECT DISTINCT gram FROM win WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT w.doc_id, COUNT(*) AS n_hits
+            FROM win w JOIN bench b USING (gram) GROUP BY w.doc_id
+        )
+        SELECT toks.doc_id,
+               CAST(greatest(len(t) - 4, 0) AS INTEGER) AS n_windows,
+               CAST(COALESCE(n_hits, 0) AS INTEGER) AS n_hits,
+               COALESCE(n_hits, 0) > 0 AS contaminated
+        FROM toks LEFT JOIN hits ON toks.doc_id = hits.doc_id
     """
     # png_pixel_stats: make_png plants byte (x*3+y)%256 at byte-index x
     # of row y (R of pixel p = (9p+y)%256, G = (9p+3+y)%256, B =

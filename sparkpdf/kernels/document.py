@@ -456,6 +456,39 @@ class PdfDocument:
                         "data": data,
                     }
                 )
+        # inline images (BI/ID/EI) carry their payload right in the
+        # content stream — same bridge, names '__inline__{k}' per page
+        from .content import INLINE_IMAGE_OP, tokenize
+
+        for page_no, page in enumerate(self.pages()):
+            try:
+                ops = tokenize(self.page_contents(page))
+            except Exception:
+                continue
+            k = 0
+            for operands, op in ops:
+                if op != INLINE_IMAGE_OP or not operands:
+                    continue
+                img = operands[0]
+                st = img.get("settings") or {}
+
+                def _dim(*keys):
+                    for key in keys:
+                        v = st.get(key)
+                        if isinstance(v, int):
+                            return v
+                    return None
+
+                out.append(
+                    {
+                        "page_no": page_no,
+                        "name": f"__inline__{k}",
+                        "width": _dim("/W", "/Width"),
+                        "height": _dim("/H", "/Height"),
+                        "data": img.get("data"),
+                    }
+                )
+                k += 1
         return out
 
     def javascript(self) -> List[dict]:

@@ -273,3 +273,56 @@ def extract_html_main(pages: DataFrame) -> DataFrame:
     return pages.select("doc_id", "html").mapInPandas(
         gen, schema=HTML_MAIN_SCHEMA
     )
+
+
+def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
+                            n: int = 5) -> DataFrame:
+    """Benchmark decontamination: per document, how many of its
+    n-token windows appear in the BENCHMARK set (eval-set leakage —
+    the targeted complement of the corpus-wide duplicate_ngrams
+    check). benchmark is any (text) DataFrame.
+
+    Scale shape (100 TB corpus, small benchmark): the benchmark gram
+    set is tiny by construction — distinct + BROADCAST, so the corpus
+    side never shuffles; window fan-out is map-side (transform over
+    sequence) and the per-doc counts partial-aggregate before the one
+    doc_id shuffle."""
+    toks = _tokens("text")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram"))
+        .select(F.md5(F.col("gram").cast("binary")).alias("gram_hash"))
+        .distinct()
+    )
+    doc_grams = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(grams).alias("gram"),
+    ).select(
+        "doc_id", F.md5(F.col("gram").cast("binary")).alias("gram_hash")
+    )
+    hits = doc_grams.join(
+        F.broadcast(bench_grams), "gram_hash", "left_semi"
+    )
+    n_windows = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.greatest(F.size(toks) - n + 1, F.lit(0)).alias("n_windows"),
+    )
+    return (
+        n_windows.join(
+            hits.groupBy("doc_id").agg(F.count("*").alias("n_hits")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -657,3 +657,27 @@ def test_tiff_strip_pixel_decode():
     fax = filters.ccitt_fax_wrap(g4_encode([[1] * 8], 8),
                                  {"/K": -1, "/Columns": 8, "/Rows": 1})
     assert ink_ratio(fax) == 1.0 and tiff_pixels(fax) is None
+
+
+def test_inline_image_payloads_in_media_objects():
+    """Inline (BI/ID/EI) image payloads surface through
+    PdfDocument.media_objects() alongside XObjects — same media-table
+    bridge, names '__inline__{k}', dims from the abbreviated /W //H
+    keys."""
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.testing import pdfgen
+
+    payload = bytes(range(12))  # 4x3 gray 8-bit = 12 bytes
+    content = (
+        b"BT /F1 12 Tf (x) Tj ET "
+        b"q BI /W 4 /H 3 /BPC 8 /CS /G ID " + payload + b" EI Q"
+    )
+    pdf = pdfgen.simple_pdf([content])
+    doc = PdfDocument(pdf)
+    media = [m for m in doc.media_objects() if m["name"].startswith("__inline__")]
+    assert len(media) == 1
+    m = media[0]
+    assert (m["width"], m["height"]) == (4, 3)
+    # EI-ws-Q framing: the tokenizer's documented contract (C2c) keeps
+    # the byte before EI with the data when the following op is Q
+    assert m["data"] == payload + b" "
