@@ -1025,3 +1025,29 @@ def test_remove_duplicate_substrings(spark):
     orig = {r.doc_id: len(r.text) for r in docs.collect()}
     for d, r in rows.items():
         assert len(r.text) + r.n_dup_chars == orig[str(d)]
+
+
+def test_benchmark_contamination_plan_and_values(spark):
+    """Decontamination: hit counts match hand-computation and the
+    benchmark side of the join is BROADCAST (the corpus never shuffles
+    on gram content — the 100 TB contract for a small eval set)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import benchmark_contamination
+
+    docs = spark.createDataFrame([
+        Row(doc_id="1", text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id="2", text="nothing in common with the eval set at all"),
+    ])
+    bench = spark.createDataFrame(
+        [Row(text="the quick brown fox jumps over a fence")]
+    )
+    out = benchmark_contamination(docs, bench, n=5)
+    rows = {r.doc_id: r for r in out.collect()}
+    # shared 5-grams: 'the quick brown fox jumps', 'quick brown fox
+    # jumps over' -> 2 hits for doc 1, none for doc 2
+    assert rows[1].n_hits == 2 and rows[1].contaminated
+    assert rows[1].n_windows == 5
+    assert rows[2].n_hits == 0 and not rows[2].contaminated
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, plan
