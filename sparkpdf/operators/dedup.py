@@ -82,11 +82,11 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 4) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def _minhash_buckets(
     documents: DataFrame, n_hashes: int = 4, bands: int = 2
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs
-    (doc_a < doc_b), deduplicated across bands."""
+    """(doc_id, bucket) band membership rows — the shared front half of
+    minhash_lsh_pairs and minhash_lsh_overflow."""
     sig = minhash_signatures(documents, n_hashes)
     rows_per_band = n_hashes // bands
     band_cols = []
@@ -97,12 +97,42 @@ def minhash_lsh_pairs(
         )
     banded = sig.select("doc_id", *band_cols)
     # explode, not union: one signature computation, map-side fan-out
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[F.col(f"band{b}") for b in range(bands)])
         ).alias("bucket"),
     )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_hashes: int = 4,
+    bands: int = 2,
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs
+    (doc_a < doc_b), deduplicated across bands.
+
+    `bucket_cap` is the degenerate-bucket guard (skew): any bucket with
+    more than `bucket_cap` members (empty docs, templated boilerplate —
+    one hot bucket is quadratic in the self-join) is EXCLUDED from pair
+    generation, bounding the worst bucket at cap^2 pairs. Unlike the
+    embedding path (similarity.py), the kept-bucket set here is O(docs)
+    and cannot be broadcast at 10^12 docs — so the cap is applied as a
+    broadcast LEFT-ANTI join against the overflow set, which is small
+    by construction (only buckets above the cap). Skipped buckets are
+    never silently dropped: minhash_lsh_overflow() reports them for a
+    quarantine sweep. bucket_cap=None disables the cap (oracle replay)."""
+    stacked = _minhash_buckets(documents, n_hashes, bands)
+    if bucket_cap is not None:
+        over = (
+            stacked.groupBy("bucket")
+            .agg(F.count("*").alias("bucket_n"))
+            .filter(F.col("bucket_n") > bucket_cap)
+            .select("bucket")
+        )
+        stacked = stacked.join(F.broadcast(over), "bucket", "left_anti")
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -111,6 +141,26 @@ def minhash_lsh_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def minhash_lsh_overflow(
+    documents: DataFrame,
+    n_hashes: int = 4,
+    bands: int = 2,
+    bucket_cap: int = 10000,
+) -> DataFrame:
+    """Overflow accounting for minhash_lsh_pairs: (bucket, bucket_n)
+    rows whose buckets exceeded bucket_cap and were excluded from the
+    candidate self-join — at 100 TB these go to a quarantine sweep
+    (exact-hash dedup within the bucket, or a re-hash at higher
+    (n_hashes, bands) selectivity), never silently dropped. Mirrors
+    similarity.near_dup_overflow for the text path."""
+    return (
+        _minhash_buckets(documents, n_hashes, bands)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("bucket_n"))
+        .filter(F.col("bucket_n") > bucket_cap)
     )
 
 
@@ -152,6 +202,7 @@ def ngram_jaccard_pairs(
     block: str = "lsh",
     n_hashes: int = 4,
     bands: int = 2,
+    bucket_cap: int = 10000,
 ) -> DataFrame:
     """Pairwise token-set Jaccard over a BLOCKED candidate set.
 
@@ -174,7 +225,7 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     jac = (inter.cast("double") / union.cast("double"))
     if block == "lsh":
-        cand = minhash_lsh_pairs(documents, n_hashes, bands)
+        cand = minhash_lsh_pairs(documents, n_hashes, bands, bucket_cap)
         pairs = cand.join(
             toks.select(
                 F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
@@ -216,6 +267,7 @@ def dup_clusters(
     bands: int = 2,
     max_iters: int = 20,
     jaccard_threshold: float | None = None,
+    bucket_cap: int = 10000,
 ) -> DataFrame:
     """Duplicate CLUSTERS from LSH candidate pairs: iterative min-label
     propagation (connected components) — the final stage of corpus
@@ -244,7 +296,7 @@ def dup_clusters(
     (truncates the growing lineage — without it the plan re-derives
     every prior iteration) and runs ONE tiny count on the materialized
     frame instead of a second labels-vs-labels join."""
-    pairs = minhash_lsh_pairs(documents, n_hashes, bands)
+    pairs = minhash_lsh_pairs(documents, n_hashes, bands, bucket_cap)
     if jaccard_threshold is not None:
         toks = documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -424,10 +476,17 @@ def duplicate_substring_ranges(documents: DataFrame,
 
     Plan shape (100 TB): gram enumeration is MAP-SIDE
     (transform(sequence) + posexplode, no premature explode of the
-    text); duplication detection is ONE shuffle on xxhash64(gram) — an
-    8-byte uniform key instead of the 40-char gram text (collision
-    probability ~n^2/2^64; the DuckDB oracle groups by the gram text
-    itself, so a collision would surface as a hash mismatch); range
+    text); duplication detection hashes grams to xxhash64 — an 8-byte
+    uniform key instead of the 40-char gram text (collision probability
+    ~n^2/2^64; the DuckDB oracle groups by the gram text itself, so a
+    collision would surface as a hash mismatch) — and counts them with
+    a groupBy (NOT a count-over-Window: a window partitioned by the
+    gram hash funnels every occurrence of one hot gram into a single
+    task with no partial aggregation and no AQE skew-split — a
+    boilerplate 40-gram appearing millions of times would make one
+    straggler hold the whole stage; the groupBy gets map-side combine,
+    so a hot gram contributes ONE row per map partition to the count
+    shuffle, and the join-back below is AQE-skew-splittable); range
     merging is ONE shuffle on doc_id with a lag + running-sum interval
     union (touching or overlapping gram intervals coalesce).
 
@@ -449,12 +508,16 @@ def duplicate_substring_ranges(documents: DataFrame,
             ).otherwise(F.array())
         ).alias("pos", "g"),
     )
-    dup = (
-        grams.withColumn("h", F.xxhash64("g"))
-        .withColumn("n", F.count("*").over(Window.partitionBy("h")))
+    hashed = grams.select("doc_id", "pos", F.xxhash64("g").alias("h"))
+    # partial-agg count (map-side combine) + semi-join-back: the shape
+    # AQE can skew-split, unlike a Window.partitionBy("h")
+    dup_h = (
+        hashed.groupBy("h")
+        .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 1)
-        .select("doc_id", "pos")
+        .select("h")
     )
+    dup = hashed.join(dup_h, "h", "left_semi").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     return (
         dup.withColumn("prev", F.lag("pos").over(w))
@@ -480,8 +543,12 @@ def remove_duplicate_substrings(documents: DataFrame,
     """Cut every duplicated range (duplicate_substring_ranges) out of
     the text — the exact-substring dedup transform (every occurrence is
     removed, the published default of the technique). Pure JVM-side:
-    the per-doc range list is folded with F.aggregate into (cursor,
-    kept-text) — no Python in the cut.
+    the kept segments materialize as ONE slice array zipped from the
+    range boundaries and concat_ws-joined — O(doc_len + n_ranges) per
+    doc. (The round-4 F.aggregate fold re-concatenated the accumulated
+    prefix once per range: O(n_ranges * doc_len) worst-case string
+    copying — quadratic for a doc with thousands of tiny duplicated
+    ranges; the pathological-doc test pins the new bound.)
 
     Output: doc_id, text (cleaned), n_dup_chars (audit count)."""
     L = int(min_len)
@@ -498,27 +565,28 @@ def remove_duplicate_substrings(documents: DataFrame,
         )
     )
     joined = docs.join(ranges, "doc_id", "left")
-    folded = F.aggregate(
-        "rs",
-        F.struct(F.lit(0).alias("pos"), F.lit("").alias("acc")),
-        lambda a, r: F.struct(
-            r["range_end"].alias("pos"),
-            F.concat(
-                a["acc"],
-                F.col("text").substr(
-                    a["pos"] + 1, r["range_start"] - a["pos"]
-                ),
-            ).alias("acc"),
-        ),
-        lambda a: F.concat(
-            a["acc"],
-            F.col("text").substr(a["pos"] + 1, F.length("text") - a["pos"]),
+    # kept segment k spans [end_{k-1}, start_k) plus the final tail
+    # [end_last, len); ranges are disjoint and sorted, so every slice
+    # length is >= 0
+    seg_starts = F.concat(
+        F.array(F.lit(0)), F.transform("rs", lambda r: r["range_end"])
+    )
+    seg_ends = F.concat(
+        F.transform("rs", lambda r: r["range_start"]),
+        F.array(F.length("text")),
+    )
+    cut = F.concat_ws(
+        "",
+        F.zip_with(
+            seg_starts,
+            seg_ends,
+            lambda s, e: F.col("text").substr(s + 1, e - s),
         ),
     )
     return joined.select(
         "doc_id",
         F.when(F.col("rs").isNull(), F.col("text"))
-        .otherwise(folded)
+        .otherwise(cut)
         .alias("text"),
         F.coalesce(
             F.aggregate(
