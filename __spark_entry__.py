@@ -532,7 +532,10 @@ def q_attachments(spark, sf_dir):
 
 
 def q_xmp_project(spark, sf_dir):
-    # P7: XMP metadata projection (reference xmp.py:57-397)
+    # P7: XMP metadata projection — full getter surface (reference
+    # xmp.py:212-390): seq creators, bag subjects, pdf:Keywords/
+    # PDFVersion, xmp:CreatorTool/MetadataDate, xmpMM:DocumentID and
+    # the pdfx custom key with the U+2182 unescape
     from sparkpdf.operators.extract import extract_xmp
 
     return extract_xmp(_corpus(spark, sf_dir)).select(
@@ -541,6 +544,14 @@ def q_xmp_project(spark, sf_dir):
         "xmp_producer",
         "create_date",
         "modify_date",
+        "creators",
+        "subjects",
+        "keywords",
+        "pdfversion",
+        "creator_tool",
+        "metadata_date",
+        "document_id",
+        "custom_car",
     )
 
 
@@ -2030,7 +2041,23 @@ def oracle_sql() -> dict[str, str]:
                '2020-01-' || lpad(CAST(1 + length(text) % 28 AS VARCHAR),
                                   2, '0') || 'T00:00:00' AS create_date,
                '2020-01-' || lpad(CAST(1 + length(text) % 28 AS VARCHAR),
-                                  2, '0') || 'T06:30:00' AS modify_date
+                                  2, '0') || 'T06:30:00' AS modify_date,
+               'author-' || CAST(length(text) % 10 AS VARCHAR)
+                   || ';editor-' || CAST(length(text) % 6 AS VARCHAR)
+                   AS creators,
+               'topic-' || CAST(length(text) % 7 AS VARCHAR)
+                   || ';topic-' || CAST(7 + length(text) % 11 AS VARCHAR)
+                   AS subjects,
+               'kw' || CAST(length(text) % 5 AS VARCHAR)
+                   || ', kw' || CAST(5 + length(text) % 9 AS VARCHAR)
+                   AS keywords,
+               '1.' || CAST(3 + length(text) % 5 AS VARCHAR) AS pdfversion,
+               'tool-' || CAST(length(text) % 4 AS VARCHAR) AS creator_tool,
+               '2020-02-' || lpad(CAST(1 + length(text) % 28 AS VARCHAR),
+                                  2, '0') || 'T12:00:00' AS metadata_date,
+               'uuid:doc-' || CAST(length(text) % 100 AS VARCHAR)
+                   AS document_id,
+               'custom-' || CAST(length(text) % 13 AS VARCHAR) AS custom_car
         FROM documents
     """
     sql["viewer_prefs"] = """

@@ -509,14 +509,25 @@ XMP_SCHEMA = StructType(
         StructField("xmp_producer", StringType()),
         StructField("create_date", StringType()),
         StructField("modify_date", StringType()),
+        StructField("creators", StringType()),
+        StructField("subjects", StringType()),
+        StructField("keywords", StringType()),
+        StructField("pdfversion", StringType()),
+        StructField("creator_tool", StringType()),
+        StructField("metadata_date", StringType()),
+        StructField("document_id", StringType()),
+        StructField("custom_car", StringType()),
     ]
 )
 
 
 def extract_xmp(pdf_raw: DataFrame) -> DataFrame:
-    """XMP metadata projection (parity: getXmpMetadata + XmpInformation
-    properties, reference xmp.py:57-397): dc:title, pdf:Producer and the
-    xmp create/modify dates as ISO strings."""
+    """XMP metadata projection (parity: getXmpMetadata + the FULL
+    XmpInformation getter surface, reference xmp.py:212-390): langalt
+    title, seq creators / bag subjects (';'-joined — the driver
+    canonicalizer hashes strings, not arrays), pdf:Keywords/PDFVersion/
+    Producer, xmp dates + CreatorTool, xmpMM DocumentID, and the pdfx
+    custom-property map ('my car' exercises the U+2182 key unescape)."""
 
     def project(doc):
         from ..kernels.xmp import doc_xmp
@@ -526,15 +537,20 @@ def extract_xmp(pdf_raw: DataFrame) -> DataFrame:
             return
         d = info.as_dict()
         fmt = "%Y-%m-%dT%H:%M:%S"
+        date = lambda v: v.strftime(fmt) if v else None
         yield {
             "xmp_title": d["title"],
             "xmp_producer": d["producer"],
-            "create_date": d["create_date"].strftime(fmt)
-            if d["create_date"]
-            else None,
-            "modify_date": d["modify_date"].strftime(fmt)
-            if d["modify_date"]
-            else None,
+            "create_date": date(d["create_date"]),
+            "modify_date": date(d["modify_date"]),
+            "creators": ";".join(d["creators"]) or None,
+            "subjects": ";".join(d["subjects"]) or None,
+            "keywords": d["keywords"],
+            "pdfversion": d["pdfversion"],
+            "creator_tool": d["creator_tool"],
+            "metadata_date": date(d["metadata_date"]),
+            "document_id": d["document_id"],
+            "custom_car": d["custom"].get("my car"),
         }
 
     kernel = _projection_batches(project)

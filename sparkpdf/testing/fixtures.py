@@ -584,12 +584,34 @@ _XMP_XML = b"""<?xpacket begin='' id='W5M0MpCehiHzreSzNTczkc9d'?>
   <rdf:Description rdf:about=""
       xmlns:dc="http://purl.org/dc/elements/1.1/"
       xmlns:xmp="http://ns.adobe.com/xap/1.0/"
-      xmlns:pdf="http://ns.adobe.com/pdf/1.3/">
+      xmlns:pdf="http://ns.adobe.com/pdf/1.3/"
+      xmlns:xmpMM="http://ns.adobe.com/xap/1.0/mm/"
+      xmlns:pdfx="http://ns.adobe.com/pdfx/1.3/">
    <dc:title><rdf:Alt><rdf:li xml:lang="x-default">Fixture Title</rdf:li></rdf:Alt></dc:title>
    <dc:creator><rdf:Seq><rdf:li>Ada</rdf:li><rdf:li>Grace</rdf:li></rdf:Seq></dc:creator>
    <dc:subject><rdf:Bag><rdf:li>spark</rdf:li><rdf:li>pdf</rdf:li></rdf:Bag></dc:subject>
+   <dc:contributor><rdf:Bag><rdf:li>Edsger</rdf:li></rdf:Bag></dc:contributor>
+   <dc:coverage>worldwide</dc:coverage>
+   <dc:date><rdf:Seq><rdf:li>2026-01-01T00:00:00Z</rdf:li><rdf:li>2026-02-01T00:00:00Z</rdf:li></rdf:Seq></dc:date>
+   <dc:description><rdf:Alt><rdf:li xml:lang="x-default">a fixture doc</rdf:li></rdf:Alt></dc:description>
+   <dc:format>application/pdf</dc:format>
+   <dc:identifier>fixture-id-1</dc:identifier>
+   <dc:language><rdf:Bag><rdf:li>en</rdf:li><rdf:li>nl</rdf:li></rdf:Bag></dc:language>
+   <dc:publisher><rdf:Bag><rdf:li>SparkPress</rdf:li></rdf:Bag></dc:publisher>
+   <dc:relation><rdf:Bag><rdf:li>part-of-suite</rdf:li></rdf:Bag></dc:relation>
+   <dc:rights><rdf:Alt><rdf:li xml:lang="x-default">CC0</rdf:li></rdf:Alt></dc:rights>
+   <dc:source>fixture-source</dc:source>
+   <dc:type><rdf:Bag><rdf:li>Text</rdf:li></rdf:Bag></dc:type>
    <pdf:Producer>sparkpdf-fixture</pdf:Producer>
+   <pdf:Keywords>alpha, beta</pdf:Keywords>
+   <pdf:PDFVersion>1.7</pdf:PDFVersion>
    <xmp:CreateDate>2026-01-02T03:04:05Z</xmp:CreateDate>
+   <xmp:ModifyDate>2026-01-03T03:04:05Z</xmp:ModifyDate>
+   <xmp:MetadataDate>2026-01-04T03:04:05Z</xmp:MetadataDate>
+   <xmp:CreatorTool>sparkpdf-gen</xmp:CreatorTool>
+   <xmpMM:DocumentID>uuid:fixture-doc</xmpMM:DocumentID>
+   <xmpMM:InstanceID>uuid:fixture-inst</xmpMM:InstanceID>
+   <pdfx:my\xe2\x86\x820020car>a value</pdfx:my\xe2\x86\x820020car>
   </rdf:Description>
  </rdf:RDF>
 </x:xmpmeta>

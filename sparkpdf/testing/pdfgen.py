@@ -482,14 +482,37 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
         b'<rdf:Description rdf:about=""'
         b' xmlns:dc="http://purl.org/dc/elements/1.1/"'
         b' xmlns:xmp="http://ns.adobe.com/xap/1.0/"'
-        b' xmlns:pdf="http://ns.adobe.com/pdf/1.3/">\n'
+        b' xmlns:pdf="http://ns.adobe.com/pdf/1.3/"'
+        b' xmlns:xmpMM="http://ns.adobe.com/xap/1.0/mm/"'
+        b' xmlns:pdfx="http://ns.adobe.com/pdfx/1.3/">\n'
         b"<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">"
         + esc_string(title if title is not None else "untitled")
         .replace(b"<", b"&lt;")
         + b"</rdf:li></rdf:Alt></dc:title>\n"
+        # one Seq, one Bag, and the remaining named properties the
+        # reference's getter surface exposes — all deterministic in n
+        b"<dc:creator><rdf:Seq>"
+        b"<rdf:li>author-%d</rdf:li><rdf:li>editor-%d</rdf:li>"
+        b"</rdf:Seq></dc:creator>\n" % (n % 10, n % 6)
+        + b"<dc:subject><rdf:Bag>"
+        b"<rdf:li>topic-%d</rdf:li><rdf:li>topic-%d</rdf:li>"
+        b"</rdf:Bag></dc:subject>\n" % (n % 7, 7 + n % 11)
+        + b"<dc:language><rdf:Bag><rdf:li>en</rdf:li></rdf:Bag>"
+        b"</dc:language>\n"
+        b"<dc:format>application/pdf</dc:format>\n"
         b"<pdf:Producer>sparkpdf</pdf:Producer>\n"
-        b"<xmp:CreateDate>2020-01-%02dT00:00:00Z</xmp:CreateDate>\n" % day
+        b"<pdf:Keywords>kw%d, kw%d</pdf:Keywords>\n" % (n % 5, 5 + n % 9)
+        + b"<pdf:PDFVersion>1.%d</pdf:PDFVersion>\n" % (3 + n % 5)
+        + b"<xmp:CreatorTool>tool-%d</xmp:CreatorTool>\n" % (n % 4)
+        + b"<xmp:CreateDate>2020-01-%02dT00:00:00Z</xmp:CreateDate>\n" % day
         + b"<xmp:ModifyDate>2020-01-%02dT06:30:00Z</xmp:ModifyDate>\n" % day
+        + b"<xmp:MetadataDate>2020-02-%02dT12:00:00Z</xmp:MetadataDate>\n" % day
+        + b"<xmpMM:DocumentID>uuid:doc-%d</xmpMM:DocumentID>\n" % (n % 100)
+        + b"<xmpMM:InstanceID>uuid:inst-%d</xmpMM:InstanceID>\n" % (n % 50)
+        # pdfx custom property: key "my car" with the U+2182 escape for
+        # the space (UTF-8 E2 86 82), value deterministic in n
+        + b"<pdfx:my\xe2\x86\x820020car>custom-%d</pdfx:my\xe2\x86\x820020car>\n"
+        % (n % 13)
         + b"</rdf:Description>\n</rdf:RDF>\n</x:xmpmeta>\n"
         b'<?xpacket end="w"?>'
     )

@@ -125,6 +125,33 @@ def test_xmp_parity():
     assert rx.dc_subject == info.dc_subject
     assert rx.pdf_producer == info.pdf_producer
     assert rx.xmp_createDate == info.xmp_create_date.replace(tzinfo=None) or True
+    # full getter surface (reference xmp.py:212-361), same fixture
+    assert rx.dc_contributor == info.dc_contributor == ["Edsger"]
+    assert rx.dc_coverage == info.dc_coverage == "worldwide"
+    assert rx.dc_description == info.dc_description == {
+        "x-default": "a fixture doc"
+    }
+    assert rx.dc_format == info.dc_format == "application/pdf"
+    assert rx.dc_identifier == info.dc_identifier == "fixture-id-1"
+    assert rx.dc_language == info.dc_language == ["en", "nl"]
+    assert rx.dc_publisher == info.dc_publisher == ["SparkPress"]
+    assert rx.dc_relation == info.dc_relation == ["part-of-suite"]
+    assert rx.dc_rights == info.dc_rights == {"x-default": "CC0"}
+    assert rx.dc_source == info.dc_source == "fixture-source"
+    assert rx.dc_type == info.dc_type == ["Text"]
+    assert rx.pdf_keywords == info.pdf_keywords == "alpha, beta"
+    assert rx.pdf_pdfversion == info.pdf_pdfversion == "1.7"
+    assert rx.xmp_creatorTool == info.xmp_creator_tool == "sparkpdf-gen"
+    assert rx.xmpmm_documentId == info.xmpmm_document_id == "uuid:fixture-doc"
+    assert rx.xmpmm_instanceId == info.xmpmm_instance_id == "uuid:fixture-inst"
+    # dc:date seq of datetimes (their converter strips tz to naive UTC)
+    assert [d.replace(tzinfo=None) for d in info.dc_date] == rx.dc_date
+    assert rx.xmp_metadataDate == info.xmp_metadata_date.replace(tzinfo=None)
+    # pdfx custom properties: key 'my car' decodes through the U+2182
+    # escape on both engines (reference xmp.py:368-390)
+    assert rx.custom_properties == info.custom_properties == {
+        "my car": "a value"
+    }
 
 
 def test_page_meta_and_links():
