@@ -223,6 +223,24 @@ def main():
     extraction = timed_extraction(spark, SF_DIR, MULT, CPUS)
     total += extraction["wall_sec"]
     per_query["bench_extraction"] = extraction["wall_sec"]
+    # sampled pixel-stats decision path (r4 verdict item 4): the
+    # per-format decode-vs-header choice the production job would make
+    # on this corpus's image mix
+    from sparkpdf.operators.multimodal import (
+        pixel_stats_policy,
+        synthesize_image_media,
+    )
+
+    pol = pixel_stats_policy(
+        synthesize_image_media(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(256)
+        ),
+        sample_per_format=4,
+    )
+    pixel_policy = {
+        "decode_formats": sorted(pol["decode_formats"]),
+        "formats": pol["formats"],
+    }
     spark.stop()
     result = {
         "metric": "span_extraction_throughput",
@@ -232,6 +250,7 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
         "jpeg_decode": timed_jpeg_decode(),
+        "pixel_policy": pixel_policy,
     }
     # north-rule scaling evidence: identical job at N and 4N parallelism.
     # Two pairs are reported: (2,8) runs in the regime where the single

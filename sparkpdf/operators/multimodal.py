@@ -60,12 +60,16 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image(payload: bytes) -> dict:
+def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
     """REAL header decode: true width/height parsed from the JPEG SOF /
     PNG IHDR / GIF LSD / TIFF IFD structures (kernels/media.py) — no
     codec library needed. Group-4 TIFF payloads additionally get a full
     MMR pixel decode (kernels/ccitt_g4) and report ink_ratio.
-    Unrecognised payloads report no dimensions."""
+    Unrecognised payloads report no dimensions.
+
+    `pixel_formats`: None = the SPARKPDF_PIXEL_STATS env knob decides
+    globally (default on); a set = decode pixel statistics only for
+    those formats (the per-corpus decision pixel_stats_policy makes)."""
     import os
 
     from ..kernels.media import (
@@ -76,7 +80,10 @@ def _decode_image(payload: bytes) -> dict:
     )
 
     meta = image_dims(payload) or {}
-    if os.environ.get("SPARKPDF_PIXEL_STATS", "1") == "0":
+    if pixel_formats is not None:
+        if meta.get("format") not in pixel_formats:
+            return meta
+    elif os.environ.get("SPARKPDF_PIXEL_STATS", "1") == "0":
         # scale knob: header-only mode for image-heavy corpora where
         # the (Python) pixel decoders would dominate executor CPU —
         # dims/format/digest stay, mean_luma/ink_ratio are skipped
@@ -454,34 +461,166 @@ def write_pdfs_with_jpeg_media(documents: DataFrame) -> DataFrame:
     return docs.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = {k.name: [] for k in FEATURE_SCHEMA.fields}
-        for row in pdf.itertuples(index=False):
-            payload = bytes(row.payload) if row.payload is not None else b""
-            decoder = DECODERS.get(row.modality)
+def _make_feature_batches(pixel_formats: "set | None" = None):
+    def _feature_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        decoders = dict(DECODERS)
+        decoders["image"] = lambda p: _decode_image(p, pixel_formats)
+        for pdf in batches:
+            out = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload) if row.payload is not None else b""
+                decoder = decoders.get(row.modality)
+                try:
+                    meta = decoder(payload) if decoder else {}
+                except Exception:
+                    # quarantine discipline: a corrupt payload (e.g. a G4
+                    # TIFF with a truncated/garbled bitstream) yields empty
+                    # features, never a dead task
+                    meta = {}
+                out["doc_id"].append(row.doc_id)
+                out["media_ref"].append(row.media_ref)
+                out["modality"].append(row.modality)
+                out["format"].append(meta.get("format"))
+                out["width"].append(meta.get("width"))
+                out["height"].append(meta.get("height"))
+                out["n_bytes"].append(len(payload))
+                out["sha8"].append(hashlib.sha256(payload).hexdigest()[:8])
+                out["ink_ratio"].append(meta.get("ink_ratio"))
+                out["duration_ms"].append(meta.get("duration_ms"))
+                out["sample_rate"].append(meta.get("sample_rate"))
+                out["mean_luma"].append(meta.get("mean_luma"))
+            yield pd.DataFrame(out)
+
+    return _feature_batches
+
+
+_feature_batches = _make_feature_batches()
+
+
+def extract_media_features(
+    media: DataFrame, pixel_formats: "set | None" = None
+) -> DataFrame:
+    """Arrow-batched feature extraction (decode -> dims/digest).
+
+    `pixel_formats`: None = global SPARKPDF_PIXEL_STATS knob; a set
+    (usually pixel_stats_policy(...)["decode_formats"]) = decode pixel
+    statistics only for those image formats, header-only otherwise."""
+    return media.mapInPandas(
+        _make_feature_batches(pixel_formats), schema=FEATURE_SCHEMA
+    )
+
+
+def sniff_image_format(payload_col) -> "F.Column":
+    """JVM-side image-format sniff from payload magic bytes — lets the
+    policy aggregate per-format byte totals without any Python decode:
+    jpeg FF D8 FF, png 89 50 4E 47, gif 'GIF8', tiff II*\\0 / MM\\0*."""
+    head4 = F.hex(F.substring(payload_col, 1, 4))
+    return (
+        F.when(F.substring(head4, 1, 6) == "FFD8FF", "jpeg")
+        .when(head4 == "89504E47", "png")
+        .when(F.substring(payload_col, 1, 4).cast("string") == "GIF8", "gif")
+        .when(head4.isin("49492A00", "4D4D002A"), "tiff")
+        .otherwise("other")
+    )
+
+
+def pixel_stats_policy(
+    media: DataFrame,
+    sample_per_format: int = 4,
+    budget_core_seconds: "float | None" = None,
+    min_mb_per_sec: float = 0.2,
+) -> dict:
+    """Data-driven decode-vs-header decision (the 100 TB CPU policy):
+    instead of a blanket SPARKPDF_PIXEL_STATS knob, SAMPLE a few image
+    payloads per format, MEASURE the pixel-decode throughput on them,
+    project the corpus-wide core-seconds from the per-format byte
+    totals (one small JVM aggregate over magic-byte sniffed formats),
+    and decide per format.
+
+    Decision rule per format: decode pixel stats iff
+      * measured throughput >= `min_mb_per_sec` (a pathologically slow
+        decoder never ships), AND
+      * `budget_core_seconds` is None or the projected corpus-wide
+        core-seconds for that format fit the budget.
+
+    Returns {"formats": {fmt: {"n": .., "mb": .., "mb_per_sec": ..,
+    "est_core_sec": .., "decision": "decode"|"header_only"}},
+    "decode_formats": set, "sampled": n} — feed decode_formats to
+    extract_media_features(pixel_formats=...) and record the dict in
+    the run manifest via record_pixel_policy().
+
+    Driver-side cost: one aggregate (count + byte sum per format) and
+    `sample_per_format` payload fetches per format via limit() — the
+    same scalar-planning-collect class as plans/salting.py."""
+    import time
+
+    imgs = media.filter(F.col("modality") == "image").select(
+        sniff_image_format(F.col("payload")).alias("fmt"), "payload"
+    )
+    totals = {
+        r.fmt: (int(r.n), float(r.b or 0) / 1e6)
+        for r in imgs.groupBy("fmt")
+        .agg(F.count("*").alias("n"), F.sum(F.length("payload")).alias("b"))
+        .collect()
+    }
+    report: dict = {"formats": {}, "decode_formats": set(), "sampled": 0}
+    for fmt, (n, mb) in sorted(totals.items()):
+        if fmt == "other":
+            # unrecognised payloads have no pixel decoder to budget
+            report["formats"][fmt] = {
+                "n": n, "mb": round(mb, 3), "mb_per_sec": None,
+                "est_core_sec": None, "decision": "header_only",
+            }
+            continue
+        samples = [
+            bytes(r.payload)
+            for r in imgs.filter(F.col("fmt") == fmt)
+            .limit(sample_per_format).collect()
+        ]
+        report["sampled"] += len(samples)
+        if samples:
+            # warm pass: Huffman LUT caches etc. build on first decode
+            # and must not contaminate the throughput estimate
             try:
-                meta = decoder(payload) if decoder else {}
+                _decode_image(samples[0], pixel_formats={fmt})
             except Exception:
-                # quarantine discipline: a corrupt payload (e.g. a G4
-                # TIFF with a truncated/garbled bitstream) yields empty
-                # features, never a dead task
-                meta = {}
-            out["doc_id"].append(row.doc_id)
-            out["media_ref"].append(row.media_ref)
-            out["modality"].append(row.modality)
-            out["format"].append(meta.get("format"))
-            out["width"].append(meta.get("width"))
-            out["height"].append(meta.get("height"))
-            out["n_bytes"].append(len(payload))
-            out["sha8"].append(hashlib.sha256(payload).hexdigest()[:8])
-            out["ink_ratio"].append(meta.get("ink_ratio"))
-            out["duration_ms"].append(meta.get("duration_ms"))
-            out["sample_rate"].append(meta.get("sample_rate"))
-            out["mean_luma"].append(meta.get("mean_luma"))
-        yield pd.DataFrame(out)
+                pass
+        t0 = time.perf_counter()
+        for p in samples:
+            try:
+                _decode_image(p, pixel_formats={fmt})
+            except Exception:
+                pass
+        wall = max(time.perf_counter() - t0, 1e-9)
+        sample_mb = sum(len(p) for p in samples) / 1e6
+        mbps = sample_mb / wall
+        est = mb / max(mbps, 1e-9)
+        decode = mbps >= min_mb_per_sec and (
+            budget_core_seconds is None or est <= budget_core_seconds
+        )
+        report["formats"][fmt] = {
+            "n": n,
+            "mb": round(mb, 3),
+            "mb_per_sec": round(mbps, 3),
+            "est_core_sec": round(est, 3),
+            "decision": "decode" if decode else "header_only",
+        }
+        if decode:
+            report["decode_formats"].add(fmt)
+    return report
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction (decode -> dims/digest)."""
-    return media.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+def record_pixel_policy(checkpoint, policy: dict) -> None:
+    """Append the pixel-stats decision to a CheckpointedExtraction's
+    _progress manifest (status='pixel_policy' — ignored by
+    completed_parts, which only consumes status='ok' rows) so a
+    resumed run can replay the same decode path."""
+    rec = {
+        "status": "pixel_policy",
+        "decode_formats": sorted(policy["decode_formats"]),
+        "formats": policy["formats"],
+        "sampled": policy["sampled"],
+    }
+    checkpoint._log(rec)

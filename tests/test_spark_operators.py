@@ -232,6 +232,63 @@ def test_av_media_features_and_quarantine(spark, docs):
         assert r.n_bytes > 0 and r.sha8  # row survives, features empty
 
 
+def test_pixel_stats_policy(spark, docs, tmp_path):
+    """Data-driven decode-vs-header policy (r4 verdict item 4): the
+    sampled per-format report carries byte totals + measured MB/s; the
+    decision knobs force each path deterministically; the chosen
+    format set flows through extract_media_features(pixel_formats=) and
+    into the checkpoint manifest without disturbing resume."""
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        pixel_stats_policy,
+        record_pixel_policy,
+        synthesize_image_media,
+    )
+
+    media = synthesize_image_media(docs).cache()
+    # decode-everything: min throughput 0, no budget
+    pol = pixel_stats_policy(media, sample_per_format=2, min_mb_per_sec=0.0)
+    assert set(pol["formats"]) == {"jpeg", "png"}
+    for fmt, rep in pol["formats"].items():
+        assert rep["n"] == 30 and rep["mb"] > 0 and rep["mb_per_sec"] > 0
+        assert rep["decision"] == "decode"
+    assert pol["decode_formats"] == {"jpeg", "png"}
+    assert pol["sampled"] == 4
+    # impossible throughput bar -> header-only everywhere
+    hdr = pixel_stats_policy(media, sample_per_format=2, min_mb_per_sec=1e12)
+    assert hdr["decode_formats"] == set()
+    assert all(r["decision"] == "header_only" for r in hdr["formats"].values())
+    # zero budget -> header-only even for fast decoders
+    zb = pixel_stats_policy(
+        media, sample_per_format=2, min_mb_per_sec=0.0, budget_core_seconds=0.0
+    )
+    assert zb["decode_formats"] == set()
+    # the decision set drives the feature pass: png-only -> png rows get
+    # mean_luma, jpeg rows stay header-only (dims still real)
+    feats = {
+        r.doc_id: r
+        for r in extract_media_features(media, pixel_formats={"png"}).collect()
+    }
+    for d, r in feats.items():
+        assert r.width == 16 + int(d) % 32  # header decode always on
+        if int(d) % 2 == 0:
+            assert r.format == "png" and r.mean_luma is not None
+        else:
+            assert r.format == "jpeg" and r.mean_luma is None
+    # manifest: policy row recorded, resume bookkeeping unaffected
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    ck = CheckpointedExtraction(str(tmp_path / "ck"), n_batches=2)
+    record_pixel_policy(ck, pol)
+    assert ck.completed_parts() == set()
+    import json
+
+    recs = [json.loads(l) for l in open(ck.manifest_path)]
+    assert recs[0]["status"] == "pixel_policy"
+    assert recs[0]["decode_formats"] == ["jpeg", "png"]
+    media.unpersist()
+
+
 def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
     """File-source streaming: drain with availableNow, add more files,
     drain again — every doc extracted exactly once (checkpointed)."""
