@@ -1090,6 +1090,23 @@ def q_jpeg_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_jpeg12_pixel_stats(spark, sf_dir):
+    # 12-BIT JPEG pixel decode (SOF1 extended sequential on even docs,
+    # SOF2 progressive on odd, 16-bit DQT, 2048 level shift —
+    # kernels/jpeg.py r5): planted tiles at 16x the 8-bit corpus
+    # values survive the x16-scaled Annex-K quantization exactly, so
+    # the oracle mean is exactly 16x the 8-bit formula
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_jpeg12_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_jpeg12_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_pdf_embedded_media(spark, sf_dir):
     # END-TO-END media chain, all in-engine: encode a real baseline
     # JPEG -> embed as a PDF XObject -> reopen the PDF -> pull the
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dims": q_media_dims,
         "av_media_features": q_av_media_features,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "jpeg12_pixel_stats": q_jpeg12_pixel_stats,
         "gif_pixel_stats": q_gif_pixel_stats,
         "pdf_embedded_media": q_pdf_embedded_media,
         "write_enriched": q_write_enriched,
@@ -2256,6 +2274,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, width, height,
                ROUND(SUM(78 + 2 * ((t * 7 + d) % 51))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM tiles GROUP BY doc_id, width, height
+    """
+    # jpeg12_pixel_stats: 12-bit tiles planted at 1248 + 32*((t*7+d)%51)
+    # = 16x the 8-bit corpus (multiple-of-32 offsets from the 2048
+    # level shift survive the x16 DC quantization exactly)
+    sql["jpeg12_pixel_stats"] = """
+        WITH imgs AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS d,
+                   CAST(16 + (doc_id % 4) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height
+            FROM documents
+        ), tiles AS (
+            SELECT doc_id, d, width, height,
+                   unnest(range(0, (width // 8) * (height // 8))) AS t
+            FROM imgs
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(1248 + 32 * ((t * 7 + d) % 51))
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM tiles GROUP BY doc_id, width, height
     """

@@ -1,15 +1,16 @@
 """JPEG (ITU-T T.81) codec, pure Python + numpy — from the public
 spec, like kernels/ccitt_g4.py.
 
-Scope: 8-bit huffman DCT, grayscale or 3-component, BOTH baseline
-sequential (SOF0/SOF1) and PROGRESSIVE (SOF2 — spectral selection +
-successive approximation per Annex G, all four scan kinds), arbitrary
-integer sampling factors (4:4:4, 4:2:2, 4:2:0, ...), DRI / restart
-markers decoded per T.81 E.2.4 (byte-align + DC predictor reset at
-every RSTn); 12-bit / arithmetic / lossless / hierarchical files
-return None (quarantine discipline — the reference passes ALL DCT
-payloads through undecoded, /root/reference/filters.py:321-330, so
-any pixel decode exceeds it).
+Scope: 8-bit AND 12-bit huffman DCT (12-bit in the extended-
+sequential SOF1 / progressive SOF2 frames where T.81 B.2.2 allows it,
+with 16-bit DQT entries), grayscale or 3-component, BOTH sequential
+and PROGRESSIVE (SOF2 — spectral selection + successive approximation
+per Annex G, all four scan kinds), arbitrary integer sampling factors
+(4:4:4, 4:2:2, 4:2:0, ...), DRI / restart markers decoded per T.81
+E.2.4 (byte-align + DC predictor reset at every RSTn); arithmetic /
+lossless / hierarchical files return None (quarantine discipline —
+the reference passes ALL DCT payloads through undecoded,
+/root/reference/filters.py:321-330, so any pixel decode exceeds it).
 
 The decode hot path is vectorized: entropy decoding uses a 16-bit
 Huffman peek LUT (one list index per symbol instead of a Python loop
@@ -347,24 +348,28 @@ def _pad_edge(p: np.ndarray, H: int, W: int) -> np.ndarray:
 
 
 def _mcu_zigzag_blocks(plane: np.ndarray, hi: int, vi: int, mcux: int,
-                       mcuy: int, q: np.ndarray) -> list:
+                       mcuy: int, q: np.ndarray,
+                       shift: float = 128.0) -> list:
     """Component plane -> list of 64-int zigzagged quantized blocks in
     MCU-interleave order (my, mx, bv, bh). Transform + quantize run as
-    one batched numpy op; only entropy coding stays per-block."""
+    one batched numpy op; only entropy coding stays per-block. `shift`
+    is the level shift, 2^(P-1) (T.81 A.3.1)."""
     padded = _pad_edge(plane, mcuy * vi * 8, mcux * hi * 8)
     blocks = (
         padded.reshape(mcuy, vi, 8, mcux, hi, 8)
         .transpose(0, 3, 1, 4, 2, 5)
         .reshape(-1, 8, 8)
     )
-    coeff = np.matmul(np.matmul(_T, blocks - 128.0), _T.T)
+    coeff = np.matmul(np.matmul(_T, blocks - shift), _T.T)
     quant = np.round(coeff / q).astype(np.int64).reshape(-1, 64)
     return quant[:, _ZZ].tolist()
 
 
-def _prepare_components(pixels: np.ndarray, subsampling: str):
+def _prepare_components(pixels: np.ndarray, subsampling: str,
+                        center: float = 128.0):
     """Shared encoder front half: RGB->YCbCr, chroma box-downsample.
-    Returns (planes, factors, color, h, w, mcux, mcuy)."""
+    Returns (planes, factors, color, h, w, mcux, mcuy). `center` is the
+    chroma zero point, 2^(P-1)."""
     pixels = np.asarray(pixels)
     if pixels.ndim == 2:
         planes = [pixels.astype(np.float64)]
@@ -375,8 +380,8 @@ def _prepare_components(pixels: np.ndarray, subsampling: str):
         g = pixels[..., 1].astype(np.float64)
         b = pixels[..., 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         color = True
         sfh, sfv = _SUBSAMPLING[subsampling]
         if (sfh, sfv) != (1, 1):
@@ -395,19 +400,28 @@ def _prepare_components(pixels: np.ndarray, subsampling: str):
 
 
 def _jpeg_headers(h, w, planes, factors, qts, color, sof_marker,
-                  restart_interval, ac_pair=None):
+                  restart_interval, ac_pair=None, prec=8):
     """SOI + DQT + SOFn + DHT (+ DRI) header bytes shared by the
-    sequential and progressive encoders."""
+    sequential and progressive encoders. A quant table with any entry
+    over 255 (the 12-bit path scales Annex K by 16) is emitted in the
+    16-bit DQT form (Pq=1, B.2.4.1)."""
     def seg(marker: int, payload: bytes) -> bytes:
         return (bytes([0xFF, marker])
                 + (len(payload) + 2).to_bytes(2, "big") + payload)
 
     out = bytearray(b"\xff\xd8")
     for ti, q in enumerate(qts):
-        zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
-        out += seg(0xDB, bytes([ti]) + zzq)
+        if int(q.max()) > 255:
+            zzq = b"".join(
+                int(q.flat[ZIGZAG[i]]).to_bytes(2, "big") for i in range(64)
+            )
+            out += seg(0xDB, bytes([0x10 | ti]) + zzq)
+        else:
+            zzq = bytes(int(q.flat[ZIGZAG[i]]) for i in range(64))
+            out += seg(0xDB, bytes([ti]) + zzq)
     nc = len(planes)
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    sof = (bytes([prec]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([nc]))
     for ci in range(nc):
         hi_f, vi_f = factors[ci]
         sof += bytes([ci + 1, (hi_f << 4) | vi_f, min(ci, len(qts) - 1)])
@@ -424,18 +438,29 @@ def _jpeg_headers(h, w, planes, factors, qts, color, sof_marker,
 
 
 def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """8-bit image -> baseline JPEG. pixels: (h, w) grayscale or
-    (h, w, 3) RGB; dimensions need not be multiples of 8 (edge blocks
-    replicate). Annex K tables. subsampling: "444", "422" or "420"
-    (color only; chroma is box-averaged). restart_interval > 0 emits a
-    DRI segment and RSTn markers every that-many MCUs (byte-aligned,
-    DC predictors reset — T.81 E.2.4)."""
+                restart_interval: int = 0, precision: int = 8) -> bytes:
+    """8-bit image -> baseline JPEG (SOF0); precision=12 -> EXTENDED
+    sequential (SOF1, T.81 B.2.2: 12-bit samples are legal only in the
+    extended/progressive frames). pixels: (h, w) grayscale or (h, w, 3)
+    RGB; dimensions need not be multiples of 8 (edge blocks replicate).
+    Annex K tables (scaled x16 for 12-bit, keeping quantized
+    coefficient magnitudes in the 8-bit-equivalent range the Annex K
+    Huffman tables cover AND exercising the 16-bit DQT form).
+    subsampling: "444", "422" or "420" (color only; chroma is
+    box-averaged). restart_interval > 0 emits a DRI segment and RSTn
+    markers every that-many MCUs (byte-aligned, DC predictors reset —
+    T.81 E.2.4)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    shift = float(1 << (precision - 1))
     planes, factors, color, h, w, mcux, mcuy = _prepare_components(
-        pixels, subsampling)
+        pixels, subsampling, center=shift)
     n_mcus = mcux * mcuy
 
-    qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
+    if precision == 12:
+        qts = [QUANT_LUMA * 16] + ([QUANT_CHROMA * 16] if color else [])
+    else:
+        qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
     _, dc_enc0 = _canonical_codes(*DC_LUMA)
     _, ac_enc0 = _canonical_codes(*AC_LUMA)
     dc_enc = [dc_enc0]
@@ -448,7 +473,8 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
 
     zz_blocks = [
         _mcu_zigzag_blocks(
-            planes[ci], fi[0], fi[1], mcux, mcuy, qts[min(ci, len(qts) - 1)]
+            planes[ci], fi[0], fi[1], mcux, mcuy, qts[min(ci, len(qts) - 1)],
+            shift=shift,
         )
         for ci, fi in enumerate(factors)
     ]
@@ -496,8 +522,9 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
                     bwr.put(c, ln)
     bwr.flush()
 
-    out, seg = _jpeg_headers(h, w, planes, factors, qts, color, 0xC0,
-                             restart_interval)
+    out, seg = _jpeg_headers(h, w, planes, factors, qts, color,
+                             0xC0 if precision == 8 else 0xC1,
+                             restart_interval, prec=precision)
     nc = len(planes)
     sos = bytes([nc])
     for ci in range(nc):
@@ -510,7 +537,7 @@ def encode_jpeg(pixels: np.ndarray, subsampling: str = "444",
 
 
 def _raster_zigzag_blocks(plane: np.ndarray, bw_i: int, bh_i: int,
-                          q: np.ndarray) -> list:
+                          q: np.ndarray, shift: float = 128.0) -> list:
     """Component plane -> quantized zigzag blocks in RASTER order over
     the padded (bh_i x bw_i)-block grid (the progressive encoder's
     per-component addressing)."""
@@ -518,7 +545,7 @@ def _raster_zigzag_blocks(plane: np.ndarray, bw_i: int, bh_i: int,
     blocks = (
         padded.reshape(bh_i, 8, bw_i, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
-    coeff = np.matmul(np.matmul(_T, blocks - 128.0), _T.T)
+    coeff = np.matmul(np.matmul(_T, blocks - shift), _T.T)
     quant = np.round(coeff / q).astype(np.int64).reshape(-1, 64)
     return quant[:, _ZZ].tolist()
 
@@ -653,16 +680,24 @@ def _enc_ac_refine_block(bwr, st, zz, ac_enc, ss, se, al):
 
 
 def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
-                            restart_interval: int = 0) -> bytes:
-    """8-bit image -> PROGRESSIVE JPEG (SOF2). Scan script exercises
-    every Annex G decode path: interleaved DC first (Al=1), per-
-    component AC first (Ss=1..63, Al=1), DC refinement (raw bits), and
-    per-component AC refinement (Ah=1 -> Al=0, correction bits). The
-    decoded pixels are bit-identical to the sequential encoding of the
-    same image (same quantized coefficients — tests pin this)."""
+                            restart_interval: int = 0,
+                            precision: int = 8) -> bytes:
+    """8-bit (or, with precision=12, 12-bit) image -> PROGRESSIVE JPEG
+    (SOF2). Scan script exercises every Annex G decode path:
+    interleaved DC first (Al=1), per-component AC first (Ss=1..63,
+    Al=1), DC refinement (raw bits), and per-component AC refinement
+    (Ah=1 -> Al=0, correction bits). The decoded pixels are
+    bit-identical to the sequential encoding of the same image (same
+    quantized coefficients — tests pin this)."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    shift = float(1 << (precision - 1))
     planes, factors, color, h, w, mcux, mcuy = _prepare_components(
-        pixels, subsampling)
-    qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
+        pixels, subsampling, center=shift)
+    if precision == 12:
+        qts = [QUANT_LUMA * 16] + ([QUANT_CHROMA * 16] if color else [])
+    else:
+        qts = [QUANT_LUMA] + ([QUANT_CHROMA] if color else [])
     _, dc_enc0 = _canonical_codes(*DC_LUMA)
     _, ac_enc0 = _canonical_codes(*PROG_AC_LUMA)
     dc_enc = [dc_enc0]
@@ -678,11 +713,13 @@ def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
         bw_i, bh_i = mcux * hi_f, mcuy * vi_f
         grids.append((bw_i, bh_i))
         zz_blocks.append(_raster_zigzag_blocks(
-            planes[ci], bw_i, bh_i, qts[min(ci, len(qts) - 1)]))
+            planes[ci], bw_i, bh_i, qts[min(ci, len(qts) - 1)],
+            shift=shift))
 
     out, seg = _jpeg_headers(h, w, planes, factors, qts, color, 0xC2,
                              restart_interval,
-                             ac_pair=(PROG_AC_LUMA, PROG_AC_CHROMA))
+                             ac_pair=(PROG_AC_LUMA, PROG_AC_CHROMA),
+                             prec=precision)
     nc = len(planes)
     n_mcus = mcux * mcuy
 
@@ -792,12 +829,13 @@ def encode_jpeg_progressive(pixels: np.ndarray, subsampling: str = "444",
 
 
 def decode_jpeg(data: bytes) -> Optional[np.ndarray]:
-    """JPEG -> (h, w) uint8 grayscale or (h, w, 3) uint8 RGB. Handles
-    baseline sequential AND progressive (spectral selection +
-    successive approximation, T.81 Annex G) frames, arbitrary integer
-    chroma subsampling (4:4:4/4:2:2/4:2:0/...), and DRI/RSTn restart
-    intervals. None for 12-bit / arithmetic / hierarchical / malformed
-    input."""
+    """JPEG -> (h, w) grayscale or (h, w, 3) RGB; uint8 for 8-bit
+    frames, uint16 (0..4095) for 12-bit SOF1/SOF2 frames. Handles
+    sequential AND progressive (spectral selection + successive
+    approximation, T.81 Annex G) frames, arbitrary integer chroma
+    subsampling (4:4:4/4:2:2/4:2:0/...), 8- and 16-bit DQT forms, and
+    DRI/RSTn restart intervals. None for arithmetic / hierarchical /
+    malformed input."""
     try:
         return _decode(data)
     except Exception:
@@ -835,13 +873,20 @@ def _decode(data: bytes):
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    return None  # 16-bit tables: out of scope
+                if pq not in (0, 1):
+                    return None
                 tbl = np.zeros((8, 8), dtype=np.int32)
-                for k in range(64):
-                    tbl.flat[ZIGZAG[k]] = seg[j + 1 + k]
+                if pq:  # 16-bit entries (B.2.4.1; 12-bit frames)
+                    for k in range(64):
+                        tbl.flat[ZIGZAG[k]] = int.from_bytes(
+                            seg[j + 1 + 2 * k:j + 3 + 2 * k], "big"
+                        )
+                    j += 129
+                else:
+                    for k in range(64):
+                        tbl.flat[ZIGZAG[k]] = seg[j + 1 + k]
+                    j += 65
                 qt[tq] = tbl
-                j += 65
         elif marker == 0xC4:
             j = 0
             while j < len(seg):
@@ -860,7 +905,10 @@ def _decode(data: bytes):
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
-            if prec != 8 or nc not in (1, 3):
+            # 12-bit samples are legal in extended-sequential (SOF1)
+            # and progressive (SOF2) frames only (T.81 B.2.2)
+            allowed = (8,) if marker == 0xC0 else (8, 12)
+            if prec not in allowed or nc not in (1, 3):
                 return None
             comps = []
             for c in range(nc):
@@ -873,7 +921,7 @@ def _decode(data: bytes):
                 # single-component frames have no interleave: sampling
                 # factors are ignored, the MCU is one block (T.81 A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # lossless / arithmetic / hierarchical frames
@@ -900,9 +948,12 @@ def _decode(data: bytes):
         i += 2 + ln
     if frame is None or not scans:
         return None
-    h, w, comps = frame
+    h, w, comps, prec = frame
     if h == 0 or w == 0:
         return None
+    half = float(1 << (prec - 1))  # level shift 2^(P-1) (A.3.1)
+    maxval = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     hmax = max(c[2] for c in comps)
     vmax = max(c[3] for c in comps)
     if any(hmax % c[2] or vmax % c[3] for c in comps):
@@ -928,7 +979,7 @@ def _decode(data: bytes):
         nat = np.zeros(arr.shape)
         nat[:, _ZZ] = arr  # dezigzag, batched
         deq = nat.reshape(-1, 8, 8) * qt[tq]
-        blocks = np.matmul(np.matmul(_T.T, deq), _T) + 128.0
+        blocks = np.matmul(np.matmul(_T.T, deq), _T) + half
         plane = (
             blocks.reshape(bh_i, bw_i, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -944,14 +995,14 @@ def _decode(data: bytes):
             plane = np.repeat(plane, rx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, maxval).astype(dtype)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128)
-    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
-    b = y + 1.772 * (cb - 128)
+    r = y + 1.402 * (cr - half)
+    g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+    b = y + 1.772 * (cb - half)
     return np.clip(
-        np.round(np.stack([r, g, b], axis=-1)), 0, 255
-    ).astype(np.uint8)
+        np.round(np.stack([r, g, b], axis=-1)), 0, maxval
+    ).astype(dtype)
 
 
 def _decode_sequential_scan(comps, scan, grid, mcux, total_mcus):

@@ -401,6 +401,57 @@ def _tile_jpeg(d: int) -> bytes:
     return encode_jpeg_progressive(rgb, subsampling="420")
 
 
+def _tile_jpeg12(d: int) -> bytes:
+    """12-bit planted-tile JPEG for doc d (r4 verdict item 8 —
+    medical/scanned corpora): flat 8x8 tiles at
+    1248 + 32*((t*7 + d) % 51) = 16x the 8-bit corpus values, so the
+    offsets from the 2048 level shift are multiples of 32 and survive
+    the x16-scaled Annex-K DC quantization exactly (step 256, DC =
+    8*delta -> delta/32 integral). Even docs are EXTENDED SEQUENTIAL
+    (SOF1, 16-bit DQT); odd docs are 12-bit PROGRESSIVE (SOF2). The
+    oracle mean is exactly 16x the 8-bit formula."""
+    import numpy as np
+
+    from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    w, h = 16 + (d % 4) * 8, 8 + (d % 2) * 8
+    img = np.zeros((h, w), dtype=np.uint16)
+    tiles_x = w // 8
+    for ty in range(h // 8):
+        for tx in range(tiles_x):
+            t = ty * tiles_x + tx
+            img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = (
+                1248 + 32 * ((t * 7 + d) % 51)
+            )
+    if d % 2 == 0:
+        return encode_jpeg(img, precision=12)
+    return encode_jpeg_progressive(img, precision=12)
+
+
+def synthesize_jpeg12_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL 12-bit JPEG per doc (_tile_jpeg12):
+    width = 16 + (doc_id % 4) * 8, height = 8 + (doc_id % 2) * 8,
+    tile t value = 1248 + 32 * ((t*7 + doc_id) % 51) — the engine must
+    run the full 12-bit decode (16-bit DQT, SOF1/SOF2, 2048 level
+    shift) to reproduce the SQL-restatable mean."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"jpg12-{d}")
+                out["modality"].append("image")
+                out["payload"].append(_tile_jpeg12(d))
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def synthesize_jpeg_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL baseline JPEG per doc (kernels/jpeg.py
     encoder) with planted flat tiles (_tile_jpeg):
