@@ -1185,18 +1185,72 @@ def q_av_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
-    # locally. The window is arranged so every operator family has a
-    # representative inside it and the newest work (write-side
-    # enrichment/encryption/viewer-prefs, pixel decoders, A/V
-    # containers, ANN recall, HTML main-content) is driver-certified;
-    # the demoted tail is redundant variants of in-window ops
-    # (split_docs_multi vs split_docs, write_aes256 vs write_rc4_40,
-    # ...) plus the slow LSH/cluster paths, all still judge- and
-    # check_oracle-verified.
+    # locally. Round-5 rotation (r4 verdict item 6): the window now
+    # leads with everything round 5 CHANGED (substring-dedup rework,
+    # capped LSH + clustering, full XMP surface, 12-bit JPEG) plus the
+    # 33 queries that were judge-only in r4 (never driver-graded), and
+    # keeps 15 flagship/perf-plan representatives for continuity
+    # (extract_spans, joins, dedup cores, ANN, media, contamination).
+    # The demoted tail is twice-driver-certified (r3+r4) unchanged code
+    # - docinfo/outline/overlay projections, TPC-H-ish rollups, the
+    # remaining write-side variants - all still check_oracle-verified
+    # at both scales every round.
     return {
-        # extraction family (SURVEY §2.12/§2.13/§3.2)
+        # --- round-5 changed operators ---
+        "dup_substring_ranges": q_dup_substring_ranges,
+        "substring_scrub": q_substring_scrub,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
+        "dup_clusters_verified": q_dup_clusters_verified,
+        "xmp_project": q_xmp_project,
+        "jpeg12_pixel_stats": q_jpeg12_pixel_stats,
+        # --- judge-only in r4, now driver-graded ---
+        "sessionize": q_sessionize,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash_pairs": q_simhash_pairs,
+        "split_docs_multi": q_split_docs_multi,
+        "page_range_extract": q_page_range_extract,
+        "insert_page": q_insert_page,
+        "form_text_filter": q_form_text_filter,
+        "dest_semijoin": q_dest_semijoin,
+        "resource_merge": q_resource_merge,
+        "procset_union": q_procset_union,
+        "merge_union": q_merge_union,
+        "stream_events_window": q_stream_events_window,
+        "png_pixel_stats": q_png_pixel_stats,
+        "repetition_ratio": q_repetition_ratio,
+        "duplicate_ngrams": q_duplicate_ngrams,
+        "ccitt_ink_ratio": q_ccitt_ink_ratio,
+        "viewer_prefs": q_viewer_prefs,
+        "remove_links": q_remove_links,
+        "write_encrypted": q_write_encrypted,
+        "attachments": q_attachments,
+        "write_aes256": q_write_aes256,
+        "overlay_rename": q_overlay_rename,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
+        "chunk_documents": q_chunk_documents,
+        "session_window_native": q_session_window_native,
+        "pii_scrub": q_pii_scrub,
+        # --- flagship / perf-plan continuity (+ the round-5-widened
+        # A/V corpus, which must sit in the graded window) ---
         "extract_spans": q_extract_spans,
-        "extract_full_text": q_extract_full_text,
+        "av_media_features": q_av_media_features,
+        "write_roundtrip": q_write_roundtrip,
+        "obj_join": q_obj_join,
+        "font_join": q_font_join,
+        "events_window": q_events_window,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "benchmark_contamination": q_benchmark_contamination,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "multimodal_features": q_multimodal_features,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        "pdf_embedded_media": q_pdf_embedded_media,
+        # ---- driver window boundary (50) ----
         "docinfo_project": q_docinfo_project,
         "remove_text": q_remove_text,
         "remove_images": q_remove_images,
@@ -1209,80 +1263,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlines": q_outlines,
         "overlay_pages": q_overlay_pages,
         "link_annotations": q_link_annotations,
-        "write_roundtrip": q_write_roundtrip,
         "extract_stats": q_extract_stats,
-        # relational analogs (SURVEY §2.3-2.7)
-        "obj_join": q_obj_join,
-        "font_join": q_font_join,
         "pageno_join": q_pageno_join,
         "text_agg": q_text_agg,
         "page_range_filter": q_page_range_filter,
-        "events_window": q_events_window,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
-        # training-data pipeline
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dup_substring_ranges": q_dup_substring_ranges,
-        "benchmark_contamination": q_benchmark_contamination,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_near_dups": q_embedding_near_dups,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
-        # round 3/4: write-side enrichment + media decode + HTML
-        "multimodal_features": q_multimodal_features,
         "media_dims": q_media_dims,
-        "av_media_features": q_av_media_features,
-        "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        "jpeg12_pixel_stats": q_jpeg12_pixel_stats,
+        "extract_full_text": q_extract_full_text,
         "gif_pixel_stats": q_gif_pixel_stats,
-        "pdf_embedded_media": q_pdf_embedded_media,
         "write_enriched": q_write_enriched,
         "write_rc4_40": q_write_rc4_40,
         "write_viewer_prefs": q_write_viewer_prefs,
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
-        # ---- driver window boundary (50) ----
-        "sessionize": q_sessionize,
-        "substring_scrub": q_substring_scrub,
-        "doc_fingerprint": q_doc_fingerprint,
-        "simhash_pairs": q_simhash_pairs,
-        "split_docs_multi": q_split_docs_multi,
-        "page_range_extract": q_page_range_extract,
-        "insert_page": q_insert_page,
-        "form_text_filter": q_form_text_filter,
-        "dest_semijoin": q_dest_semijoin,
-        "resource_merge": q_resource_merge,
-        "procset_union": q_procset_union,
-        "merge_union": q_merge_union,
-        "stream_events_window": q_stream_events_window,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "png_pixel_stats": q_png_pixel_stats,
-        "repetition_ratio": q_repetition_ratio,
-        "duplicate_ngrams": q_duplicate_ngrams,
-        "ccitt_ink_ratio": q_ccitt_ink_ratio,
-        "xmp_project": q_xmp_project,
-        "viewer_prefs": q_viewer_prefs,
-        "remove_links": q_remove_links,
-        "write_encrypted": q_write_encrypted,
-        "attachments": q_attachments,
-        "write_aes256": q_write_aes256,
-        "overlay_rename": q_overlay_rename,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
-        "dup_clusters": q_dup_clusters,
-        "dup_clusters_verified": q_dup_clusters_verified,
-        "chunk_documents": q_chunk_documents,
-        "session_window_native": q_session_window_native,
-        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2458,27 +2460,40 @@ def oracle_sql() -> dict[str, str]:
     # BMFF boxes / Layer-III frame headers / EBML elements to match
     sql["av_media_features"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END
-                   AS modality,
-               CASE doc_id % 4 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
-                               WHEN 2 THEN 'mp3' ELSE 'mkv' END AS fmt,
-               CAST(CASE doc_id % 4
+               CASE WHEN doc_id % 7 IN (1, 3, 6) THEN 'video' ELSE 'audio'
+                   END AS modality,
+               CASE doc_id % 7 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+                               WHEN 2 THEN 'mp3' WHEN 3 THEN 'mkv'
+                               WHEN 4 THEN 'flac'
+                               WHEN 5 THEN (CASE WHEN doc_id % 2 = 0
+                                            THEN 'ogg-vorbis'
+                                            ELSE 'ogg-opus' END)
+                               ELSE 'avi' END AS fmt,
+               CAST(CASE doc_id % 7
                          WHEN 0 THEN 100 + doc_id % 400
                          WHEN 1 THEN 500 + doc_id % 1000
                          WHEN 2 THEN (5 + doc_id % 20) * 36
-                         ELSE 700 + doc_id % 900 END AS INTEGER)
-                   AS duration_ms,
-               CAST(CASE doc_id % 4
+                         WHEN 3 THEN 700 + doc_id % 900
+                         WHEN 4 THEN 200 + doc_id % 600
+                         WHEN 5 THEN 300 + doc_id % 500
+                         ELSE ((400 + doc_id % 800) // 40) * 40
+                         END AS INTEGER) AS duration_ms,
+               CAST(CASE doc_id % 7
                          WHEN 0 THEN 8000 + (doc_id % 8) * 1000
                          WHEN 2 THEN 32000
+                         WHEN 4 THEN 16000 + (doc_id % 4) * 8000
+                         WHEN 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 24000
+                                      ELSE 16000 + (doc_id % 3) * 16000 END)
                          ELSE -1 END AS INTEGER) AS sample_rate,
-               CAST(CASE doc_id % 4
+               CAST(CASE doc_id % 7
                          WHEN 1 THEN 320 + (doc_id % 8) * 16
                          WHEN 3 THEN 100 + doc_id % 300
+                         WHEN 6 THEN 160 + (doc_id % 10) * 32
                          ELSE -1 END AS INTEGER) AS width,
-               CAST(CASE doc_id % 4
+               CAST(CASE doc_id % 7
                          WHEN 1 THEN 240 + (doc_id % 4) * 16
                          WHEN 3 THEN 80 + doc_id % 200
+                         WHEN 6 THEN 120 + (doc_id % 6) * 32
                          ELSE -1 END AS INTEGER) AS height
         FROM documents
     """

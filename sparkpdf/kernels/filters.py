@@ -184,18 +184,25 @@ def ccitt_fax_wrap(data: bytes, parms: Optional[dict], height: int = 0) -> bytes
     rows = _as_int(parms.get("/Rows", height))
     compression = 4 if k < 0 else 3  # G4 / G3
     img_size = len(data)
-    tiff_header_struct = "<2shlh" + "hhll" * 8 + "h"
+    # /K > 0 is 2-D-extended G3: signalled in TIFF by T4Options (292)
+    # bit 0 so the decode side can dispatch MR instead of MH
+    extra = [(292, 4, 1, 1)] if k > 0 else []
+    n_tags = 8 + len(extra)
+    tiff_header_struct = "<2shlh" + "hhll" * n_tags + "h"
+    tag_fields = [
+        (256, 4, 1, columns),
+        (257, 4, 1, rows),
+        (258, 3, 1, 1),
+        (259, 3, 1, compression),
+        (262, 3, 1, 0),
+        (273, 4, 1, struct.calcsize(tiff_header_struct)),
+        (278, 4, 1, rows),
+        (279, 4, 1, img_size),
+    ] + extra
     header = struct.pack(
         tiff_header_struct,
-        b"II", 42, 8, 8,
-        256, 4, 1, columns,
-        257, 4, 1, rows,
-        258, 3, 1, 1,
-        259, 3, 1, compression,
-        262, 3, 1, 0,
-        273, 4, 1, struct.calcsize(tiff_header_struct),
-        278, 4, 1, rows,
-        279, 4, 1, img_size,
+        b"II", 42, 8, n_tags,
+        *[v for tag in tag_fields for v in tag],
         0,
     )
     return header + data

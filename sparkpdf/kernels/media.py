@@ -144,11 +144,12 @@ def _tiff_tag(b: bytes, want: int) -> Optional[int]:
 def tiff_g4_pixels(b: bytes):
     """Pixel rows (1=black) from a single-strip fax TIFF — the
     container our own ccitt_fax_wrap emits. Compression 4 -> T.6 MMR
-    (G4); compression 3 -> T.4 one-dimensional MH (G3, the /K 0 case;
-    2-D-extended G3 is not handled). Returns None for anything else.
-    (The reference's Fax decoder, filters.py:434-899, mis-decodes
-    everything beyond all-white vertical streams and prints 'Cannot
-    handle G3' — see tests/test_kernel_edges.py / test_ccitt_g4.py.)"""
+    (G4); compression 3 -> T.4: MIXED-MODE 2-D (MR, the /K > 0 case)
+    when T4Options (tag 292) bit 0 is set, else one-dimensional MH
+    (the /K 0 case). Returns None for anything else. (The reference's
+    Fax decoder, filters.py:434-899, mis-decodes everything beyond
+    all-white vertical streams and prints 'Cannot handle G3' — see
+    tests/test_kernel_edges.py / test_ccitt_g4.py.)"""
     d = tiff_dims(b)
     comp = _tiff_tag(b, 259)
     if d is None or comp not in (3, 4):
@@ -157,9 +158,14 @@ def tiff_g4_pixels(b: bytes):
     size = _tiff_tag(b, 279)
     if off is None or size is None or off + size > len(b):
         return None
-    from .ccitt_g4 import g3_decode_1d, g4_decode
+    from .ccitt_g4 import g3_decode_1d, g3_decode_2d, g4_decode
 
-    decode = g4_decode if comp == 4 else g3_decode_1d
+    if comp == 4:
+        decode = g4_decode
+    elif (_tiff_tag(b, 292) or 0) & 1:
+        decode = g3_decode_2d
+    else:
+        decode = g3_decode_1d
     return decode(b[off:off + size], d["width"], d["height"])
 
 
@@ -251,6 +257,11 @@ def _tiff_decode(b: bytes):
         return None
     if predictor not in (1, 2) or (predictor == 2 and depth != 8):
         return None
+    tw, th = _tiff_tag(b, 322), _tiff_tag(b, 323)
+    if tw and th:  # tiled organization (TIFF 6.0 §15) — round 5
+        return _tiff_decode_tiled(
+            b, w, h, spp, depth, photometric, predictor, tw, th
+        )
     offs = _tiff_tag_array(b, 273)
     sizes = _tiff_tag_array(b, 279)
     if not offs or not sizes or len(offs) != len(sizes):
@@ -294,6 +305,62 @@ def _tiff_decode(b: bytes):
         arr = arr.reshape(h, w, 1)
     arr = _np.ascontiguousarray(arr)
     return w, h, arr.shape[2], arr.tobytes()
+
+
+def _tiff_decode_tiled(b, w, h, spp, depth, photometric, predictor,
+                       tw, th):
+    """Tiled TIFF (tags 322/323/324/325): every tile is a full tw x th
+    block compressed independently (edge tiles pad); the horizontal-
+    differencing predictor resets per TILE row, so it must be undone
+    per tile before stitching."""
+    import numpy as _np
+
+    from .filters import lzw_decode
+
+    comp = _tiff_tag(b, 259) or 1
+    offs = _tiff_tag_array(b, 324)
+    sizes = _tiff_tag_array(b, 325)
+    tiles_x = -(-w // tw)
+    tiles_y = -(-h // th)
+    if not offs or not sizes or len(offs) != len(sizes) \
+            or len(offs) != tiles_x * tiles_y:
+        return None
+    tile_rowbytes = (tw * spp * depth + 7) // 8
+    expect = th * tile_rowbytes
+    canvas = _np.zeros((h, w, spp), dtype=_np.uint8)
+    for t, (off, size) in enumerate(zip(offs, sizes)):
+        if off + size > len(b):
+            return None
+        raw = b[off:off + size]
+        if comp == 5:
+            raw = lzw_decode(raw, None)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        if len(raw) < expect:
+            return None
+        ty, tx = divmod(t, tiles_x)
+        if depth == 8:
+            tile = _np.frombuffer(
+                raw[:expect], _np.uint8).reshape(th, tw, spp)
+            if predictor == 2:
+                tile = _np.cumsum(
+                    tile.astype(_np.uint32), axis=1).astype(_np.uint8)
+        else:  # 1-bit bilevel tiles
+            rowsb = _np.frombuffer(
+                raw[:expect], _np.uint8).reshape(th, tile_rowbytes)
+            tile = (_np.unpackbits(rowsb, axis=1)[:, :tw] * 255).astype(
+                _np.uint8)[..., None]
+        y0, x0 = ty * th, tx * tw
+        ny, nx = min(th, h - y0), min(tw, w - x0)
+        canvas[y0:y0 + ny, x0:x0 + nx] = tile[:ny, :nx]
+    if depth == 8:
+        if photometric == 0:
+            canvas = 255 - canvas
+    else:
+        if photometric == 0:  # 0 = white for bilevel
+            canvas = 255 - canvas
+    canvas = _np.ascontiguousarray(canvas)
+    return w, h, canvas.shape[2], canvas.tobytes()
 
 
 def tiff_mean_luma(b: bytes):
@@ -472,6 +539,63 @@ def _gif_lzw(data: bytes, mcs: int, npix: int) -> bytes:
         if len(table) == (1 << width) and width < 12:
             width += 1
     return bytes(out[:npix])
+
+
+def gif_frames_info(b: bytes) -> Optional[dict]:
+    """Animation metadata without decoding pixels: walk the block
+    stream counting image descriptors and summing Graphic Control
+    Extension delays (GIF89a §23: label 0xF9, delay in 1/100 s).
+    Returns {"n_frames", "duration_ms", "loop"} — loop from the
+    NETSCAPE2.0 application extension when present (0 = infinite)."""
+    if gif_dims(b) is None or len(b) < 13:
+        return None
+    packed = b[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 7))
+    n = len(b)
+    n_frames = 0
+    delay_cs = 0
+    loop = None
+    while pos < n:
+        intro = b[pos]
+        if intro == 0x21:  # extension
+            if pos + 2 > n:
+                break
+            label = b[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos + 4 < n and b[pos] >= 4:
+                delay_cs += int.from_bytes(b[pos + 2:pos + 4], "little")
+            if label == 0xFF and pos < n and b[pos] == 11 \
+                    and b[pos + 1:pos + 12] == b"NETSCAPE2.0":
+                k = pos + 12
+                if k < n and b[k] >= 3 and k + 3 < n:
+                    loop = int.from_bytes(b[k + 2:k + 4], "little")
+            while pos < n and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif intro == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                break
+            ipacked = b[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 7))
+            pos += 1  # LZW min code size
+            while pos < n and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            n_frames += 1
+        elif intro == 0x3B:
+            break
+        else:
+            break
+    if n_frames == 0:
+        return None
+    out = {"n_frames": n_frames, "duration_ms": delay_cs * 10}
+    if loop is not None:
+        out["loop"] = loop
+    return out
 
 
 def gif_pixels(b: bytes):
@@ -736,11 +860,133 @@ def mkv_info(b: bytes) -> Optional[dict]:
     return out
 
 
+# --- FLAC (public format spec: fLaC magic + STREAMINFO block) ----------------
+
+
+def flac_info(b: bytes) -> Optional[dict]:
+    """FLAC: STREAMINFO metadata block (always first) -> sample rate
+    (20 bits), channels (3 bits + 1), bits/sample (5 bits + 1), total
+    samples (36 bits) -> duration."""
+    if len(b) < 4 + 4 + 34 or b[:4] != b"fLaC":
+        return None
+    i = 4
+    while i + 4 <= len(b):
+        last = b[i] & 0x80
+        btype = b[i] & 0x7F
+        blen = int.from_bytes(b[i + 1:i + 4], "big")
+        body = i + 4
+        if btype == 0:  # STREAMINFO
+            if blen < 34 or body + 34 > len(b):
+                return None
+            s = b[body:body + 34]
+            rate = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
+            channels = ((s[12] >> 1) & 0x07) + 1
+            bits = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1
+            total = ((s[13] & 0x0F) << 32) | int.from_bytes(s[14:18], "big")
+            if not rate:
+                return None
+            out = {
+                "format": "flac",
+                "sample_rate": rate,
+                "channels": channels,
+                "bits": bits,
+            }
+            if total:
+                out["duration_ms"] = total * 1000 // rate
+            return out
+        if last:
+            break
+        i = body + blen
+    return None
+
+
+# --- Ogg (RFC 3533 pages; Vorbis I / Opus (RFC 7845) ident headers) ----------
+
+
+def ogg_info(b: bytes) -> Optional[dict]:
+    """Ogg: the BOS page's first packet identifies the codec
+    ('\\x01vorbis' ident: channels + rate; 'OpusHead': channels,
+    granule rate fixed 48 kHz); duration = last page's granule
+    position / granule rate."""
+    if len(b) < 28 or b[:4] != b"OggS" or b[4] != 0:
+        return None
+    nsegs = b[26]
+    body = 27 + nsegs
+    if body >= len(b):
+        return None
+    pkt = b[body:body + 64]
+    out: Optional[dict] = None
+    gran_rate = None
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        rate = int.from_bytes(pkt[12:16], "little")
+        if not rate:
+            return None
+        out = {
+            "format": "ogg-vorbis",
+            "channels": pkt[11],
+            "sample_rate": rate,
+        }
+        gran_rate = rate  # vorbis granule = PCM sample count
+    elif pkt[:8] == b"OpusHead" and len(pkt) >= 17:
+        out = {
+            "format": "ogg-opus",
+            "channels": pkt[9],
+            "sample_rate": int.from_bytes(pkt[12:16], "little"),
+        }
+        gran_rate = 48000  # opus granule is always 48 kHz (RFC 7845 §4)
+    if out is None:
+        return None
+    last = b.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(b) and gran_rate:
+        gran = int.from_bytes(b[last + 6:last + 14], "little", signed=True)
+        if gran > 0:
+            out["duration_ms"] = gran * 1000 // gran_rate
+    return out
+
+
+# --- AVI (RIFF 'AVI ' + hdrl/avih main header) -------------------------------
+
+
+def avi_info(b: bytes) -> Optional[dict]:
+    """AVI: RIFF form 'AVI ', LIST hdrl -> avih (MicroSecPerFrame,
+    TotalFrames, Width, Height)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"LIST" and b[i + 8:i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                c2 = b[j:j + 4]
+                s2 = int.from_bytes(b[j + 4:j + 8], "little")
+                if c2 == b"avih" and j + 8 + 40 <= end:
+                    a = b[j + 8:j + 48]
+                    usec = int.from_bytes(a[0:4], "little")
+                    frames = int.from_bytes(a[16:20], "little")
+                    out = {
+                        "format": "avi",
+                        "width": int.from_bytes(a[32:36], "little"),
+                        "height": int.from_bytes(a[36:40], "little"),
+                    }
+                    if usec and frames:
+                        out["duration_ms"] = frames * usec // 1000
+                    return out
+                j += 8 + s2 + (s2 & 1)
+        i += 8 + size + (size & 1)
+    return None
+
+
 def av_info(b: bytes) -> Optional[dict]:
     """Sniff audio/video containers by magic."""
     if not b:
         return None
-    return wav_info(b) or mp4_info(b) or mkv_info(b) or mp3_info(b)
+    return (
+        wav_info(b) or avi_info(b) or mp4_info(b) or mkv_info(b)
+        or flac_info(b) or ogg_info(b) or mp3_info(b)
+    )
 
 
 # --- PNG pixel decode (round 3) ----------------------------------------------

@@ -56,6 +56,7 @@ FEATURE_SCHEMA = StructType(
         StructField("duration_ms", IntegerType()),
         StructField("sample_rate", IntegerType()),
         StructField("mean_luma", DoubleType()),
+        StructField("n_frames", IntegerType()),
     ]
 )
 
@@ -108,7 +109,15 @@ def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
             meta["mean_luma"] = luma
     elif meta.get("format") == "gif":
         # REAL first-frame decode (GIF-flavor LZW + palette expansion
-        # + 4-pass de-interlace, kernels/media.py — round 4)
+        # + 4-pass de-interlace, kernels/media.py — round 4); round 5
+        # adds animation metadata (frame count + summed GCE delays)
+        from ..kernels.media import gif_frames_info
+
+        frames = gif_frames_info(payload)
+        if frames is not None:
+            meta["n_frames"] = frames["n_frames"]
+            if frames["duration_ms"]:
+                meta["duration_ms"] = frames["duration_ms"]
         luma = gif_mean_luma(payload)
         if luma is not None:
             meta["mean_luma"] = luma
@@ -126,32 +135,39 @@ def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
 
 
 def _decode_audio(payload: bytes) -> dict:
-    """REAL container decode for WAV/RIFF (fmt/data chunks) and MP3
-    (Layer-III frame-header walk, kernels/media.mp3_info): sample rate,
-    channels, bitrate, duration. Other codecs (ogg/flac/aac...) need
-    decoders not present in this container — they raise and quarantine
-    to empty features."""
-    from ..kernels.media import mp3_info, wav_info
+    """REAL container decode for WAV/RIFF (fmt/data chunks), MP3
+    (Layer-III frame-header walk), FLAC (STREAMINFO block) and Ogg
+    (Vorbis/Opus ident + last-page granule — kernels/media.py): sample
+    rate, channels, bits, duration. Codecs beyond these (aac/ape/...)
+    need decoders not present in this container — they raise and
+    quarantine to empty features."""
+    from ..kernels.media import flac_info, mp3_info, ogg_info, wav_info
 
-    meta = wav_info(payload) or mp3_info(payload)
+    meta = (
+        wav_info(payload) or flac_info(payload) or ogg_info(payload)
+        or mp3_info(payload)
+    )
     if meta is None:
         raise NotImplementedError(
-            "audio decode beyond WAV/MP3 requires codecs not in this container"
+            "audio decode beyond WAV/MP3/FLAC/Ogg requires codecs not in "
+            "this container"
         )
     return meta
 
 
 def _decode_video(payload: bytes) -> dict:
-    """REAL container decode for MP4/ISO-BMFF (mvhd/tkhd boxes) and
+    """REAL container decode for MP4/ISO-BMFF (mvhd/tkhd boxes), AVI
+    (RIFF hdrl/avih, kernels/media.avi_info) and
     Matroska/WebM (EBML Segment/Info/Tracks, kernels/media.mkv_info):
-    duration + frame dims. Other containers (avi/flv...) raise and
+    duration + frame dims. Other containers (flv/ogv...) raise and
     quarantine."""
-    from ..kernels.media import mkv_info, mp4_info
+    from ..kernels.media import avi_info, mkv_info, mp4_info
 
-    meta = mp4_info(payload) or mkv_info(payload)
+    meta = avi_info(payload) or mp4_info(payload) or mkv_info(payload)
     if meta is None:
         raise NotImplementedError(
-            "video decode beyond MP4/MKV requires codecs not in this container"
+            "video decode beyond MP4/MKV/AVI requires codecs not in this "
+            "container"
         )
     return meta
 
@@ -236,29 +252,44 @@ def synthesize_g4_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_av_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL audio/video container per doc (doc_id % 4:
-    0=WAV, 1=MP4, 2=MP3, 3=Matroska) with formula metadata the oracle
-    can restate in SQL while the engine must parse the real binary
-    headers (RIFF chunks / BMFF boxes / Layer-III frame walk / EBML):
-      WAV: sample_rate = 8000 + (d%8)*1000, duration_ms = 100 + d%400
-      MP4: width = 320 + (d%8)*16, height = 240 + (d%4)*16,
-           duration_ms = 500 + d%1000
-      MP3: sample_rate = 32000, frames = 5 + d%20 ->
-           duration_ms = (5 + d%20) * 36
-      MKV: width = 100 + d%300, height = 80 + d%200,
-           duration_ms = 700 + d%900"""
+    """documents -> one REAL audio/video container per doc (doc_id % 7;
+    round 5 widens the round-3 4-way corpus with FLAC/Ogg/AVI) with
+    formula metadata the oracle can restate in SQL while the engine
+    must parse the real binary headers (RIFF chunks / BMFF boxes /
+    Layer-III frame walk / EBML / STREAMINFO bitfields / Ogg granule):
+      0 WAV:  sample_rate = 8000 + (d%8)*1000, duration_ms = 100 + d%400
+      1 MP4:  width = 320 + (d%8)*16, height = 240 + (d%4)*16,
+              duration_ms = 500 + d%1000
+      2 MP3:  sample_rate = 32000, frames = 5 + d%20 ->
+              duration_ms = (5 + d%20) * 36
+      3 MKV:  width = 100 + d%300, height = 80 + d%200,
+              duration_ms = 700 + d%900
+      4 FLAC: sample_rate = 16000 + (d%4)*8000, duration_ms = 200 + d%600
+      5 OGG:  vorbis (even d): rate = 24000, duration_ms = 300 + d%500;
+              opus (odd d): rate = 16000 + (d%3)*16000, same duration
+              (granule math stays exact: 24000 and 48000 divide 1000ms)
+      6 AVI:  width = 160 + (d%10)*32, height = 120 + (d%6)*32,
+              duration_ms = 400 + d%800 (25 fps -> exact usec math)"""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..testing.imagegen import make_mkv, make_mp3, make_mp4, make_wav
+        from ..testing.imagegen import (
+            make_avi,
+            make_flac,
+            make_mkv,
+            make_mp3,
+            make_mp4,
+            make_ogg,
+            make_wav,
+        )
 
         for pdf in batches:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                v = d % 4
+                v = d % 7
                 if v == 0:
                     modality = "audio"
                     payload = make_wav(8000 + (d % 8) * 1000, 100 + d % 400)
@@ -270,10 +301,28 @@ def synthesize_av_media(documents: DataFrame) -> DataFrame:
                 elif v == 2:
                     modality = "audio"
                     payload = make_mp3(5 + d % 20, id3=(d % 8 == 6))
-                else:
+                elif v == 3:
                     modality = "video"
                     payload = make_mkv(
                         100 + d % 300, 80 + d % 200, 700 + d % 900
+                    )
+                elif v == 4:
+                    modality = "audio"
+                    payload = make_flac(
+                        16000 + (d % 4) * 8000, 200 + d % 600
+                    )
+                elif v == 5:
+                    modality = "audio"
+                    payload = make_ogg(
+                        24000 if d % 2 == 0 else 16000 + (d % 3) * 16000,
+                        300 + d % 500,
+                        codec="vorbis" if d % 2 == 0 else "opus",
+                    )
+                else:
+                    modality = "video"
+                    payload = make_avi(
+                        160 + (d % 10) * 32, 120 + (d % 6) * 32,
+                        400 + d % 800,
                     )
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"av-{d}")
@@ -542,6 +591,7 @@ def _make_feature_batches(pixel_formats: "set | None" = None):
                 out["duration_ms"].append(meta.get("duration_ms"))
                 out["sample_rate"].append(meta.get("sample_rate"))
                 out["mean_luma"].append(meta.get("mean_luma"))
+                out["n_frames"].append(meta.get("n_frames"))
             yield pd.DataFrame(out)
 
     return _feature_batches

@@ -27,13 +27,39 @@ def plan_salted_partitions(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES,
     min_partitions: int = 4,
+    size_col: str | None = None,
 ) -> DataFrame:
     """Returns pdf_raw repartitioned by a byte-aware salt column.
 
     salt ∈ [0, n_small) for normal docs via hash(doc_id);
     salt ∈ [n_small, n_small + n_big) gives each big doc its own slot.
-    """
-    sized = pdf_raw.withColumn("_doc_bytes", F.length("pdf_bytes").cast("long"))
+
+    `size_col`: name of a MATERIALIZED per-doc byte-size column in the
+    source table. The two-branch union below filters the corpus twice
+    (small side, big side); with an on-the-fly length(pdf_bytes) those
+    filters cannot push down, so the plan re-reads the full corpus
+    once per branch — measured at 27 GB this costs more wall than the
+    whale skew it cures (BENCH/BASELINE.md round 5). With a size
+    column written at ingest, both filters reach the parquet
+    row-group/file statistics: the big branch reads ~only the whale
+    bytes and the planning aggregate reads one slim column. At 100 TB
+    the size column is REQUIRED; the computed fallback stays for ad
+    hoc runs."""
+    if size_col:
+        # filter on the RAW column (no cast wrapper): Spark only
+        # pushes attribute-vs-literal predicates down to the parquet
+        # reader, which is the whole point of the size column
+        sized = pdf_raw.withColumn(
+            "_doc_bytes", F.col(size_col).cast("long")
+        )
+        small_pred = F.col(size_col) <= big_doc_bytes
+        big_pred = F.col(size_col) > big_doc_bytes
+    else:
+        sized = pdf_raw.withColumn(
+            "_doc_bytes", F.length("pdf_bytes").cast("long")
+        )
+        small_pred = F.col("_doc_bytes") <= big_doc_bytes
+        big_pred = F.col("_doc_bytes") > big_doc_bytes
     stats = sized.agg(
         F.coalesce(
             F.sum(F.when(F.col("_doc_bytes") <= big_doc_bytes, F.col("_doc_bytes"))),
@@ -51,7 +77,7 @@ def plan_salted_partitions(
     # partitioned separately and unioned — UnionExec concatenates
     # child partitions without a shuffle, preserving both layouts.
     small = (
-        sized.filter(F.col("_doc_bytes") <= big_doc_bytes)
+        sized.filter(small_pred)
         .repartition(n_small, "doc_id")
         .drop("_doc_bytes")
     )
@@ -60,7 +86,7 @@ def plan_salted_partitions(
     # range-partitioning n_big distinct keys into n_big partitions
     # gives exactly one whale per partition (full sample at this size)
     big = (
-        sized.filter(F.col("_doc_bytes") > big_doc_bytes)
+        sized.filter(big_pred)
         .repartitionByRange(n_big, "doc_id")
         .drop("_doc_bytes")
     )

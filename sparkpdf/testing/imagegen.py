@@ -337,3 +337,212 @@ def make_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
     header = (byte_order.encode() + _e(42, 2) + _e(ifd_off, 4))
     return (header + bytes(data)
             + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))
+
+
+def make_flac(sample_rate: int, duration_ms: int, channels: int = 2,
+              bits: int = 16) -> bytes:
+    """Minimal valid FLAC: fLaC magic + a last-flagged STREAMINFO
+    metadata block (header-only probing — no audio frames)."""
+    total = sample_rate * duration_ms // 1000
+    s = bytearray(34)
+    s[0:2] = (4096).to_bytes(2, "big")   # min blocksize
+    s[2:4] = (4096).to_bytes(2, "big")   # max blocksize
+    # min/max frame size (24-bit each) stay 0 = unknown
+    s[10] = (sample_rate >> 12) & 0xFF
+    s[11] = (sample_rate >> 4) & 0xFF
+    s[12] = ((sample_rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1) \
+        | (((bits - 1) >> 4) & 1)
+    s[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    s[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    # bytes 18-33: md5 of the (absent) audio stream — zeros
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(s)
+
+
+def _ogg_page(serial: int, seq: int, granule: int, packet: bytes,
+              header_type: int) -> bytes:
+    """One Ogg page (RFC 3533) holding a single packet; CRC left 0
+    (the header probe does not verify checksums)."""
+    segs = []
+    n = len(packet)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    hdr = (
+        b"OggS" + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    return hdr + packet
+
+
+def make_ogg(sample_rate: int, duration_ms: int, channels: int = 2,
+             codec: str = "vorbis") -> bytes:
+    """Minimal Ogg stream: BOS page with the codec ident packet + an
+    EOS page whose granule position encodes the duration (vorbis
+    granule = PCM samples at `sample_rate`; opus granule is always
+    48 kHz per RFC 7845 §4)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")         # version
+            + bytes([channels])
+            + sample_rate.to_bytes(4, "little")
+            + (0).to_bytes(4, "little") * 3     # bitrates
+            + bytes([0xB8, 0x01])               # blocksizes + framing
+        )
+        gran = sample_rate * duration_ms // 1000
+    elif codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels])
+            + (312).to_bytes(2, "little")       # pre-skip
+            + sample_rate.to_bytes(4, "little")  # input rate (memo only)
+            + (0).to_bytes(2, "little")         # output gain
+            + bytes([0])                        # channel mapping 0
+        )
+        gran = 48000 * duration_ms // 1000
+    else:
+        raise ValueError(codec)
+    return (
+        _ogg_page(7, 0, 0, ident, 0x02)         # BOS
+        + _ogg_page(7, 1, gran, b"\x00", 0x04)  # EOS carries the granule
+    )
+
+
+def make_avi(width: int, height: int, duration_ms: int,
+             fps: int = 25) -> bytes:
+    """Minimal RIFF/AVI: LIST hdrl with an avih main header
+    (MicroSecPerFrame + TotalFrames + dims); no movi payload."""
+    usec = 1000000 // fps
+    frames = duration_ms * 1000 // usec
+    avih = (
+        usec.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")     # max bytes/sec
+        + (0).to_bytes(4, "little")     # padding
+        + (0x10).to_bytes(4, "little")  # flags (HASINDEX)
+        + frames.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")     # initial frames
+        + (1).to_bytes(4, "little")     # streams
+        + (0).to_bytes(4, "little")     # suggested buffer
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16                  # reserved
+    )
+    avih_chunk = b"avih" + len(avih).to_bytes(4, "little") + avih
+    hdrl = b"LIST" + (4 + len(avih_chunk)).to_bytes(4, "little") \
+        + b"hdrl" + avih_chunk
+    body = b"AVI " + hdrl
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def make_animated_gif(frame_rows_list, palette, delays_cs, loop=None) -> bytes:
+    """Multi-frame GIF89a: one Graphic Control Extension (delay in
+    1/100 s) before each LZW-coded frame; optional NETSCAPE2.0 loop
+    extension (0 = infinite)."""
+    pal = [tuple(c) for c in palette]
+    s = 0
+    while (2 << s) < len(pal):
+        s += 1
+    pal += [(0, 0, 0)] * ((2 << s) - len(pal))
+    mcs = max(2, s + 1)
+    first = [list(r) for r in frame_rows_list[0]]
+    h, w = len(first), len(first[0])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | s, 0, 0])
+    out += b"".join(bytes(c) for c in pal)
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop) + b"\x00"
+    for rows, delay in zip(frame_rows_list, delays_cs):
+        rows = [list(r) for r in rows]
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, len(rows[0]), len(rows))
+        out += bytes([0x00, mcs])
+        data = _gif_lzw_literals([p for r in rows for p in r], mcs)
+        for i in range(0, len(data), 255):
+            blk = data[i:i + 255]
+            out += bytes([len(blk)]) + blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
+                    compression: int = 1, predictor: int = 1) -> bytes:
+    """Tiled TIFF 6.0 (§15) from an (h, w[, ch]) uint8-like array:
+    full tile_w x tile_h tiles (edges zero-padded), each compressed
+    independently; tags 322/323/324/325 instead of strips."""
+    import numpy as np
+
+    from .pdfgen import lzw_encode
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    tiles_x, tiles_y = -(-w // tile_w), -(-h // tile_h)
+    padded = np.zeros((tiles_y * tile_h, tiles_x * tile_w, ch), np.uint8)
+    padded[:h, :w] = arr
+    tiles = []
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            t = padded[ty * tile_h:(ty + 1) * tile_h,
+                       tx * tile_w:(tx + 1) * tile_w]
+            if predictor == 2:
+                d = t.astype(np.int16)
+                d[:, 1:, :] -= t[:, :-1, :].astype(np.int16)
+                t = (d & 0xFF).astype(np.uint8)
+            raw = t.tobytes()
+            if compression == 5:
+                raw = lzw_encode(raw)
+            elif compression == 32773:
+                raw = _packbits_encode(raw)
+            tiles.append(raw)
+
+    def _e(v, n):
+        return int(v).to_bytes(n, "little")
+
+    data = bytearray()
+    offs = []
+    pos = 8
+    for t in tiles:
+        offs.append(pos)
+        data += t
+        pos += len(t)
+    tags = []
+
+    def tag(tid, typ, cnt, values):
+        tags.append((tid, typ, cnt, values))
+
+    tag(256, 4, 1, [w])
+    tag(257, 4, 1, [h])
+    tag(258, 3, ch, [8] * ch)
+    tag(259, 3, 1, [compression])
+    tag(262, 3, 1, [2 if ch == 3 else 1])
+    tag(277, 3, 1, [ch])
+    tag(322, 4, 1, [tile_w])
+    tag(323, 4, 1, [tile_h])
+    tag(324, 4, len(tiles), offs)
+    tag(325, 4, len(tiles), [len(t) for t in tiles])
+    if predictor != 1:
+        tag(317, 3, 1, [predictor])
+    tags.sort()
+    ifd_off = pos
+    ext = bytearray()
+    ext_off = ifd_off + 2 + 12 * len(tags) + 4
+    entries = b""
+    for tid, typ, cnt, values in tags:
+        size = 2 if typ == 3 else 4
+        entries += _e(tid, 2) + _e(typ, 2) + _e(cnt, 4)
+        if cnt * size <= 4:
+            field = b"".join(_e(v, size) for v in values)
+            entries += field + b"\x00" * (4 - len(field))
+        else:
+            entries += _e(ext_off, 4)
+            ext += b"".join(_e(v, size) for v in values)
+            ext_off += cnt * size
+    return (b"II" + _e(42, 2) + _e(ifd_off, 4) + bytes(data)
+            + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))

@@ -681,3 +681,129 @@ def test_inline_image_payloads_in_media_objects():
     # EI-ws-Q framing: the tokenizer's documented contract (C2c) keeps
     # the byte before EI with the data when the following op is Q
     assert m["data"] == payload + b" "
+
+
+def test_flac_ogg_avi_header_parse():
+    """Round-5 container widening: FLAC STREAMINFO bitfields, Ogg
+    Vorbis/Opus ident + last-page granule duration, AVI avih — plus
+    truncation/garbage quarantine (None, never a raise)."""
+    from sparkpdf.kernels.media import av_info, avi_info, flac_info, ogg_info
+    from sparkpdf.testing.imagegen import make_avi, make_flac, make_ogg
+
+    f = flac_info(make_flac(44100, 2500, channels=2, bits=16))
+    assert f == {"format": "flac", "sample_rate": 44100, "channels": 2,
+                 "bits": 16, "duration_ms": 2500}
+    # odd rate exercises the 20-bit split across three bytes
+    assert flac_info(make_flac(96000, 1000, channels=8, bits=24))[
+        "sample_rate"] == 96000
+    v = ogg_info(make_ogg(24000, 1300, channels=1, codec="vorbis"))
+    assert v == {"format": "ogg-vorbis", "channels": 1,
+                 "sample_rate": 24000, "duration_ms": 1300}
+    o = ogg_info(make_ogg(16000, 700, channels=2, codec="opus"))
+    assert o["format"] == "ogg-opus" and o["duration_ms"] == 700
+    a = avi_info(make_avi(640, 360, 2000, fps=25))
+    assert a == {"format": "avi", "width": 640, "height": 360,
+                 "duration_ms": 2000}
+    # av_info dispatch picks each container by magic
+    assert av_info(make_flac(8000, 100))["format"] == "flac"
+    assert av_info(make_avi(32, 32, 40))["format"] == "avi"
+    assert av_info(make_ogg(24000, 100))["format"] == "ogg-vorbis"
+    # quarantine: truncation sweeps and lookalike garbage return None
+    for full in (make_flac(8000, 100), make_ogg(24000, 100),
+                 make_avi(32, 32, 40)):
+        for n in range(0, min(len(full), 40), 3):
+            for fn in (flac_info, ogg_info, avi_info, av_info):
+                fn(full[:n])  # must not raise
+    assert flac_info(b"fLaCgarbage") is None
+    assert ogg_info(b"OggS\x00rubbish") is None
+    assert avi_info(b"RIFF\x04\x00\x00\x00AVI ") is None
+
+
+def test_gif_frames_info():
+    """GIF animation metadata (round 5): frame count, summed GCE
+    delays, NETSCAPE loop count; single-frame GIFs report one frame /
+    zero duration; first-frame pixel decode is unaffected."""
+    from sparkpdf.kernels.media import gif_frames_info, gif_pixels
+    from sparkpdf.testing.imagegen import make_animated_gif, make_gif_frame
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    f1 = [[0, 1], [2, 3]]
+    f2 = [[3, 2], [1, 0]]
+    f3 = [[1, 1], [1, 1]]
+    gif = make_animated_gif([f1, f2, f3], pal, [10, 25, 7], loop=0)
+    info = gif_frames_info(gif)
+    assert info == {"n_frames": 3, "duration_ms": 420, "loop": 0}
+    # the first-frame decoder still reads frame 1 of the animation
+    w, h, ch, pix = gif_pixels(gif)
+    assert (w, h, ch) == (2, 2, 3)
+    assert pix[0:3] == bytes(pal[0]) and pix[3:6] == bytes(pal[1])
+    single = make_gif_frame(f1, pal)
+    assert gif_frames_info(single) == {"n_frames": 1, "duration_ms": 0}
+    # loop=5 finite; truncation never raises
+    g5 = make_animated_gif([f1, f2], pal, [50, 50], loop=5)
+    assert gif_frames_info(g5)["loop"] == 5
+    for n in range(0, len(gif), 7):
+        gif_frames_info(gif[:n])
+    assert gif_frames_info(b"GIF89anope") is None
+
+
+def test_mixed_mode_g3_tiff_roundtrip():
+    """/K > 0 mixed-mode G3 (T.4 MR) now round-trips through the TIFF
+    container: ccitt_fax_wrap signals T4Options bit 0 and
+    tiff_g4_pixels dispatches the 2-D decoder (round 5; previously a
+    documented quarantine)."""
+    from sparkpdf.kernels.ccitt_g4 import g3_encode_1d, g3_encode_2d
+    from sparkpdf.kernels.filters import ccitt_fax_wrap
+    from sparkpdf.kernels.media import ink_ratio, tiff_g4_pixels
+
+    w, h = 40, 12
+    bitmap = [
+        [1 if (r * 7 + c) % 5 < 2 else 0 for c in range(w)]
+        for r in range(h)
+    ]
+    enc2d = g3_encode_2d(bitmap, w, k=4)
+    t2 = ccitt_fax_wrap(enc2d, {"/K": 4, "/Columns": w, "/Rows": h})
+    assert tiff_g4_pixels(t2) == bitmap
+    ink = sum(map(sum, bitmap)) / (w * h)
+    assert abs(ink_ratio(t2) - ink) < 1e-9
+    # K=0 (pure 1-D) still dispatches MH — no T4Options tag written
+    enc1d = g3_encode_1d(bitmap, w)
+    t1 = ccitt_fax_wrap(enc1d, {"/K": 0, "/Columns": w, "/Rows": h})
+    assert tiff_g4_pixels(t1) == bitmap
+    # and G4 (/K < 0) is untouched
+    from sparkpdf.kernels.ccitt_g4 import g4_encode
+
+    t4 = ccitt_fax_wrap(g4_encode(bitmap, w), {"/K": -1, "/Columns": w,
+                                               "/Rows": h})
+    assert tiff_g4_pixels(t4) == bitmap
+
+
+def test_tiled_tiff_decode():
+    """Tiled TIFFs (tags 322-325) decode for none/LZW/PackBits with
+    the per-tile predictor reset; edge tiles crop; strip decode and
+    mean luma are unaffected (round 5; previously a quarantine)."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import tiff_mean_luma, tiff_pixels
+    from sparkpdf.testing.imagegen import make_tiff, make_tiff_tiled
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        t = make_tiff_tiled(rgb, 16, 16, compression=comp)
+        w, h, ch, pix = tiff_pixels(t)
+        assert (w, h, ch) == (53, 37, 3)
+        assert np.array_equal(
+            np.frombuffer(pix, np.uint8).reshape(37, 53, 3), rgb
+        )
+    # predictor 2 resets per tile (a cross-tile cumsum would corrupt)
+    t = make_tiff_tiled(gray, 8, 8, compression=5, predictor=2)
+    w, h, ch, pix = tiff_pixels(t)
+    assert np.array_equal(
+        np.frombuffer(pix, np.uint8).reshape(20, 30), gray
+    )
+    # strip path still equals tiled path on the same pixels
+    ts = make_tiff(gray, compression=5)
+    assert tiff_pixels(ts)[3] == pix
+    assert tiff_mean_luma(t) == tiff_mean_luma(ts)

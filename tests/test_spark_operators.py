@@ -178,10 +178,10 @@ def test_extract_arrow_and_pandas_paths_identical(spark, corpus, monkeypatch):
 
 
 def test_av_media_features_and_quarantine(spark, docs):
-    """Audio/video modality dispatch: WAV/MP4/MP3/MKV containers yield
-    real header metadata; foreign/corrupt payloads quarantine to empty
-    features (NotImplementedError inside the kernel, never a dead
-    task)."""
+    """Audio/video modality dispatch: WAV/MP4/MP3/MKV/FLAC/Ogg/AVI
+    containers yield real header metadata (round 5 widens the corpus
+    7-way); foreign/corrupt payloads quarantine to empty features
+    (NotImplementedError inside the kernel, never a dead task)."""
     from pyspark.sql import Row
     from sparkpdf.operators.multimodal import (
         extract_media_features,
@@ -192,7 +192,7 @@ def test_av_media_features_and_quarantine(spark, docs):
     assert len(feats) == 60
     for r in feats:
         d = int(r.doc_id)
-        v = d % 4
+        v = d % 7
         if v == 0:
             assert r.modality == "audio" and r.format == "wav"
             assert r.sample_rate == 8000 + (d % 8) * 1000
@@ -209,11 +209,30 @@ def test_av_media_features_and_quarantine(spark, docs):
             assert r.sample_rate == 32000
             assert r.duration_ms == (5 + d % 20) * 36
             assert r.width is None and r.height is None
-        else:
+        elif v == 3:
             assert r.modality == "video" and r.format == "mkv"
             assert r.duration_ms == 700 + d % 900
             assert r.width == 100 + d % 300
             assert r.height == 80 + d % 200
+            assert r.sample_rate is None
+        elif v == 4:
+            assert r.modality == "audio" and r.format == "flac"
+            assert r.sample_rate == 16000 + (d % 4) * 8000
+            assert r.duration_ms == 200 + d % 600
+            assert r.width is None and r.height is None
+        elif v == 5:
+            want = "ogg-vorbis" if d % 2 == 0 else "ogg-opus"
+            assert r.modality == "audio" and r.format == want
+            assert r.sample_rate == (
+                24000 if d % 2 == 0 else 16000 + (d % 3) * 16000
+            )
+            assert r.duration_ms == 300 + d % 500
+            assert r.width is None and r.height is None
+        else:
+            assert r.modality == "video" and r.format == "avi"
+            assert r.duration_ms == (400 + d % 800) // 40 * 40
+            assert r.width == 160 + (d % 10) * 32
+            assert r.height == 120 + (d % 6) * 32
             assert r.sample_rate is None
     # quarantine: an ogg-ish payload under 'audio' and garbage 'video'
     bad = spark.createDataFrame(
