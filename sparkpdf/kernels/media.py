@@ -141,6 +141,44 @@ def _tiff_tag(b: bytes, want: int) -> Optional[int]:
     return None
 
 
+def _tiff_tag_bytes(b: bytes, want: int) -> Optional[bytes]:
+    """Raw payload of a BYTE/UNDEFINED IFD tag (e.g. JPEGTables 347)."""
+    bo = "little" if b[:2] == b"II" else "big"
+    ifd = int.from_bytes(b[4:8], bo)
+    n = int.from_bytes(b[ifd:ifd + 2], bo)
+    for k in range(n):
+        e = ifd + 2 + 12 * k
+        if e + 12 > len(b):
+            return None
+        if int.from_bytes(b[e:e + 2], bo) != want:
+            continue
+        typ = int.from_bytes(b[e + 2:e + 4], bo)
+        cnt = int.from_bytes(b[e + 4:e + 8], bo)
+        if typ not in (1, 7) or cnt == 0:
+            return None
+        base = e + 8 if cnt <= 4 else int.from_bytes(b[e + 8:e + 12], bo)
+        if base + cnt > len(b):
+            return None
+        return b[base:base + cnt]
+    return None
+
+
+def _tiff_jpeg_block(b: bytes, raw: bytes):
+    """Decode one JPEG-compressed TIFF strip/tile (compression 7,
+    TIFF-EP 'new-style'): if a JPEGTables (347) abbreviated stream is
+    present, splice its table segments between the block's SOI and
+    body (TIFF-EP §, the standard table-sharing form)."""
+    from .jpeg import decode_jpeg
+
+    if raw[:2] != b"\xff\xd8":
+        return None
+    tables = _tiff_tag_bytes(b, 347)
+    if tables and len(tables) > 4 and tables[:2] == b"\xff\xd8" \
+            and tables[-2:] == b"\xff\xd9":
+        raw = b"\xff\xd8" + tables[2:-2] + raw[2:]
+    return decode_jpeg(bytes(raw))
+
+
 def tiff_g4_pixels(b: bytes):
     """Pixel rows (1=black) from a single-strip fax TIFF — the
     container our own ccitt_fax_wrap emits. Compression 4 -> T.6 MMR
@@ -241,7 +279,7 @@ def _tiff_decode(b: bytes):
     if d is None:
         return None
     comp = _tiff_tag(b, 259) or 1
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 7, 32773):
         return None
     w, h = d["width"], d["height"]
     if w == 0 or h == 0:
@@ -257,6 +295,8 @@ def _tiff_decode(b: bytes):
         return None
     if predictor not in (1, 2) or (predictor == 2 and depth != 8):
         return None
+    if comp == 7 and (predictor != 1 or depth != 8):
+        return None  # new-style JPEG blocks carry no TIFF predictor
     tw, th = _tiff_tag(b, 322), _tiff_tag(b, 323)
     if tw and th:  # tiled organization (TIFF 6.0 §15) — round 5
         return _tiff_decode_tiled(
@@ -278,6 +318,18 @@ def _tiff_decode(b: bytes):
         nrows = min(rows_per_strip, h - row0)
         expect = nrows * rowbytes
         raw = b[off:off + size]
+        if comp == 7:  # each strip is a full JPEG stream (round 5)
+            blk = _tiff_jpeg_block(b, raw)
+            if blk is None or blk.dtype != _np.uint8:
+                return None
+            if blk.ndim == 2:
+                blk = blk[..., None]
+            if blk.shape[0] < nrows or blk.shape[1] != w \
+                    or blk.shape[2] != spp:
+                return None
+            out_rows += blk[:nrows].tobytes()
+            row0 += nrows
+            continue
         if comp == 5:
             raw = lzw_decode(raw, None)
         elif comp == 32773:
@@ -332,13 +384,26 @@ def _tiff_decode_tiled(b, w, h, spp, depth, photometric, predictor,
         if off + size > len(b):
             return None
         raw = b[off:off + size]
+        ty, tx = divmod(t, tiles_x)
+        if comp == 7:  # JPEG-compressed tiles (round 5)
+            blk = _tiff_jpeg_block(b, raw)
+            if blk is None or blk.dtype != _np.uint8:
+                return None
+            if blk.ndim == 2:
+                blk = blk[..., None]
+            if blk.shape[0] < th or blk.shape[1] < tw \
+                    or blk.shape[2] != spp:
+                return None
+            y0, x0 = ty * th, tx * tw
+            ny, nx = min(th, h - y0), min(tw, w - x0)
+            canvas[y0:y0 + ny, x0:x0 + nx] = blk[:ny, :nx]
+            continue
         if comp == 5:
             raw = lzw_decode(raw, None)
         elif comp == 32773:
             raw = _packbits_decode(raw, expect)
         if len(raw) < expect:
             return None
-        ty, tx = divmod(t, tiles_x)
         if depth == 8:
             tile = _np.frombuffer(
                 raw[:expect], _np.uint8).reshape(th, tw, spp)

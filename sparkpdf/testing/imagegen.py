@@ -500,6 +500,10 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
                 raw = lzw_encode(raw)
             elif compression == 32773:
                 raw = _packbits_encode(raw)
+            elif compression == 7:
+                from ..kernels.jpeg import encode_jpeg_lossless
+
+                raw = encode_jpeg_lossless(np.squeeze(t))
             tiles.append(raw)
 
     def _e(v, n):
@@ -537,6 +541,87 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
     for tid, typ, cnt, values in tags:
         size = 2 if typ == 3 else 4
         entries += _e(tid, 2) + _e(typ, 2) + _e(cnt, 4)
+        if cnt * size <= 4:
+            field = b"".join(_e(v, size) for v in values)
+            entries += field + b"\x00" * (4 - len(field))
+        else:
+            entries += _e(ext_off, 4)
+            ext += b"".join(_e(v, size) for v in values)
+            ext_off += cnt * size
+    return (b"II" + _e(42, 2) + _e(ifd_off, 4) + bytes(data)
+            + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))
+
+
+def make_tiff_jpeg(pixels, rows_per_strip: int = 0,
+                   shared_tables: bool = False) -> bytes:
+    """New-style JPEG-in-TIFF (compression 7): each strip is a full
+    lossless-JPEG (SOF3) stream so the round trip is exact; with
+    shared_tables the DHT moves into a JPEGTables (347) abbreviated
+    stream and the strips carry no tables (TIFF-EP table sharing)."""
+    import numpy as np
+
+    from ..kernels.jpeg import encode_jpeg_lossless
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    rps = rows_per_strip or h
+    strips = []
+    tables_payload = None
+    for r0 in range(0, h, rps):
+        enc = encode_jpeg_lossless(np.squeeze(arr[r0:r0 + rps]))
+        if shared_tables:
+            i = enc.index(b"\xff\xc4")
+            ln = int.from_bytes(enc[i + 2:i + 4], "big")
+            dht = enc[i:i + 2 + ln]
+            if tables_payload is None:
+                tables_payload = b"\xff\xd8" + dht + b"\xff\xd9"
+            enc = enc[:i] + enc[i + 2 + ln:]
+        strips.append(enc)
+
+    def _e(v, n):
+        return int(v).to_bytes(n, "little")
+
+    data = bytearray()
+    offs = []
+    pos = 8
+    for s in strips:
+        offs.append(pos)
+        data += s
+        pos += len(s)
+    tbl_off = None
+    if tables_payload is not None:
+        tbl_off = pos
+        data += tables_payload
+        pos += len(tables_payload)
+    tags = []
+
+    def tag(tid, typ, cnt, values):
+        tags.append((tid, typ, cnt, values))
+
+    tag(256, 4, 1, [w])
+    tag(257, 4, 1, [h])
+    tag(258, 3, ch, [8] * ch)
+    tag(259, 3, 1, [7])
+    tag(262, 3, 1, [2 if ch == 3 else 1])
+    tag(273, 4, len(strips), offs)
+    tag(277, 3, 1, [ch])
+    tag(278, 4, 1, [rps])
+    tag(279, 4, len(strips), [len(s) for s in strips])
+    if tables_payload is not None:
+        tag(347, 7, len(tables_payload), ("raw", tbl_off))
+    tags.sort()
+    ifd_off = pos
+    ext = bytearray()
+    ext_off = ifd_off + 2 + 12 * len(tags) + 4
+    entries = b""
+    for tid, typ, cnt, values in tags:
+        size = 2 if typ == 3 else (1 if typ == 7 else 4)
+        entries += _e(tid, 2) + _e(typ, 2) + _e(cnt, 4)
+        if isinstance(values, tuple) and values[0] == "raw":
+            entries += _e(values[1], 4)  # offset into the data block
+            continue
         if cnt * size <= 4:
             field = b"".join(_e(v, size) for v in values)
             entries += field + b"\x00" * (4 - len(field))

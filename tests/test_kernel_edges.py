@@ -807,3 +807,31 @@ def test_tiled_tiff_decode():
     ts = make_tiff(gray, compression=5)
     assert tiff_pixels(ts)[3] == pix
     assert tiff_mean_luma(t) == tiff_mean_luma(ts)
+
+
+def test_jpeg_in_tiff_decode():
+    """New-style JPEG-in-TIFF (compression 7, round 5): lossless-JPEG
+    strips round-trip exactly, with and without a shared JPEGTables
+    (347) stream; JPEG-compressed tiles stitch; garbage strips
+    quarantine to None."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import tiff_pixels
+    from sparkpdf.testing.imagegen import make_tiff_jpeg, make_tiff_tiled
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (21, 33), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    for t, exp in [
+        (make_tiff_jpeg(g, rows_per_strip=8), g),
+        (make_tiff_jpeg(rgb, rows_per_strip=6), rgb),
+        (make_tiff_jpeg(g, rows_per_strip=8, shared_tables=True), g),
+        (make_tiff_tiled(g, 16, 16, compression=7), g),
+    ]:
+        w, h, ch, pix = tiff_pixels(t)
+        got = np.frombuffer(pix, np.uint8).reshape(h, w, ch)
+        assert np.array_equal(np.squeeze(got), np.squeeze(exp))
+    # a corrupted strip (not a JPEG stream) quarantines
+    t = bytearray(make_tiff_jpeg(g, rows_per_strip=8))
+    t[8:10] = b"\x00\x00"  # first strip no longer starts with SOI
+    assert tiff_pixels(bytes(t)) is None
