@@ -438,10 +438,13 @@ def make_avi(width: int, height: int, duration_ms: int,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
-def make_animated_gif(frame_rows_list, palette, delays_cs, loop=None) -> bytes:
+def make_animated_gif(frame_rows_list, palette, delays_cs, loop=None,
+                      specs=None, screen=None, bg_index=0) -> bytes:
     """Multi-frame GIF89a: one Graphic Control Extension (delay in
     1/100 s) before each LZW-coded frame; optional NETSCAPE2.0 loop
-    extension (0 = infinite)."""
+    extension (0 = infinite). `specs` (per-frame dicts) add placement
+    and compositing controls: left/top offsets, transparent index,
+    disposal method; `screen` overrides the logical screen size."""
     pal = [tuple(c) for c in palette]
     s = 0
     while (2 << s) < len(pal):
@@ -449,17 +452,27 @@ def make_animated_gif(frame_rows_list, palette, delays_cs, loop=None) -> bytes:
     pal += [(0, 0, 0)] * ((2 << s) - len(pal))
     mcs = max(2, s + 1)
     first = [list(r) for r in frame_rows_list[0]]
-    h, w = len(first), len(first[0])
+    if screen is None:
+        screen = (len(first[0]), len(first))
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HH", w, h) + bytes([0x80 | s, 0, 0])
+    out += struct.pack("<HH", *screen) + bytes([0x80 | s, bg_index, 0])
     out += b"".join(bytes(c) for c in pal)
     if loop is not None:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
         out += struct.pack("<H", loop) + b"\x00"
-    for rows, delay in zip(frame_rows_list, delays_cs):
+    specs = specs or [{} for _ in frame_rows_list]
+    for rows, delay, spec in zip(frame_rows_list, delays_cs, specs):
         rows = [list(r) for r in rows]
-        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
-        out += b"\x2c" + struct.pack("<HHHH", 0, 0, len(rows[0]), len(rows))
+        flags = (spec.get("disposal", 0) & 7) << 2
+        trans = spec.get("transparent")
+        if trans is not None:
+            flags |= 1
+        out += (b"\x21\xf9\x04" + bytes([flags])
+                + struct.pack("<H", delay)
+                + bytes([trans or 0, 0]))
+        out += b"\x2c" + struct.pack(
+            "<HHHH", spec.get("left", 0), spec.get("top", 0),
+            len(rows[0]), len(rows))
         out += bytes([0x00, mcs])
         data = _gif_lzw_literals([p for r in rows for p in r], mcs)
         for i in range(0, len(data), 255):

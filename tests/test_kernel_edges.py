@@ -835,3 +835,55 @@ def test_jpeg_in_tiff_decode():
     t = bytearray(make_tiff_jpeg(g, rows_per_strip=8))
     t[8:10] = b"\x00\x00"  # first strip no longer starts with SOI
     assert tiff_pixels(bytes(t)) is None
+
+
+def test_gif_animation_compositing():
+    """gif_frames (round 5): frames composite at their offsets with
+    GCE transparency and disposal 0 (keep) / 2 (restore background);
+    the first composited frame matches gif_pixels."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import gif_frames, gif_pixels
+    from sparkpdf.testing.imagegen import make_animated_gif
+
+    pal = [(10, 10, 10), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    base = [[1, 1, 1, 1], [1, 1, 1, 1], [1, 1, 1, 1], [1, 1, 1, 1]]
+    # frame 2: 2x2 patch at (1,1), index 0 transparent -> base shows
+    patch = [[0, 2], [2, 0]]
+    gif = make_animated_gif(
+        [base, patch], pal, [5, 5],
+        specs=[{}, {"left": 1, "top": 1, "transparent": 0}],
+    )
+    out = gif_frames(gif)
+    assert out is not None
+    w, h, frames = out
+    assert (w, h, len(frames)) == (4, 4, 2)
+    f1 = np.frombuffer(frames[0], np.uint8).reshape(4, 4, 3)
+    assert (f1 == (255, 0, 0)).all()
+    pw, ph, pch, ppix = gif_pixels(gif)
+    assert frames[0] == ppix and (pw, ph) == (4, 4)
+    f2 = np.frombuffer(frames[1], np.uint8).reshape(4, 4, 3)
+    assert tuple(f2[1, 2]) == (0, 255, 0)   # patch index 2
+    assert tuple(f2[2, 1]) == (0, 255, 0)
+    assert tuple(f2[1, 1]) == (255, 0, 0)   # transparent -> base red
+    assert tuple(f2[2, 2]) == (255, 0, 0)
+    assert tuple(f2[0, 0]) == (255, 0, 0)   # outside the patch rect
+    # disposal 2: after the patch frame, its rect restores background
+    gif2 = make_animated_gif(
+        [base, patch, base], pal, [5, 5, 5],
+        specs=[{}, {"left": 0, "top": 0, "disposal": 2}, {"left": 0,
+               "top": 0, "transparent": 1}],
+    )
+    w2, h2, frames2 = gif_frames(gif2)
+    assert len(frames2) == 3
+    f3 = np.frombuffer(frames2[2], np.uint8).reshape(4, 4, 3)
+    # frame 3 is all-transparent index 1 -> shows the canvas: patch
+    # rect was restored to background color, the rest keeps... the
+    # 2x2 patch covered [0:2,0:2]; restored to bg (10,10,10); outside
+    # stays red from frame 1
+    assert tuple(f3[0, 0]) == (10, 10, 10)
+    assert tuple(f3[1, 1]) == (10, 10, 10)
+    assert tuple(f3[3, 3]) == (255, 0, 0)
+    # truncation sweep: never raises
+    for n in range(0, len(gif), 13):
+        gif_frames(gif[:n])
