@@ -201,6 +201,8 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--out", default="/tmp/whale100x")
     ap.add_argument("--skip-synth", action="store_true")
+    ap.add_argument("--layouts", default="naive,salted_scan,salted_pushdown",
+                    help="comma-set of layouts to run")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -224,16 +226,19 @@ def main():
     result["n_naive_parts"] = n_parts
     result["skew_before"] = skew_report(corpus, n_parts)
 
-    naive = corpus.repartition(n_parts, "doc_id")
-    result["naive"] = run_pass(spark, naive, "naive")
+    layouts = set(args.layouts.split(","))
+    if "naive" in layouts:
+        naive = corpus.repartition(n_parts, "doc_id")
+        result["naive"] = run_pass(spark, naive, "naive")
     # salted_scan: size computed on the fly -> the branch filters
     # cannot push down and each branch re-reads the corpus
-    salted_scan = plan_salted_partitions(
-        corpus.drop("n_bytes"), target_bytes=args.target_bytes,
-        big_doc_bytes=args.big_doc_bytes,
-    )
-    result["salted_scan"] = run_pass(spark, salted_scan, "salted_scan")
-    if "n_bytes" in corpus.columns:
+    if "salted_scan" in layouts:
+        salted_scan = plan_salted_partitions(
+            corpus.drop("n_bytes"), target_bytes=args.target_bytes,
+            big_doc_bytes=args.big_doc_bytes,
+        )
+        result["salted_scan"] = run_pass(spark, salted_scan, "salted_scan")
+    if "salted_pushdown" in layouts and "n_bytes" in corpus.columns:
         # salted_pushdown: materialized size column -> both branch
         # filters reach parquet stats (whale branch reads ~whale bytes)
         salted_pd = plan_salted_partitions(
