@@ -27,6 +27,14 @@ def main(argv=None):
     ap.add_argument("--target-bytes", type=int, default=64 << 20)
     ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
     ap.add_argument("--no-salting", action="store_true")
+    ap.add_argument(
+        "--size-col",
+        default=None,
+        help="materialized per-doc byte-size column (e.g. n_bytes): "
+        "REQUIRED at scale — without it the salting plan's two branch "
+        "filters cannot push down and each re-reads the corpus "
+        "(measured 1.8x at 27 GB, BENCH/BASELINE.md round 5)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -44,6 +52,7 @@ def main(argv=None):
             pdf_raw,
             target_bytes=args.target_bytes,
             big_doc_bytes=args.big_doc_bytes,
+            size_col=args.size_col,
         )
         print(json.dumps({"skew_before": report}))
 
