@@ -1107,6 +1107,55 @@ def q_jpeg12_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_gif_anim_stats(spark, sf_dir):
+    # ANIMATED GIF metadata + first-frame decode (round 5,
+    # kernels/media.gif_frames_info): frame count and summed GCE
+    # delays from the real block walk, mean luminance from the LZW
+    # frame decode; all pure doc_id formulas for the oracle
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_animated_gif_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_animated_gif_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select(
+        "doc_id", "width", "height", "n_frames", "duration_ms", "mean_luma"
+    )
+
+
+def q_tiff_pixel_stats(spark, sf_dir):
+    # FOUR TIFF organizations over identical pixels (round 5): plain
+    # strips, LZW+predictor strips, LZW tiles (322-325), lossless-JPEG
+    # strips (compression 7) — one oracle formula certifies all four
+    # decode paths at once
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_tiff_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_tiff_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
+def q_jpeg_lossless_stats(spark, sf_dir):
+    # LOSSLESS JPEG (SOF3, Annex H) pixel decode: 12-bit gray, a
+    # different predictor selector per doc (1 + d%7) — decode is exact
+    # for every selector, so the oracle mean is the planted row formula
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_lossless_jpeg_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_lossless_jpeg_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_pdf_embedded_media(spark, sf_dir):
     # END-TO-END media chain, all in-engine: encode a real baseline
     # JPEG -> embed as a PDF XObject -> reopen the PDF -> pull the
@@ -1238,12 +1287,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "av_media_features": q_av_media_features,
         "write_roundtrip": q_write_roundtrip,
-        "obj_join": q_obj_join,
         "font_join": q_font_join,
         "events_window": q_events_window,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
+        "gif_anim_stats": q_gif_anim_stats,
+        "tiff_pixel_stats": q_tiff_pixel_stats,
+        "jpeg_lossless_stats": q_jpeg_lossless_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1251,6 +1300,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "pdf_embedded_media": q_pdf_embedded_media,
         # ---- driver window boundary (50) ----
+        "obj_join": q_obj_join,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
         "docinfo_project": q_docinfo_project,
         "remove_text": q_remove_text,
         "remove_images": q_remove_images,
@@ -2359,6 +2411,56 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM pals GROUP BY doc_id, width, height
+    """
+    # gif_anim_stats: frame count / summed delays / first-frame mean
+    # are all doc_id formulas baked into synthesize_animated_gif_media
+    sql["gif_anim_stats"] = """
+        WITH pals AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 8) AS INTEGER) AS height,
+                   CAST(1 + doc_id % 4 AS INTEGER) AS n_frames,
+                   CAST((1 + doc_id % 4) * (10 + doc_id % 20) * 10
+                        AS INTEGER) AS duration_ms,
+                   unnest(range(0, 8)) AS k,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height, n_frames, duration_ms,
+               ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM pals GROUP BY doc_id, width, height, n_frames, duration_ms
+    """
+    # tiff_pixel_stats / jpeg_lossless_stats: row y is constant, so
+    # the pixel mean is the row-value mean (heights 8/16 keep the
+    # decimals terminating)
+    sql["tiff_pixel_stats"] = """
+        WITH rws AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height,
+                   unnest(range(0, 8 + (doc_id % 2) * 8)) AS y,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(40 + ((d + y * 11) % 50) * 4)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM rws GROUP BY doc_id, width, height
+    """
+    sql["jpeg_lossless_stats"] = """
+        WITH rws AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height,
+                   unnest(range(0, 8 + (doc_id % 2) * 8)) AS y,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(400 + ((d + y * 13) % 200) * 16)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM rws GROUP BY doc_id, width, height
     """
     # pdf_embedded_media: same planted tiles as jpeg_pixel_stats, but
     # the engine must round-trip them THROUGH a written PDF first

@@ -370,6 +370,126 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_animated_gif_media(documents: DataFrame) -> DataFrame:
+    """documents -> one ANIMATED GIF per doc (round 5): n_frames =
+    1 + d%4 identical pattern frames, per-frame GCE delay =
+    (10 + d%20) cs -> duration_ms = n_frames * (10 + d%20) * 10; the
+    first frame reuses the gif corpus's gray-palette trick so
+    mean_luma = avg_k(30 + ((d + k*7) % 26) * 8) exactly. The engine
+    must walk the real block stream (gif_frames_info) AND LZW-decode
+    frame 1 to match."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_animated_gif
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + d % 8
+                pal = [(v, v, v) for v in
+                       (30 + ((d + k * 7) % 26) * 8 for k in range(8))]
+                rows = [[(x + y) % 8 for x in range(w)] for y in range(h)]
+                n = 1 + d % 4
+                delay = 10 + d % 20
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"anim-{d}")
+                out["modality"].append("image")
+                out["payload"].append(
+                    make_animated_gif([rows] * n, pal, [delay] * n,
+                                      loop=d % 3)
+                )
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
+    """documents -> one gray TIFF per doc cycling FOUR organizations
+    over identical pixels (round 5 — the oracle formula never moves
+    while the engine exercises every decode path):
+      d%4==0 strip, uncompressed      d%4==1 strip, LZW + predictor 2
+      d%4==2 TILED 16x16, LZW         d%4==3 JPEG strips (lossless SOF3)
+    width = 24 + (d%3)*8, height = 8 + (d%2)*8, row y is the constant
+    40 + ((d + y*11) % 50) * 4 -> mean_luma = avg_y(row value), exact
+    (heights 8/16 keep the mean's decimals terminating)."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..testing.imagegen import (
+            make_tiff,
+            make_tiff_jpeg,
+            make_tiff_tiled,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), dtype=np.uint8)
+                for y in range(h):
+                    img[y, :] = 40 + ((d + y * 11) % 50) * 4
+                v = d % 4
+                if v == 0:
+                    payload = make_tiff(img)
+                elif v == 1:
+                    payload = make_tiff(img, compression=5,
+                                        rows_per_strip=4, predictor=2)
+                elif v == 2:
+                    payload = make_tiff_tiled(img, 16, 16, compression=5)
+                else:
+                    payload = make_tiff_jpeg(img, rows_per_strip=8)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"tif-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_lossless_jpeg_media(documents: DataFrame) -> DataFrame:
+    """documents -> one LOSSLESS JPEG (SOF3) per doc: 12-bit gray,
+    predictor = 1 + d%7 (decode is exact for every selector), row y
+    constant 400 + ((d + y*13) % 200) * 16, width = 24 + (d%3)*8,
+    height = 8 + (d%2)*8 -> mean_luma = avg_y(row value) exactly."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..kernels.jpeg import encode_jpeg_lossless
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), dtype=np.uint16)
+                for y in range(h):
+                    img[y, :] = 400 + ((d + y * 13) % 200) * 16
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"ljpg-{d}")
+                out["modality"].append("image")
+                out["payload"].append(
+                    encode_jpeg_lossless(img, predictor=1 + d % 7,
+                                         precision=12)
+                )
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 MEDIA_PAYLOAD_SCHEMA = StructType(
     MEDIA_SCHEMA.fields + [StructField("error", StringType())]
 )
