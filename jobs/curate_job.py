@@ -82,7 +82,11 @@ def main(argv=None):
     scrubbed = spark.read.parquet(f"{out}/scrubbed")
 
     # 4. dedup: LSH candidates -> EXACT jaccard verify -> components;
-    # keep each cluster's min-doc_id representative
+    # keep each cluster's min-doc_id representative; degenerate LSH
+    # buckets (above the cap) are excluded from pair generation and
+    # REPORTED, never silently dropped (round-5 skew guard)
+    from sparkpdf.operators.dedup import minhash_lsh_overflow
+
     clusters = dup_clusters(
         scrubbed.select("doc_id", "text"), jaccard_threshold=args.dup_jaccard
     )
@@ -91,6 +95,9 @@ def main(argv=None):
     )
     unique_docs = scrubbed.join(keepers, "doc_id")
     n_unique = unique_docs.count()
+    n_overflow_buckets = minhash_lsh_overflow(
+        scrubbed.select("doc_id", "text")
+    ).count()
 
     # 4b. exact-substring dedup (optional): cut duplicated ranges out
     # of the surviving docs; range list parqueted for audit
@@ -126,6 +133,7 @@ def main(argv=None):
         "errored": n_errors,
         "quality_kept": n_quality,
         "unique_after_dedup": n_unique,
+        "lsh_overflow_buckets": n_overflow_buckets,
         "dup_substring_chars_cut": n_dup_chars,
         "chunks": n_chunks,
     }

@@ -1121,6 +1121,34 @@ def test_duplicate_substring_ranges_hot_gram_skew(spark):
     assert "partial_count" in final, plan
     for frag in final.split("Window [")[1:]:
         assert "doc_id" in frag[:300], plan
+    # no straggler partition: after the partial-agg count, each gram
+    # hash contributes ONE row regardless of its frequency, so the
+    # shuffled count frame stays balanced even with the hot gram —
+    # max partition rows is bounded by distinct-hash spread, never by
+    # occurrence counts (the Window shape concentrated ALL occurrences
+    # of the hot gram in one partition)
+    L = 40
+    grams = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(
+            F.when(
+                F.length("text") >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.length("text") - L),
+                    lambda i: F.col("text").substr(i + 1, F.lit(L)),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "g"),
+    )
+    counts = (
+        grams.select(F.xxhash64("g").alias("h"))
+        .groupBy("h").count()
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").count()
+        .collect()
+    )
+    sizes = sorted(r["count"] for r in counts)
+    assert sizes[-1] <= max(64, 4 * sizes[len(sizes) // 2]), sizes
 
 
 def test_minhash_lsh_bucket_cap(spark):
