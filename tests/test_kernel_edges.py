@@ -887,3 +887,47 @@ def test_gif_animation_compositing():
     # truncation sweep: never raises
     for n in range(0, len(gif), 13):
         gif_frames(gif[:n])
+
+
+def test_round5_parsers_corruption_fuzz():
+    """Deterministic byte-flip fuzz over every round-5 parser (FLAC /
+    Ogg vorbis+opus / AVI / animated GIF / tiled + JPEG TIFF /
+    lossless JPEG / av_info dispatch): corrupted inputs must return
+    None or a partial dict, never raise (the operator layer's
+    quarantine contract starts at the kernel boundary)."""
+    import numpy as np
+
+    from sparkpdf.kernels import media
+    from sparkpdf.kernels.jpeg import decode_jpeg, encode_jpeg_lossless
+    from sparkpdf.testing.imagegen import (
+        make_animated_gif,
+        make_avi,
+        make_flac,
+        make_ogg,
+        make_tiff_jpeg,
+        make_tiff_tiled,
+    )
+
+    rng = np.random.default_rng(42)
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    fr = [[0, 1], [2, 3]]
+    g = rng.integers(0, 256, (12, 20), dtype=np.uint8)
+    anim = make_animated_gif([fr, fr], pal, [5, 5], loop=1)
+    fixtures = [
+        (make_flac(44100, 1000), media.flac_info),
+        (make_ogg(24000, 500), media.ogg_info),
+        (make_ogg(16000, 500, codec="opus"), media.ogg_info),
+        (make_avi(64, 48, 400), media.avi_info),
+        (anim, media.gif_frames),
+        (anim, media.gif_frames_info),
+        (make_tiff_tiled(g, 8, 8, compression=5), media.tiff_pixels),
+        (make_tiff_jpeg(g, rows_per_strip=4), media.tiff_pixels),
+        (encode_jpeg_lossless(g), decode_jpeg),
+        (make_flac(8000, 100), media.av_info),
+    ]
+    for data, fn in fixtures:
+        for trial in range(150):
+            b = bytearray(data)
+            for _ in range(1 + trial % 5):
+                b[rng.integers(0, len(b))] = rng.integers(0, 256)
+            fn(bytes(b))  # any return is fine; raising is the failure
