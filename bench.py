@@ -323,14 +323,18 @@ def main():
         # model and sidestep the shared-JVM ceiling that caps the
         # in-process top pair (BENCH/BASELINE.md). Aggregate throughput
         # = sum of the concurrent workers' best passes.
-        if (
-            os.environ.get("SPARKPDF_BENCH_MULTIJVM", "1") != "0"
-            and runs.get(lo, {}).get("docs_per_sec")
-        ):
+        def run_multijvm(base_cpus: int):
+            """base_cpus one-JVM run (already in `runs`) vs 4x
+            concurrent local[base_cpus] JVMs on disjoint quarters —
+            the honest N -> 4N executor analog at EITHER size pair
+            (the 8->32 variant is the answer to the in-process top
+            pair's shared-JVM ceiling)."""
+            if not runs.get(base_cpus, {}).get("docs_per_sec"):
+                return
             procs = [
                 subprocess.Popen(
                     [sys.executable, os.path.abspath(__file__),
-                     "--scaling-worker", str(lo),
+                     "--scaling-worker", str(base_cpus),
                      os.path.join(corpus_dir, f"q={k}")],
                     stdout=subprocess.PIPE,
                     stderr=subprocess.DEVNULL,
@@ -347,10 +351,10 @@ def main():
             if len(outs) == 4 and all(o.get("docs_per_sec") for o in outs):
                 agg_docs = sum(o["docs_per_sec"] for o in outs)
                 agg_mb = sum(o["mb_per_sec"] for o in outs)
-                base = runs[lo]
-                pairs[f"{lo}to{lo * 4}_multijvm"] = {
-                    "cpus_lo": lo,
-                    "cpus_hi": lo * 4,
+                base = runs[base_cpus]
+                pairs[f"{base_cpus}to{base_cpus * 4}_multijvm"] = {
+                    "cpus_lo": base_cpus,
+                    "cpus_hi": base_cpus * 4,
                     "jvms_hi": 4,
                     "docs_per_sec_lo": base["docs_per_sec"],
                     "docs_per_sec_hi": round(agg_docs, 1),
@@ -360,6 +364,11 @@ def main():
                         agg_docs / (4 * base["docs_per_sec"]), 3
                     ),
                 }
+
+        if os.environ.get("SPARKPDF_BENCH_MULTIJVM", "1") != "0":
+            run_multijvm(lo)
+            if mid != lo and mid * 4 <= os.cpu_count():
+                run_multijvm(mid)
         shutil.rmtree(corpus_dir, ignore_errors=True)
         if pairs:
             headline = pairs.get(f"{lo}to{mid}") or next(iter(pairs.values()))
