@@ -1107,6 +1107,15 @@ def q_jpeg12_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_token_rarity(spark, sf_dir):
+    # IDF-style corpus-frequency quality signal (round 5): partial-agg
+    # vocabulary count + AQE-splittable frequency join; per-token
+    # -log10 rounded 6dp before averaging on BOTH engines
+    from sparkpdf.operators.text import token_rarity_score
+
+    return token_rarity_score(_t(spark, sf_dir, "documents"))
+
+
 def q_gif_anim_stats(spark, sf_dir):
     # ANIMATED GIF metadata + first-frame decode (round 5,
     # kernels/media.gif_frames_info): frame count and summed GCE
@@ -1289,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_roundtrip": q_write_roundtrip,
         "font_join": q_font_join,
         "events_window": q_events_window,
-        "dedup_minhash": q_dedup_minhash,
+        "token_rarity": q_token_rarity,
         "gif_anim_stats": q_gif_anim_stats,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "jpeg_lossless_stats": q_jpeg_lossless_stats,
@@ -1301,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_embedded_media": q_pdf_embedded_media,
         # ---- driver window boundary (50) ----
         "obj_join": q_obj_join,
+        "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "docinfo_project": q_docinfo_project,
@@ -2411,6 +2421,22 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM pals GROUP BY doc_id, width, height
+    """
+    # token_rarity: mirrored two-aggregation IDF shape; per-token
+    # -log10 rounded 6dp before the mean on both engines
+    sql["token_rarity"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ), freq AS (
+            SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        ), tot AS (SELECT SUM(cnt) AS total FROM freq)
+        SELECT doc_id,
+               ROUND(SUM(CAST(ROUND(-log10(cnt / (SELECT total FROM tot))
+                                    * 1000000) AS BIGINT))
+                     / (COUNT(*) * 1000000.0), 6) AS rarity,
+               COUNT(*) AS n_tokens
+        FROM toks JOIN freq USING (tok)
+        GROUP BY doc_id
     """
     # gif_anim_stats: frame count / summed delays / first-frame mean
     # are all doc_id formulas baked into synthesize_animated_gif_media

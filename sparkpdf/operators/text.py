@@ -326,3 +326,44 @@ def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def token_rarity_score(documents: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity score — the IDF-style quality-filtering
+    primitive: per doc, the mean of -log10(count(token) / total_tokens)
+    over its tokens (duplicates counted; higher = rarer vocabulary;
+    boilerplate-heavy docs score low).
+
+    Scale shape (100 TB): explode is map-side; the vocabulary count is
+    a partial-agg groupBy(token) (map-side combine — a hot stopword
+    ships one row per map partition); the frequency join back is a
+    plain equi-join AQE can skew-split or broadcast (vocabularies are
+    small relative to corpora); one final agg by doc_id. The corpus
+    token total is a scalar planning aggregate (same class as
+    plans/salting.py's stats row).
+
+    Float discipline: each per-token -log10 is quantized to integer
+    MICRO-units (round(x * 1e6) as BIGINT) before summation, so both
+    engines aggregate identical integers in any order — a double AVG
+    differs across engines by summation-order ulps and flips 6dp
+    boundaries (observed); the final division of exact integers is
+    deterministic."""
+    toks = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_tokens("text")).alias("tok"),
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt")).collect()[0][0] or 1
+    micro = F.round(
+        -F.log10(F.col("cnt") / F.lit(float(total))) * 1e6
+    ).cast("long")
+    return (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(micro) / (F.count("*") * F.lit(1e6)), 6
+            ).alias("rarity"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
