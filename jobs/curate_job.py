@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--dup-jaccard", type=float, default=0.9)
     ap.add_argument("--substring-min-len", type=int, default=0)
+    ap.add_argument(
+        "--min-rarity", type=float, default=0.0,
+        help="drop docs whose corpus-frequency rarity score "
+        "(token_rarity_score: mean -log10 token frequency) falls "
+        "below this — boilerplate/templated docs score low; 0 = off",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -75,6 +81,19 @@ def main(argv=None):
         .select("doc_id", "text", "quality")
     )
     n_quality = kept.count()
+
+    # 2b. corpus-frequency rarity gate (optional): drops docs whose
+    # vocabulary is dominated by corpus-common tokens (round 5)
+    if args.min_rarity > 0:
+        from sparkpdf.operators.text import token_rarity_score
+
+        rare = token_rarity_score(kept.select("doc_id", "text"))
+        kept = kept.join(
+            rare.filter(F.col("rarity") >= args.min_rarity)
+            .select("doc_id"),
+            "doc_id",
+        )
+        n_quality = kept.count()
 
     # 3. PII scrub (audit counts carried)
     scrubbed = pii_scrub(kept).withColumnRenamed("clean_text", "text")

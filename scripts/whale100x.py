@@ -7,9 +7,12 @@ incompressible ~200 MB whale PDFs, persisted to parquet and scanned
 back (storage -> extract, the production shape). Extraction runs once
 per layout:
 
-  naive : repartition(ceil(bytes/target), doc_id)    (hash; whales clump)
-  salted: plans.salting.plan_salted_partitions        (byte budget +
-          one private partition per whale)
+  naive          : repartition(ceil(bytes/target), doc_id)  (hash)
+  salted_scan    : plan_salted_partitions, size computed on the fly
+                   (NO pushdown — each branch re-reads the corpus)
+  salted_pushdown: plan_salted_partitions(size_col="n_bytes") — the
+                   branch filters reach parquet stats (--layouts
+                   selects a subset)
 
 For each pass the Spark UI REST API supplies per-task executorRunTime
 quantiles of the extraction stage (the stage with the largest total
