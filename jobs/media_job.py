@@ -1,0 +1,115 @@
+"""Production media-feature job: pull embedded media out of a PDF
+corpus, make the decode-vs-header decision by MEASUREMENT, extract
+features on the chosen path, persist everything with the decision in
+the run manifest.
+
+    spark-submit --py-files sparkpdf.zip jobs/media_job.py \
+        --input  /data/pdf_raw          (parquet: doc_id, pdf_bytes) \
+        --output /data/media \
+        [--sample-per-format 4] [--budget-core-seconds N] \
+        [--min-mb-per-sec 0.2] [--force-decode | --force-header-only]
+
+Outputs under --output:
+    payloads/   (doc_id, media_ref, modality, payload, error) — the
+                media table; the error column is the quarantine lane
+    features/   FEATURE_SCHEMA rows (dims/digest always; pixel stats
+                per the policy decision)
+    _progress.jsonl  carries a status='pixel_policy' row recording the
+                per-format decision (resumed runs replay it)
+plus ONE summary JSON line on stdout.
+
+Scale shape: payload extraction is the one mapInPandas pass; the
+policy costs one per-format aggregate over magic-sniffed heads plus
+sample_per_format driver-side decode timings (plans/salting.py's
+scalar-collect class); features are a second mapInPandas pass over
+the persisted payload table (never recomputed from the PDFs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--sample-per-format", type=int, default=4)
+    ap.add_argument("--budget-core-seconds", type=float, default=None)
+    ap.add_argument("--min-mb-per-sec", type=float, default=0.2)
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--force-decode", action="store_true")
+    g.add_argument("--force-header-only", action="store_true")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName("sparkpdf-media").getOrCreate()
+
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        extract_media_payloads,
+        pixel_stats_policy,
+        record_pixel_policy,
+    )
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    out = args.output.rstrip("/")
+    payloads = extract_media_payloads(spark.read.parquet(args.input))
+    payloads.write.mode("overwrite").parquet(f"{out}/payloads")
+    payloads = spark.read.parquet(f"{out}/payloads")
+    n_payloads = payloads.count()
+    n_quarantined = payloads.filter(F.col("error").isNotNull()).count()
+    media = payloads.filter(F.col("error").isNull()).drop("error")
+
+    if args.force_decode:
+        pixel_formats = None  # global default: decode everything
+        policy = {"decode_formats": ["*forced*"], "formats": {},
+                  "sampled": 0}
+    elif args.force_header_only:
+        pixel_formats = set()
+        policy = {"decode_formats": [], "formats": {}, "sampled": 0}
+    else:
+        pol = pixel_stats_policy(
+            media,
+            sample_per_format=args.sample_per_format,
+            budget_core_seconds=args.budget_core_seconds,
+            min_mb_per_sec=args.min_mb_per_sec,
+        )
+        pixel_formats = pol["decode_formats"]
+        policy = {
+            "decode_formats": sorted(pol["decode_formats"]),
+            "formats": pol["formats"],
+            "sampled": pol["sampled"],
+        }
+    # the manifest rides next to the features so a resumed/downstream
+    # run can replay the same decode path
+    ck = CheckpointedExtraction(out, n_batches=1)
+    record_pixel_policy(
+        ck,
+        {"decode_formats": set(policy["decode_formats"]),
+         "formats": policy["formats"], "sampled": policy["sampled"]},
+    )
+
+    feats = extract_media_features(media, pixel_formats=pixel_formats)
+    feats.write.mode("overwrite").parquet(f"{out}/features")
+    feats = spark.read.parquet(f"{out}/features")
+    summary = {
+        "payload_rows": n_payloads,
+        "quarantined": n_quarantined,
+        "features": feats.count(),
+        "decoded_stats": feats.filter(
+            F.col("mean_luma").isNotNull() | F.col("ink_ratio").isNotNull()
+        ).count(),
+        "policy": policy,
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
