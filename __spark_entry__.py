@@ -1107,6 +1107,15 @@ def q_jpeg12_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_line_dedup(spark, sf_dir):
+    # C4/RefinedWeb-style corpus-wide line dedup (round 5): the
+    # corpus's one-line docs make this global first-occurrence text
+    # dedup; multi-line behavior is pytest-pinned
+    from sparkpdf.operators.dedup import remove_duplicate_lines
+
+    return remove_duplicate_lines(_t(spark, sf_dir, "documents"))
+
+
 def q_token_rarity(spark, sf_dir):
     # IDF-style corpus-frequency quality signal (round 5): partial-agg
     # vocabulary count + AQE-splittable frequency join; per-token
@@ -1296,9 +1305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "av_media_features": q_av_media_features,
         "write_roundtrip": q_write_roundtrip,
-        "font_join": q_font_join,
         "events_window": q_events_window,
         "token_rarity": q_token_rarity,
+        "line_dedup": q_line_dedup,
         "gif_anim_stats": q_gif_anim_stats,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "jpeg_lossless_stats": q_jpeg_lossless_stats,
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_embedded_media": q_pdf_embedded_media,
         # ---- driver window boundary (50) ----
         "obj_join": q_obj_join,
+        "font_join": q_font_join,
         "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
@@ -2421,6 +2431,21 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM pals GROUP BY doc_id, width, height
+    """
+    # line_dedup: first-occurrence survival keyed on doc_id*1e9+pos;
+    # the oracle groups by the line TEXT (collision certificate for
+    # the engine's xxhash64 key)
+    sql["line_dedup"] = """
+        WITH firsts AS (
+            SELECT text AS t, MIN(doc_id) AS first_doc
+            FROM documents GROUP BY text
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id = f.first_doc THEN d.text ELSE '' END
+                   AS text,
+               CAST(CASE WHEN d.doc_id = f.first_doc THEN 0 ELSE 1 END
+                    AS INTEGER) AS n_dropped_lines
+        FROM documents d JOIN firsts f ON d.text = f.t
     """
     # token_rarity: mirrored two-aggregation IDF shape; per-token
     # -log10 rounded 6dp before the mean on both engines

@@ -597,3 +597,68 @@ def remove_duplicate_substrings(documents: DataFrame,
             F.lit(0),
         ).alias("n_dup_chars"),
     )
+
+
+def remove_duplicate_lines(documents: DataFrame, sep: str = "\n") -> DataFrame:
+    """Corpus-wide line-level dedup (the C4/RefinedWeb cleanup
+    primitive): every line that occurs more than once in the corpus
+    survives ONLY at its first occurrence (lexicographically smallest
+    (doc_id, position)); all other occurrences are dropped and the
+    doc's remaining lines re-join in order.
+
+    Plan shape (100 TB): posexplode is map-side; first-occurrence
+    selection is ONE partial-agg groupBy on xxhash64(line) taking
+    min(doc_id * 1e9 + pos) — the same skew-safe aggregate-not-window
+    shape as duplicate_substring_ranges (a boilerplate line appearing
+    millions of times combines map-side) — and the join back is
+    AQE-skew-splittable; reassembly is one groupBy(doc_id). The
+    64-bit line hash risks ~n^2/2^64 collisions; the DuckDB oracle
+    groups by the line TEXT, so a collision surfaces as a hash
+    mismatch.
+
+    Output: doc_id, text (kept lines), n_dropped_lines."""
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    import re
+
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", re.escape(sep), -1)).alias(
+            "pos", "line"
+        ),
+    )
+    hashed = lines.withColumn("h", F.xxhash64("line")).withColumn(
+        "key", F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")
+    )
+    firsts = hashed.groupBy("h").agg(F.min("key").alias("first_key"))
+    kept = (
+        hashed.join(firsts, "h")
+        .filter(F.col("key") == F.col("first_key"))
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .join(totals, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_dropped_lines"),
+        )
+    )

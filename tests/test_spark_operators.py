@@ -1297,3 +1297,29 @@ def test_driver_contract_window():
         "jpeg_lossless_stats", "av_media_features",
     ):
         assert name in window, f"{name} fell out of the graded window"
+
+
+def test_remove_duplicate_lines(spark):
+    """C4-style corpus-wide line dedup: duplicated lines survive only
+    at their first (doc_id, pos) occurrence; unique lines untouched;
+    fully-duplicated docs empty out (never dropped); the plan counts
+    first occurrences with a partial aggregate, not a window."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame([
+        Row(doc_id="1", text="alpha\nshared line\nbeta"),
+        Row(doc_id="2", text="shared line\ngamma\nshared line"),
+        Row(doc_id="3", text="alpha\ndelta"),
+        Row(doc_id="4", text="shared line"),
+    ])
+    out = remove_duplicate_lines(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].text == "alpha\nshared line\nbeta"
+    assert rows[1].n_dropped_lines == 0
+    assert rows[2].text == "gamma" and rows[2].n_dropped_lines == 2
+    assert rows[3].text == "delta" and rows[3].n_dropped_lines == 1
+    assert rows[4].text == "" and rows[4].n_dropped_lines == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_min" in final, plan
