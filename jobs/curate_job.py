@@ -13,10 +13,14 @@ Stages (each output lands under --output for auditability):
   3. pii          scrub emails / long digit runs, keep audit counts
   4. dedup        minhash-LSH pairs -> connected components -> keep the
                   min-doc_id representative of every cluster
+  2b. rarity      (--min-rarity R, default 0 = off) drop docs whose
+                  corpus-frequency rarity score is below R
   4b. substrings  (--substring-min-len N, default 0 = off) cut every
                   character range covered by duplicated N-grams out of
                   the surviving docs (exact-substring dedup); ranges
                   land under --output/dup_ranges for audit
+  4c. lines       (--line-dedup) corpus-wide line dedup: duplicated
+                  lines keep only their first occurrence
   5. chunk        surviving docs -> overlapping training windows
 
 Every stage is DataFrame-native (mapInPandas only inside extraction);
@@ -41,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--batches", type=int, default=16)
     ap.add_argument("--dup-jaccard", type=float, default=0.9)
     ap.add_argument("--substring-min-len", type=int, default=0)
+    ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="C4-style corpus-wide line dedup: duplicated lines keep "
+        "only their first occurrence (after near-dup doc removal)",
+    )
     ap.add_argument(
         "--min-rarity", type=float, default=0.0,
         help="drop docs whose corpus-frequency rarity score "
@@ -140,6 +149,21 @@ def main(argv=None):
             cut.select("doc_id", "text"), "doc_id"
         )
 
+    # 4c. corpus-wide line dedup (optional): duplicated lines keep
+    # only their first occurrence (round 5)
+    n_dropped_lines = 0
+    if args.line_dedup:
+        from sparkpdf.operators.dedup import remove_duplicate_lines
+
+        ld = remove_duplicate_lines(unique_docs.select("doc_id", "text"))
+        n_dropped_lines = int(
+            ld.agg(F.sum("n_dropped_lines")).collect()[0][0] or 0
+        )
+        unique_docs = unique_docs.drop("text").join(
+            ld.filter(F.length("text") > 0).select("doc_id", "text"),
+            "doc_id",
+        )
+
     # 5. training windows
     chunks = chunk_documents(
         unique_docs, chunk_chars=args.chunk_chars, overlap=args.overlap
@@ -154,6 +178,7 @@ def main(argv=None):
         "unique_after_dedup": n_unique,
         "lsh_overflow_buckets": n_overflow_buckets,
         "dup_substring_chars_cut": n_dup_chars,
+        "dropped_duplicate_lines": n_dropped_lines,
         "chunks": n_chunks,
     }
     print(json.dumps(summary))
