@@ -1323,3 +1323,58 @@ def test_remove_duplicate_lines(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "partial_min" in final, plan
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer with ProcessingTimeTimeout:
+    a large event-time gap closes a session (closed_by='gap') and the
+    trailing open session flushes out of state on the processing-time
+    timeout (closed_by='timeout'). One long-lived query; output polled
+    with a deadline (timeout batches fire on the trigger cadence)."""
+    import time
+
+    from pyspark.sql import Row
+    from sparkpdf.streaming.stateful import streaming_sessionize
+
+    in_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ck_dir = str(tmp_path / "ev_ck")
+    schema = "user_id string, ts long"
+    # one batch, one user: [1000, 2000] -- gap --> [10_000_000]
+    # closes session 1 in-batch; session 2 stays open in state until
+    # the 2 s idle timeout flushes it
+    spark.createDataFrame(
+        [Row(user_id="u1", ts=1000), Row(user_id="u1", ts=2000),
+         Row(user_id="u1", ts=10_000_000)],
+        schema=schema,
+    ).write.mode("append").parquet(in_dir)
+    src = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        streaming_sessionize(src, gap_ms=10_000, idle_timeout_ms=2_000)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    (r.user_id, r.session_start, r.session_end,
+                     r.n_events, r.closed_by)
+                    for r in spark.read.parquet(out_dir).collect()
+                )
+            except Exception:
+                got = []
+            if len(got) >= 2:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert ("u1", 1000, 2000, 2, "gap") in got, got
+    assert ("u1", 10_000_000, 10_000_000, 1, "timeout") in got, got
+    assert len(got) == 2  # no duplicate emissions
