@@ -1378,3 +1378,43 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert ("u1", 1000, 2000, 2, "gap") in got, got
     assert ("u1", 10_000_000, 10_000_000, 1, "timeout") in got, got
     assert len(got) == 2  # no duplicate emissions
+
+
+def test_remove_duplicate_lines_random_property(spark):
+    """Property check against an independent Python reference: for
+    seeded random multi-line corpora (small vocab -> heavy cross-doc
+    line collisions), the Spark output equals the reference's
+    first-occurrence-survival result doc for doc."""
+    import random
+
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import remove_duplicate_lines
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        vocab = [f"line-{k}" for k in range(12)]
+        docs = []
+        for d in range(40):
+            n = rng.randint(1, 6)
+            docs.append((d, "\n".join(rng.choice(vocab)
+                                      for _ in range(n))))
+        # reference: first (doc_id, pos) occurrence survives
+        seen = set()
+        expect = {}
+        for d, text in docs:
+            kept, dropped = [], 0
+            for line in text.split("\n"):
+                if line in seen:
+                    dropped += 1
+                else:
+                    seen.add(line)
+                    kept.append(line)
+            expect[d] = ("\n".join(kept), dropped)
+        df = spark.createDataFrame(
+            [Row(doc_id=str(d), text=t) for d, t in docs]
+        )
+        got = {
+            r.doc_id: (r.text, r.n_dropped_lines)
+            for r in remove_duplicate_lines(df).collect()
+        }
+        assert got == expect, seed
