@@ -61,6 +61,7 @@ def jpeg_dims(b: bytes) -> Optional[dict]:
                 "format": "jpeg",
                 "height": int.from_bytes(b[i + 5:i + 7], "big"),
                 "width": int.from_bytes(b[i + 7:i + 9], "big"),
+                "bits": b[i + 4],  # SOF sample precision (8/12/16)
             }
             if i + 10 <= len(b):
                 out["components"] = b[i + 9]

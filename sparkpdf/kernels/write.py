@@ -351,11 +351,15 @@ def spans_to_pdf(
                     f"unsupported JPEG component count for media payload "
                     f"{name.decode('latin-1')!r}"
                 )
+            # PDF BitsPerComponent must be 1/2/4/8/16 (§8.9.5.1): deep
+            # payloads (12-bit SOF1/SOF2, 12/16-bit lossless SOF3)
+            # label 16, everything else 8
+            bpc = 16 if dims.get("bits", 8) > 8 else 8
             xo = add_stream(
                 b"/Type /XObject /Subtype /Image /Width %d /Height %d"
                 % (dims["width"], dims["height"])
                 + b" /ColorSpace " + cs
-                + b" /BitsPerComponent 8 /Filter /DCTDecode",
+                + b" /BitsPerComponent %d /Filter /DCTDecode" % bpc,
                 payload,
                 deflate=False,
             )

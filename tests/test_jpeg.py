@@ -84,7 +84,8 @@ def test_rejects_are_none_never_raise():
 
     hdr = make_jpeg(33, 21)
     assert image_dims(hdr) == {
-        "format": "jpeg", "width": 33, "height": 21, "components": 3}
+        "format": "jpeg", "width": 33, "height": 21, "bits": 8,
+        "components": 3}
     assert decode_jpeg(hdr) is None
 
 

@@ -209,7 +209,8 @@ def test_image_dims_parsers():
     assert image_dims(make_png(640, 480)) == {
         "format": "png", "width": 640, "height": 480}
     assert image_dims(make_jpeg(1920, 1080)) == {
-        "format": "jpeg", "width": 1920, "height": 1080, "components": 3}
+        "format": "jpeg", "width": 1920, "height": 1080, "bits": 8,
+        "components": 3}
     assert image_dims(make_gif(13, 7)) == {
         "format": "gif", "width": 13, "height": 7}
     tiff = filters.ccitt_fax_wrap(b"\x01\x02", {"/K": -1, "/Columns": 1728,

@@ -509,3 +509,49 @@ def test_xref_stream_output():
 
     with _pytest.raises(PdfError):
         PdfDocument(enc, password=b"nope")
+
+
+def test_deep_bit_jpeg_media_embedding():
+    """12-bit (SOF1) and 16-bit lossless (SOF3) JPEG payloads embed as
+    DCTDecode XObjects labeled BitsPerComponent 16 (PDF §8.9.5.1
+    allows only 1/2/4/8/16) and round-trip through the media bridge
+    byte-identically; 8-bit stays BPC 8."""
+    import numpy as np
+
+    from sparkpdf.kernels.document import PdfDocument
+    from sparkpdf.kernels.extract import extract_doc
+    from sparkpdf.kernels.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from sparkpdf.kernels.write import spans_to_pdf
+
+    img12 = np.full((8, 16), 2080, dtype=np.uint16)
+    img16 = np.arange(8 * 16, dtype=np.uint16).reshape(8, 16) * 512
+    img8 = np.full((8, 16), 130, dtype=np.uint8)
+    payloads = {
+        "m12": encode_jpeg(img12, precision=12),
+        "m16": encode_jpeg_lossless(img16),
+        "m8": encode_jpeg(img8),
+    }
+    spans = [
+        {"kind": "text", "text": "deep bits\n", "media_ref": None,
+         "offset": 0, "page_no": 0},
+    ] + [
+        {"kind": "media_ref", "text": None, "media_ref": k,
+         "offset": i + 1, "page_no": 0}
+        for i, k in enumerate(payloads)
+    ]
+    raw = spans_to_pdf([spans], media_payloads=payloads)
+    assert b"/BitsPerComponent 16" in raw
+    assert b"/BitsPerComponent 8" in raw
+    doc = PdfDocument(raw)
+    media = {m["name"]: m["data"] for m in doc.media_objects()}
+    # payloads survive byte-identically (no flate re-wrap of DCT)
+    for k, p in payloads.items():
+        got = [v for name, v in media.items() if k in name]
+        assert got and got[0] == p, (k, list(media))
+    # and still decode to the planted pixels
+    assert (decode_jpeg([v for n, v in media.items() if "m16" in n][0])
+            == img16).all()
