@@ -1246,6 +1246,7 @@ def q_av_media_features(spark, sf_dir):
         F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
         F.coalesce("width", F.lit(-1)).alias("width"),
         F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("bits", F.lit(-1)).alias("bits"),
     )
 
 
@@ -2647,7 +2648,11 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 1 THEN 240 + (doc_id % 4) * 16
                          WHEN 3 THEN 80 + doc_id % 200
                          WHEN 6 THEN 120 + (doc_id % 6) * 32
-                         ELSE -1 END AS INTEGER) AS height
+                         ELSE -1 END AS INTEGER) AS height,
+               CAST(CASE doc_id % 7
+                         WHEN 0 THEN 8
+                         WHEN 4 THEN 16
+                         ELSE -1 END AS INTEGER) AS bits
         FROM documents
     """
     # media_dims: expected dims restated by formula; the engine must

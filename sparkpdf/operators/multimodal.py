@@ -57,6 +57,7 @@ FEATURE_SCHEMA = StructType(
         StructField("sample_rate", IntegerType()),
         StructField("mean_luma", DoubleType()),
         StructField("n_frames", IntegerType()),
+        StructField("bits", IntegerType()),
     ]
 )
 
@@ -713,6 +714,7 @@ def _make_feature_batches(pixel_formats: "set | None" = None):
                 out["sample_rate"].append(meta.get("sample_rate"))
                 out["mean_luma"].append(meta.get("mean_luma"))
                 out["n_frames"].append(meta.get("n_frames"))
+                out["bits"].append(meta.get("bits"))
             yield pd.DataFrame(out)
 
     return _feature_batches
