@@ -1107,6 +1107,14 @@ def q_jpeg12_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_hash_split(spark, sf_dir):
+    # deterministic md5-bucket train/val split (round 5): stable
+    # across runs/engines/partitionings; ~10% val at the default
+    from sparkpdf.operators.text import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"))
+
+
 def q_line_dedup(spark, sf_dir):
     # C4/RefinedWeb-style corpus-wide line dedup (round 5): the
     # corpus's one-line docs make this global first-occurrence text
@@ -1306,9 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_spans": q_extract_spans,
         "av_media_features": q_av_media_features,
         "write_roundtrip": q_write_roundtrip,
-        "events_window": q_events_window,
         "token_rarity": q_token_rarity,
         "line_dedup": q_line_dedup,
+        "hash_split": q_hash_split,
         "gif_anim_stats": q_gif_anim_stats,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "jpeg_lossless_stats": q_jpeg_lossless_stats,
@@ -1321,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window boundary (50) ----
         "obj_join": q_obj_join,
         "font_join": q_font_join,
+        "events_window": q_events_window,
         "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
@@ -2432,6 +2441,18 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(30 + ((d + k * 7) % 26) * 8)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM pals GROUP BY doc_id, width, height
+    """
+    # hash_split: md5-bucket assignment is engine-portable (DuckDB md5
+    # of the same string; 3 hex digits -> 0..4095)
+    sql["hash_split"] = """
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5('split:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 3) AS INTEGER)
+                    AS INTEGER) AS bucket,
+               CASE WHEN CAST('0x' || substr(md5('split:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 3) AS INTEGER) * 1000
+                    < 100 * 4096 THEN 'val' ELSE 'train' END AS split
+        FROM documents
     """
     # line_dedup: first-occurrence survival keyed on doc_id*1e9+pos;
     # the oracle groups by the line TEXT (collision certificate for

@@ -367,3 +367,26 @@ def token_rarity_score(documents: DataFrame) -> DataFrame:
             F.count("*").alias("n_tokens"),
         )
     )
+
+
+def hash_split(documents: DataFrame, val_permille: int = 100,
+               salt: str = "split") -> DataFrame:
+    """Deterministic train/validation split — the reproducibility
+    primitive for corpus snapshots: bucket = first 3 hex digits of
+    md5(salt || doc_id) as an integer in [0, 4096); rows with
+    bucket * 1000 < val_permille * 4096 go to 'val'. Pure JVM
+    expression, no RNG: the assignment is stable across runs, engines,
+    partitionings and corpus growth (a doc's split never changes when
+    other docs are added — unlike sample()/randomSplit)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col("doc_id").cast("string"))), 1, 3),
+        16, 10,
+    ).cast("int")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bucket.alias("bucket"),
+        F.when(bucket * 1000 < val_permille * 4096, "val")
+        .otherwise("train")
+        .alias("split"),
+    )
