@@ -496,14 +496,26 @@ def duplicate_substring_ranges(documents: DataFrame,
     from pyspark.sql import Window
 
     L = int(min_len)
+    # gram enumeration works on a per-char ARRAY (split + slice +
+    # array_join), NOT substr over the string: UTF8String.substring
+    # scans from the string start to locate the char offset, which
+    # makes per-position substr O(len^2) per document — measured
+    # 29 s at 100k chars vs 0.8 s for the array shape (quadratic vs
+    # linear; a 200 MB doc would never finish). Char semantics are
+    # identical.
     grams = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", "").alias("cs"),
+    ).select(
+        "doc_id",
         F.posexplode(
             F.when(
-                F.length("text") >= L,
+                F.size("cs") >= L,
                 F.transform(
-                    F.sequence(F.lit(0), F.length("text") - L),
-                    lambda i: F.col("text").substr(i + 1, F.lit(L)),
+                    F.sequence(F.lit(0), F.size("cs") - L),
+                    lambda i: F.array_join(
+                        F.slice("cs", i + 1, F.lit(L)), ""
+                    ),
                 ),
             ).otherwise(F.array())
         ).alias("pos", "g"),
@@ -564,10 +576,21 @@ def remove_duplicate_substrings(documents: DataFrame,
             ).alias("rs")
         )
     )
-    joined = docs.join(ranges, "doc_id", "left")
+    # cs is computed BELOW the join: CollapseProject re-inlines an
+    # alias into every consumer, so a same-projection cs would expand
+    # to one full split(text) per zip_with ELEMENT — O(ranges * len),
+    # measured 166 s vs 4 s on a 10k-range doc. A Join node is a
+    # collapse barrier (and AQE broadcasts the small ranges side, so
+    # no extra shuffle of the char array).
+    joined = docs.withColumn("cs", F.split("text", "")).join(
+        ranges, "doc_id", "left"
+    )
     # kept segment k spans [end_{k-1}, start_k) plus the final tail
     # [end_last, len); ranges are disjoint and sorted, so every slice
-    # length is >= 0
+    # length is >= 0. Slices run over the per-char ARRAY: string
+    # substr at a char offset is O(offset) (UTF8String scans), which
+    # would make the cut O(ranges * len) again; array slice is O(1)
+    # to seek.
     seg_starts = F.concat(
         F.array(F.lit(0)), F.transform("rs", lambda r: r["range_end"])
     )
@@ -577,10 +600,12 @@ def remove_duplicate_substrings(documents: DataFrame,
     )
     cut = F.concat_ws(
         "",
-        F.zip_with(
-            seg_starts,
-            seg_ends,
-            lambda s, e: F.col("text").substr(s + 1, e - s),
+        F.flatten(
+            F.zip_with(
+                seg_starts,
+                seg_ends,
+                lambda s, e: F.slice(F.col("cs"), s + 1, e - s),
+            )
         ),
     )
     return joined.select(

@@ -1188,7 +1188,7 @@ def test_minhash_lsh_bucket_cap(spark):
 
 
 def test_remove_duplicate_substrings_pathological(spark):
-    """Fold-cost bound (r4 verdict item 5): a doc with ~1000 tiny
+    """Fold-cost bound (r4 verdict item 5): a doc with 10k tiny
     duplicated ranges cuts in one concat_ws pass — O(len + ranges), not
     O(ranges * len) accumulated copying. Pin correctness (conservation
     + every marker removed) and a wall bound loose enough for CI."""
@@ -1203,9 +1203,12 @@ def test_remove_duplicate_substrings_pathological(spark):
     # 42 > min_len 40), so each doc carries `slots` disjoint ranges
     marker = "#DUPLICATED-MARKER-RUN-FORTY-CHARS-LONG#"
     assert len(marker) == 40
-    slots = 1000
-    ctr = iter(range(0x10000))
-    uniq = lambda n: "".join(chr(0x4E00 + next(ctr)) for _ in range(n))
+    slots = 10000
+    # Plane-2 codepoints: the BMP 0x4E00+counter runs into the
+    # surrogate range at this scale (invalid chars -> mangled gaps ->
+    # phantom duplicate windows)
+    ctr = iter(range(0x18000))
+    uniq = lambda n: "".join(chr(0x20000 + next(ctr)) for _ in range(n))
     gaps_a = [uniq(2) for _ in range(slots)]
     gaps_b = [uniq(2) for _ in range(slots)]
     a = "".join(marker + g for g in gaps_a)
