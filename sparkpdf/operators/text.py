@@ -122,15 +122,22 @@ def duplicate_ngrams(documents: DataFrame, n: int = 5, min_docs: int = 2) -> Dat
     sequence — no explode until after the per-row array is built), the
     single shuffle groups on the md5 gram hash (uniform key), and
     Catalyst partial-aggregates the per-partition counts first."""
-    toks = _tokens("text")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    exploded = documents.select(
+    # the token array MUST be a materialized attribute: a lambda that
+    # captures the tokenization EXPRESSION re-evaluates it per window
+    # element after CollapseProject inlining — O(windows * len) per
+    # doc (measured 242 s vs 0.7 s at 10k tokens)
+    toksed = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        _tokens("text").alias("toks"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+    )
+    exploded = toksed.select(
+        "doc_id",
         F.explode(
-            F.when(F.size(toks) >= n, grams).otherwise(F.array())
+            F.when(F.size("toks") >= n, grams).otherwise(F.array())
         ).alias("gram"),
     )
     return (
@@ -153,24 +160,38 @@ def chunk_documents(
     map-side only, no shuffle, scales linearly with corpus bytes."""
     assert 0 <= overlap < chunk_chars
     stride = chunk_chars - overlap
+    # windows slice a per-char ARRAY built once per doc, then explode:
+    # the previous shape exploded chunk indices FIRST and ran
+    # substring(text, k*stride+1, ...) per chunk ROW — replicating the
+    # full text into every row AND paying UTF8String's O(offset) char
+    # seek per chunk = O(len^2/stride) on long docs (same class of
+    # quadratic as the round-5 substring-dedup fixes)
     n_chunks = F.greatest(
-        F.lit(1), F.ceil(F.length("text") / F.lit(stride))
+        F.lit(1), F.ceil(F.size("cs") / F.lit(stride))
     ).cast("int")
-    ks = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.array_join(
+            F.slice("cs", k * stride + 1, F.lit(chunk_chars)), ""
+        ),
+    )
     return (
         documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("text"),
-            n_chunks.alias("n_chunks"),
-            ks.alias("chunk_idx"),
+            F.split("text", "").alias("cs"),
+        )
+        .select(
+            "doc_id",
+            F.size("cs").alias("_len"),
+            F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
         )
         .select(
             "doc_id",
             "chunk_idx",
-            "n_chunks",
-            F.substring(
-                F.col("text"), F.col("chunk_idx") * stride + 1, chunk_chars
-            ).alias("chunk_text"),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("_len") / F.lit(stride))
+            ).cast("int").alias("n_chunks"),
+            "chunk_text",
         )
     )
 
@@ -287,21 +308,28 @@ def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
     side never shuffles; window fan-out is map-side (transform over
     sequence) and the per-doc counts partial-aggregate before the one
     doc_id shuffle."""
-    toks = _tokens("text")
+    # token arrays are materialized ATTRIBUTES before the window
+    # lambdas (same CollapseProject re-evaluation trap fixed in
+    # duplicate_ngrams: an expression captured inside the lambda
+    # re-tokenizes per window — O(windows * len))
     grams = F.when(
-        F.size(toks) >= n,
+        F.size("toks") >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            F.sequence(F.lit(0), F.size("toks") - n),
+            lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
         ),
     ).otherwise(F.array())
     bench_grams = (
-        benchmark.select(F.explode(grams).alias("gram"))
+        benchmark.select(_tokens("text").alias("toks"))
+        .select(F.explode(grams).alias("gram"))
         .select(F.md5(F.col("gram").cast("binary")).alias("gram_hash"))
         .distinct()
     )
     doc_grams = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        _tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
         F.explode(grams).alias("gram"),
     ).select(
         "doc_id", F.md5(F.col("gram").cast("binary")).alias("gram_hash")
@@ -311,7 +339,9 @@ def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
     )
     n_windows = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.greatest(F.size(toks) - n + 1, F.lit(0)).alias("n_windows"),
+        F.greatest(
+            F.size(_tokens("text")) - n + 1, F.lit(0)
+        ).alias("n_windows"),
     )
     return (
         n_windows.join(

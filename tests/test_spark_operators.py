@@ -1469,3 +1469,39 @@ def test_pixel_stats_policy_empty_media(spark):
     )
     pol = pixel_stats_policy(empty)
     assert pol == {"formats": {}, "decode_formats": set(), "sampled": 0}
+
+
+def test_windowed_ops_linear_on_long_docs(spark):
+    """Regression guard for the round-5 quadratic fixes: every
+    windowed operator (n-gram enumeration, contamination windows,
+    chunker, substring grams) must stay linear on LONG documents —
+    the pre-fix shapes re-evaluated tokenization/substr per window
+    (O(len^2): duplicate_ngrams took 240+ s on this corpus; the bound
+    here is loose wall, not a benchmark)."""
+    import random
+    import time
+
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import duplicate_substring_ranges
+    from sparkpdf.operators.text import (
+        benchmark_contamination,
+        chunk_documents,
+        duplicate_ngrams,
+    )
+
+    rng = random.Random(2)
+    long_txt = " ".join(f"w{rng.randrange(10**9)}" for _ in range(40_000))
+    docs = spark.createDataFrame(
+        [Row(doc_id="1", text=long_txt), Row(doc_id="2", text=long_txt)]
+    ).cache()
+    docs.count()
+    t0 = time.monotonic()
+    assert duplicate_ngrams(docs).count() > 0
+    n_chunks = chunk_documents(docs).count()
+    assert n_chunks == 2 * -(-len(long_txt) // 400)
+    bench = spark.createDataFrame([Row(text=long_txt[:4000])])
+    assert benchmark_contamination(docs, bench).count() == 2
+    assert duplicate_substring_ranges(docs, 40).count() == 2
+    wall = time.monotonic() - t0
+    assert wall < 120, wall
+    docs.unpersist()
