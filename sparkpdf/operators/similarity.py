@@ -26,11 +26,21 @@ def _norm(a):
 
 def with_unit_vectors(embeddings: DataFrame) -> DataFrame:
     """Cast to double and L2-normalise once, upfront — cosine becomes a
-    plain dot product downstream (compute-once at 100 TB)."""
+    plain dot product downstream (compute-once at 100 TB). The norm is
+    a materialized column, NOT an expression captured in the division
+    lambda: CollapseProject would re-inline it per ELEMENT (an O(dim)
+    aggregate per component = O(dim^2) per row — the round-5
+    lambda-capture trap)."""
     vec = F.transform("embedding", lambda v: v.cast("double"))
+    # the norm rides in as a zip_with ARGUMENT (argument expressions
+    # evaluate once per row; only lambda-body captures re-evaluate per
+    # element), broadcast across the row via array_repeat — O(dim) per
+    # row, and x / n keeps float results bit-identical to the oracle
+    # (x * (1/n) would differ by an ulp)
+    norms = F.array_repeat(_norm(vec), F.size(vec))
     return embeddings.select(
         F.col("vec_id").cast("long").alias("vec_id"),
-        F.transform(vec, lambda v: v / _norm(vec)).alias("unit"),
+        F.zip_with(vec, norms, lambda x, nn: x / nn).alias("unit"),
     )
 
 
