@@ -65,16 +65,22 @@ def _stage_totals(spark, t_start_ms):
 
 
 def _grams(documents, L):
+    # char-array slice shape (the linearized round-5 form — substr at
+    # a char offset is O(offset), see BENCH/BASELINE.md); shuffle
+    # volumes are unaffected by the enumeration shape
     from pyspark.sql import functions as F
 
     return documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
+        F.split("text", "").alias("cs"),
+    ).select(
+        "doc_id",
         F.posexplode(
             F.when(
-                F.length("text") >= L,
+                F.size("cs") >= L,
                 F.transform(
-                    F.sequence(F.lit(0), F.length("text") - L),
-                    lambda i: F.col("text").substr(i + 1, F.lit(L)),
+                    F.sequence(F.lit(0), F.size("cs") - L),
+                    lambda i: F.array_join(F.slice("cs", i + 1, F.lit(L)), ""),
                 ),
             ).otherwise(F.array())
         ).alias("pos", "g"),
