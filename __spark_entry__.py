@@ -1124,6 +1124,14 @@ def q_line_dedup(spark, sf_dir):
     return remove_duplicate_lines(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_surprisal(spark, sf_dir):
+    # KenLM-style fluency approximation (round 5): corpus-MLE bigram
+    # conditionals, micro-unit-quantized surprisal mean
+    from sparkpdf.operators.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
 def q_token_rarity(spark, sf_dir):
     # IDF-style corpus-frequency quality signal (round 5): partial-agg
     # vocabulary count + AQE-splittable frequency join; per-token
@@ -1317,13 +1325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": q_token_rarity,
         "line_dedup": q_line_dedup,
         "hash_split": q_hash_split,
+        "bigram_surprisal": q_bigram_surprisal,
         "gif_anim_stats": q_gif_anim_stats,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "jpeg_lossless_stats": q_jpeg_lossless_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_features": q_multimodal_features,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
         "pdf_embedded_media": q_pdf_embedded_media,
         # ---- driver window boundary (50) ----
@@ -1359,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "media_dims": q_media_dims,
+        "multimodal_features": q_multimodal_features,
         "extract_full_text": q_extract_full_text,
         "gif_pixel_stats": q_gif_pixel_stats,
         "write_enriched": q_write_enriched,
@@ -2468,6 +2477,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN d.doc_id = f.first_doc THEN 0 ELSE 1 END
                     AS INTEGER) AS n_dropped_lines
         FROM documents d JOIN firsts f ON d.text = f.t
+    """
+    # bigram_surprisal: corpus-MLE conditional surprisal, micro-unit
+    # quantized (same float discipline as token_rarity); prefix counts
+    # derive from the bigram counts so conditionals sum to 1
+    sql["bigram_surprisal"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   list_extract(t, CAST(i + 1 AS INTEGER)) AS w1,
+                   list_extract(t, CAST(i + 2 AS INTEGER)) AS w2
+            FROM toks, unnest(range(0, CAST(len(t) - 1 AS BIGINT)))
+                 AS u(i)
+            WHERE len(t) >= 2
+        ), bf AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+        ), uf AS (
+            SELECT w1, SUM(c2) AS c1 FROM bf GROUP BY w1
+        )
+        SELECT doc_id,
+               ROUND(SUM(CAST(ROUND(-log10(c2 / CAST(c1 AS DOUBLE))
+                                    * 1000000) AS BIGINT))
+                     / (COUNT(*) * 1000000.0), 6) AS surprisal,
+               COUNT(*) AS n_bigrams
+        FROM bg JOIN bf USING (w1, w2) JOIN uf USING (w1)
+        GROUP BY doc_id
     """
     # token_rarity: mirrored two-aggregation IDF shape; per-token
     # -log10 rounded 6dp before the mean on both engines
