@@ -633,7 +633,7 @@ def remove_duplicate_lines(documents: DataFrame, sep: str = "\n") -> DataFrame:
 
     Plan shape (100 TB): posexplode is map-side; first-occurrence
     selection is ONE partial-agg groupBy on xxhash64(line) taking
-    min(doc_id * 1e9 + pos) — the same skew-safe aggregate-not-window
+    min(struct(doc_id, pos)) — the same skew-safe aggregate-not-window
     shape as duplicate_substring_ranges (a boilerplate line appearing
     millions of times combines map-side) — and the join back is
     AQE-skew-splittable; reassembly is one groupBy(doc_id). The
@@ -653,13 +653,20 @@ def remove_duplicate_lines(documents: DataFrame, sep: str = "\n") -> DataFrame:
             "pos", "line"
         ),
     )
-    hashed = lines.withColumn("h", F.xxhash64("line")).withColumn(
-        "key", F.col("doc_id") * F.lit(1_000_000_000) + F.col("pos")
+    # First occurrence = min(struct(doc_id, pos)): struct min compares
+    # field-by-field, so ordering is exact for ANY 64-bit doc_id — a
+    # packed doc_id*1e9+pos long key silently overflows for
+    # snowflake/hash-derived ids >= ~9.2e9 and mis-picks the survivor.
+    hashed = lines.withColumn("h", F.xxhash64("line"))
+    firsts = hashed.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
     )
-    firsts = hashed.groupBy("h").agg(F.min("key").alias("first_key"))
     kept = (
         hashed.join(firsts, "h")
-        .filter(F.col("key") == F.col("first_key"))
+        .filter(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
         .groupBy("doc_id")
         .agg(
             F.concat_ws(

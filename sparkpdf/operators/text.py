@@ -358,43 +358,79 @@ def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
     )
 
 
-def token_rarity_score(documents: DataFrame) -> DataFrame:
+def token_rarity_score(documents: DataFrame,
+                       head_budget: int = 1_000_000) -> DataFrame:
     """Corpus-frequency rarity score — the IDF-style quality-filtering
     primitive: per doc, the mean of -log10(count(token) / total_tokens)
     over its tokens (duplicates counted; higher = rarer vocabulary;
     boilerplate-heavy docs score low).
 
-    Scale shape (100 TB): explode is map-side; the vocabulary count is
-    a partial-agg groupBy(token) (map-side combine — a hot stopword
-    ships one row per map partition); the frequency join back is a
-    plain equi-join AQE can skew-split or broadcast (vocabularies are
-    small relative to corpora); one final agg by doc_id. The corpus
-    token total is a scalar planning aggregate (same class as
-    plans/salting.py's stats row).
+    Scale shape (100 TB) — the round-6 head/tail pruning: the raw
+    occurrence stream NEVER reshuffles on token text. One partial-agg
+    groupBy(doc_id, tok) collapses occurrences to per-doc term counts
+    (skew-free key — doc_id is in it; map-side combine absorbs
+    stopword repeats within a doc), and that single exchange is
+    REUSED by all three consumers (vocabulary count, head branch,
+    tail branch — plan-asserted), avoiding the branch-union rescan
+    trap measured on the salting planner. The vocabulary HEAD (tokens
+    with cnt > total/head_budget — at most head_budget entries, so
+    the map is MBs at any corpus size) broadcasts with precomputed
+    micro scores; only the rare-token TAIL of the term-count table
+    joins on token text, and every tail token has cnt ≤
+    total/head_budget, so that residual shuffle is skew-free and a
+    small fraction of the occurrence volume. The corpus token total
+    is a scalar planning aggregate (same class as plans/salting.py's
+    stats row).
 
     Float discipline: each per-token -log10 is quantized to integer
     MICRO-units (round(x * 1e6) as BIGINT) before summation, so both
     engines aggregate identical integers in any order — a double AVG
     differs across engines by summation-order ulps and flips 6dp
     boundaries (observed); the final division of exact integers is
-    deterministic."""
+    deterministic. Head and tail compute micro from the SAME cnt and
+    total, so the split cannot change a single score."""
     toks = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_tokens("text")).alias("tok"),
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = freq.agg(F.sum("cnt")).collect()[0][0] or 1
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("n_occ"))
+    freq = tf.groupBy("tok").agg(F.sum("n_occ").alias("cnt"))
+    # corpus token total straight off the scan (sum of array sizes) —
+    # NOT freq.agg(sum(cnt)): that would run the full tf+freq pipeline
+    # a second time just for planning (measured: it doubled the
+    # operator's shuffle volume)
+    total = documents.agg(
+        F.sum(F.size(_tokens("text")))
+    ).collect()[0][0] or 1
+    threshold = total // max(1, head_budget)
     micro = F.round(
         -F.log10(F.col("cnt") / F.lit(float(total))) * 1e6
     ).cast("long")
+    scored = freq.select("tok", "cnt", micro.alias("micro"))
+    head = scored.filter(F.col("cnt") > F.lit(threshold)).select(
+        "tok", "micro"
+    )
+    tail = scored.filter(F.col("cnt") <= F.lit(threshold)).select(
+        "tok", "micro"
+    )
+    # anti-join against the SAME broadcast relation as the head join
+    # (identical BroadcastExchange -> built and shipped once)
+    head_part = tf.join(F.broadcast(head), "tok")
+    tail_part = tf.join(F.broadcast(head), "tok", "left_anti").join(
+        tail, "tok"
+    )
+    cols = ["doc_id", "n_occ", "micro"]
     return (
-        toks.join(freq, "tok")
+        head_part.select(*cols)
+        .unionByName(tail_part.select(*cols))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(micro) / (F.count("*") * F.lit(1e6)), 6
+                F.sum(F.col("micro") * F.col("n_occ"))
+                / (F.sum("n_occ") * F.lit(1e6)),
+                6,
             ).alias("rarity"),
-            F.count("*").alias("n_tokens"),
+            F.sum("n_occ").alias("n_tokens"),
         )
     )
 
@@ -422,7 +458,8 @@ def hash_split(documents: DataFrame, val_permille: int = 100,
     )
 
 
-def bigram_surprisal(documents: DataFrame) -> DataFrame:
+def bigram_surprisal(documents: DataFrame,
+                     head_budget: int = 1_000_000) -> DataFrame:
     """Corpus-estimated bigram surprisal — the KenLM-style fluency
     filter approximation: per doc, the mean of
     -log10( count(w_{i-1} w_i) / count(w_{i-1}) ) over its bigrams
@@ -430,13 +467,24 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
     prefix). Word-salad / shuffled text scores high, fluent or
     templated text low — complementary to token_rarity's unigram view.
 
-    Scale shape: bigram enumeration slices a materialized token-array
-    ATTRIBUTE (the round-5 lambda-capture rule — an expression in the
-    lambda body re-evaluates per window); counts are partial-agg
-    groupBys (hot bigrams combine map-side); the two frequency joins
-    are AQE-skew-splittable. Per-bigram surprisal quantizes to integer
+    Scale shape — the round-6 head/tail pruning (same design as
+    token_rarity_score): the bigram occurrence stream NEVER reshuffles
+    on content. Bigram enumeration slices a materialized token-array
+    ATTRIBUTE (the round-5 lambda-capture rule); one partial-agg
+    groupBy(doc_id, w1, w2) collapses occurrences to per-doc bigram
+    counts (skew-free key; its exchange is REUSED by the frequency
+    tables and both branches). Bigram and prefix counts derive from
+    that table (hot bigrams combine map-side; conditionals sum to 1
+    per prefix because c1 sums c2 over the SAME population). The
+    bigram HEAD (c2 > total/head_budget ⇒ ≤ head_budget entries)
+    broadcasts with precomputed micro scores; only rare bigrams join
+    on content, each with c2 bounded by the threshold — skew-free.
+    The scored-vocabulary build joins dimension tables only
+    (distinct bigrams × distinct prefixes, AQE-skew-splittable),
+    never occurrences. Per-bigram surprisal quantizes to integer
     micro-units before summation (the engine-portable float
-    discipline from token_rarity).
+    discipline from token_rarity); head and tail compute micro from
+    the same counts, so the split cannot change a score.
 
     Output: doc_id, surprisal (6dp), n_bigrams."""
     toksed = documents.select(
@@ -454,21 +502,48 @@ def bigram_surprisal(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.explode(bigrams).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    big_freq = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("n_occ")
+    )
+    big_freq = tf.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c2"))
     # prefix counts over the SAME bigram population (so the MLE
     # conditionals sum to 1 per prefix): sum of c2 by w1
     uni_freq = big_freq.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # corpus bigram total straight off the scan (see token_rarity:
+    # deriving it from big_freq would re-run the whole tf pipeline
+    # for a planning scalar)
+    total = documents.agg(
+        F.sum(F.greatest(F.size(_tokens("text")) - 1, F.lit(0)))
+    ).collect()[0][0] or 1
+    threshold = total // max(1, head_budget)
     micro = F.round(
         -F.log10(F.col("c2") / F.col("c1")) * 1e6
     ).cast("long")
+    scored = big_freq.join(uni_freq, "w1").select(
+        "w1", "w2", "c2", micro.alias("micro")
+    )
+    head = scored.filter(F.col("c2") > F.lit(threshold)).select(
+        "w1", "w2", "micro"
+    )
+    tail = scored.filter(F.col("c2") <= F.lit(threshold)).select(
+        "w1", "w2", "micro"
+    )
+    # anti-join against the SAME broadcast relation as the head join
+    # (identical BroadcastExchange -> built and shipped once)
+    head_part = tf.join(F.broadcast(head), ["w1", "w2"])
+    tail_part = tf.join(F.broadcast(head), ["w1", "w2"],
+                        "left_anti").join(tail, ["w1", "w2"])
+    cols = ["doc_id", "n_occ", "micro"]
     return (
-        pairs.join(big_freq, ["w1", "w2"])
-        .join(uni_freq, "w1")
+        head_part.select(*cols)
+        .unionByName(tail_part.select(*cols))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(micro) / (F.count("*") * F.lit(1e6)), 6
+                F.sum(F.col("micro") * F.col("n_occ"))
+                / (F.sum("n_occ") * F.lit(1e6)),
+                6,
             ).alias("surprisal"),
-            F.count("*").alias("n_bigrams"),
+            F.sum("n_occ").alias("n_bigrams"),
         )
     )

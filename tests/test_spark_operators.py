@@ -1383,6 +1383,27 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert len(got) == 2  # no duplicate emissions
 
 
+def test_remove_duplicate_lines_large_doc_ids(spark):
+    """Regression (round-6 advice): first-occurrence selection must be
+    exact for 64-bit doc_ids. The old packed long key
+    (doc_id*1e9 + pos) overflows for doc_id >= ~9.2e9 — for this pair
+    packed(5e9)=5e18 > packed(1e10)=-8.4e18, so the overflowed min
+    picked the LARGER doc as the survivor. min(struct(doc_id, pos))
+    compares field-by-field and cannot overflow."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import remove_duplicate_lines
+
+    docs = spark.createDataFrame([
+        Row(doc_id=str(5_000_000_000), text="shared"),
+        Row(doc_id=str(10_000_000_000), text="shared\nuniq"),
+    ])
+    rows = {r.doc_id: r for r in remove_duplicate_lines(docs).collect()}
+    assert rows[5_000_000_000].text == "shared"
+    assert rows[5_000_000_000].n_dropped_lines == 0
+    assert rows[10_000_000_000].text == "uniq"
+    assert rows[10_000_000_000].n_dropped_lines == 1
+
+
 def test_remove_duplicate_lines_random_property(spark):
     """Property check against an independent Python reference: for
     seeded random multi-line corpora (small vocab -> heavy cross-doc
@@ -1458,6 +1479,98 @@ def test_token_rarity_matches_python_reference(spark):
     assert s1 == s2 and set(s1.values()) <= {"train", "val"}
 
 
+def test_token_rarity_head_tail_pruning(spark):
+    """Round-6 shuffle pruning: with a head_budget that forces a real
+    head/tail vocabulary split, token_rarity_score must (a) return
+    bit-identical scores to the all-head run (the split may not change
+    a single micro unit), and (b) keep the pruned plan shape: the
+    occurrence stream collapses through ONE (doc_id, tok) exchange
+    that is ReusedExchange'd by the vocabulary count and the tail
+    branch (never a second corpus scan), and the head joins are
+    broadcast."""
+    import random
+    import re
+
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import token_rarity_score
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(60)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=str(d),
+             text=" ".join(rng.choice(vocab)
+                           for _ in range(rng.randint(5, 40))))
+         for d in range(150)]
+    )
+    split = token_rarity_score(docs, head_budget=20)
+    allhead = token_rarity_score(docs, head_budget=1 << 40)
+    got = {r.doc_id: (r.rarity, r.n_tokens) for r in split.collect()}
+    want = {r.doc_id: (r.rarity, r.n_tokens) for r in allhead.collect()}
+    assert got == want
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the (doc_id, tok) exchange must appear at most once as a live
+    # node (AQE's final-plan dump may elide it entirely when every
+    # printed consumer is a ReusedExchange pointing at it); >= 2
+    # ReusedExchange nodes prove the three consumers share ONE
+    # exchange instead of rescanning the corpus per branch
+    pair_exchanges = re.findall(
+        r"\+- Exchange hashpartitioning\(doc_id#\d+L?, tok#", final
+    )
+    assert len(pair_exchanges) <= 1, final
+    assert final.count("ReusedExchange") >= 2, final
+    assert "BroadcastHashJoin" in final, final
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    """bigram_surprisal equals an independent Python implementation of
+    the micro-unit-quantized conditional-MLE mean, both with the
+    vocabulary fully broadcast and with a head_budget that forces the
+    head/tail split (the round-6 pruned shape may not change a single
+    score)."""
+    import math
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import bigram_surprisal
+
+    rng = random.Random(3)
+    vocab = [f"w{k}" for k in range(25)]
+    docs = {d: [rng.choice(vocab) for _ in range(rng.randint(2, 30))]
+            for d in range(80)}
+    big = Counter()
+    for toks in docs.values():
+        big.update(zip(toks, toks[1:]))
+    uni = Counter()
+    for (w1, _), c in big.items():
+        uni[w1] += c
+    # Spark's F.round(double) goes through BigDecimal.valueOf — i.e.
+    # the SHORTEST decimal repr of the double, then HALF_UP — so a
+    # value printing as ...025 rounds UP even when its exact binary
+    # value is ...02499…; Python's round() uses the exact binary value
+    # and banker's rounding. Decimal(repr(x)) reproduces Spark.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round(x, scale):
+        q = Decimal(1).scaleb(-scale)
+        return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+    expect = {}
+    for d, toks in docs.items():
+        micros = [int(spark_round(-math.log10(big[p] / uni[p[0]]) * 1e6, 0))
+                  for p in zip(toks, toks[1:])]
+        expect[d] = (spark_round(sum(micros) / (len(micros) * 1e6), 6),
+                     len(micros))
+    df = spark.createDataFrame(
+        [Row(doc_id=str(d), text=" ".join(t)) for d, t in docs.items()]
+    )
+    for budget in (1 << 40, 30):
+        got = {r.doc_id: (r.surprisal, r.n_bigrams)
+               for r in bigram_surprisal(df, head_budget=budget).collect()}
+        assert got == expect, budget
+
+
 def test_pixel_stats_policy_empty_media(spark):
     """An image-free media frame yields an empty decision set (no
     sampling, no crash)."""
@@ -1482,11 +1595,16 @@ def test_windowed_ops_linear_on_long_docs(spark):
     import time
 
     from pyspark.sql import Row
-    from sparkpdf.operators.dedup import duplicate_substring_ranges
+    from sparkpdf.operators.dedup import (
+        duplicate_substring_ranges,
+        remove_duplicate_lines,
+    )
     from sparkpdf.operators.text import (
         benchmark_contamination,
+        bigram_surprisal,
         chunk_documents,
         duplicate_ngrams,
+        token_rarity_score,
     )
 
     rng = random.Random(2)
@@ -1502,6 +1620,18 @@ def test_windowed_ops_linear_on_long_docs(spark):
     bench = spark.createDataFrame([Row(text=long_txt[:4000])])
     assert benchmark_contamination(docs, bench).count() == 2
     assert duplicate_substring_ranges(docs, 40).count() == 2
+    # late-round-5 operators (added after the quadratic purge): the
+    # lambda-over-array / per-line shapes must stay linear too —
+    # the round-5 lesson is this property silently breaks under
+    # optimizer drift, so every such operator sits in this guard
+    assert token_rarity_score(docs).count() == 2
+    assert bigram_surprisal(docs).count() == 2
+    lined = remove_duplicate_lines(
+        spark.createDataFrame(
+            [Row(doc_id="1", text=long_txt.replace(" ", "\n"))]
+        )
+    )
+    assert lined.count() == 1
     wall = time.monotonic() - t0
     assert wall < 120, wall
     docs.unpersist()
