@@ -1269,72 +1269,21 @@ def q_av_media_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
-    # locally. Round-5 rotation (r4 verdict item 6): the window now
-    # leads with everything round 5 CHANGED (substring-dedup rework,
-    # capped LSH + clustering, full XMP surface, 12-bit JPEG) plus the
-    # 33 queries that were judge-only in r4 (never driver-graded), and
-    # keeps 15 flagship/perf-plan representatives for continuity
-    # (extract_spans, joins, dedup cores, ANN, media, contamination).
-    # The demoted tail is twice-driver-certified (r3+r4) unchanged code
-    # - docinfo/outline/overlay projections, TPC-H-ish rollups, the
-    # remaining write-side variants - all still check_oracle-verified
-    # at both scales every round.
+    # locally. Round-6 rotation (r5 verdict item 3): the window leads
+    # with the round-6-changed operators (head/tail-pruned
+    # token_rarity + bigram_surprisal, struct-keyed line_dedup), then
+    # the 41 queries that were judge-only in r5 (the
+    # longest-unaudited tail), then 6 flagship/perf-plan
+    # representatives for continuity. The demoted tail is the r5
+    # driver-certified set (substring dedup, XMP, the deep-codec
+    # pixel stats, LSH clustering...) — unchanged code, still
+    # check_oracle-verified at both scales every round.
     return {
-        # --- round-5 changed operators ---
-        "dup_substring_ranges": q_dup_substring_ranges,
-        "substring_scrub": q_substring_scrub,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dup_clusters": q_dup_clusters,
-        "dup_clusters_verified": q_dup_clusters_verified,
-        "xmp_project": q_xmp_project,
-        "jpeg12_pixel_stats": q_jpeg12_pixel_stats,
-        # --- judge-only in r4, now driver-graded ---
-        "sessionize": q_sessionize,
-        "doc_fingerprint": q_doc_fingerprint,
-        "simhash_pairs": q_simhash_pairs,
-        "split_docs_multi": q_split_docs_multi,
-        "page_range_extract": q_page_range_extract,
-        "insert_page": q_insert_page,
-        "form_text_filter": q_form_text_filter,
-        "dest_semijoin": q_dest_semijoin,
-        "resource_merge": q_resource_merge,
-        "procset_union": q_procset_union,
-        "merge_union": q_merge_union,
-        "stream_events_window": q_stream_events_window,
-        "png_pixel_stats": q_png_pixel_stats,
-        "repetition_ratio": q_repetition_ratio,
-        "duplicate_ngrams": q_duplicate_ngrams,
-        "ccitt_ink_ratio": q_ccitt_ink_ratio,
-        "viewer_prefs": q_viewer_prefs,
-        "remove_links": q_remove_links,
-        "write_encrypted": q_write_encrypted,
-        "attachments": q_attachments,
-        "write_aes256": q_write_aes256,
-        "overlay_rename": q_overlay_rename,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
-        "chunk_documents": q_chunk_documents,
-        "session_window_native": q_session_window_native,
-        "pii_scrub": q_pii_scrub,
-        # --- flagship / perf-plan continuity (+ the round-5-widened
-        # A/V corpus, which must sit in the graded window) ---
-        "extract_spans": q_extract_spans,
-        "av_media_features": q_av_media_features,
-        "write_roundtrip": q_write_roundtrip,
+        # --- round-6 changed operators ---
         "token_rarity": q_token_rarity,
-        "line_dedup": q_line_dedup,
-        "hash_split": q_hash_split,
         "bigram_surprisal": q_bigram_surprisal,
-        "gif_anim_stats": q_gif_anim_stats,
-        "tiff_pixel_stats": q_tiff_pixel_stats,
-        "jpeg_lossless_stats": q_jpeg_lossless_stats,
-        "benchmark_contamination": q_benchmark_contamination,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dups": q_embedding_near_dups,
-        "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        "pdf_embedded_media": q_pdf_embedded_media,
-        # ---- driver window boundary (50) ----
+        "line_dedup": q_line_dedup,
+        # --- judge-only in r5, now driver-graded (41) ---
         "obj_join": q_obj_join,
         "font_join": q_font_join,
         "events_window": q_events_window,
@@ -1376,6 +1325,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
+        # --- flagship / perf-plan continuity (6) ---
+        "extract_spans": q_extract_spans,
+        "write_roundtrip": q_write_roundtrip,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "pdf_embedded_media": q_pdf_embedded_media,
+        "sessionize": q_sessionize,
+        # ---- driver window boundary (50) ----
+        # r5-driver-certified tail (unchanged code)
+        "dup_substring_ranges": q_dup_substring_ranges,
+        "substring_scrub": q_substring_scrub,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dup_clusters": q_dup_clusters,
+        "dup_clusters_verified": q_dup_clusters_verified,
+        "xmp_project": q_xmp_project,
+        "jpeg12_pixel_stats": q_jpeg12_pixel_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash_pairs": q_simhash_pairs,
+        "split_docs_multi": q_split_docs_multi,
+        "page_range_extract": q_page_range_extract,
+        "insert_page": q_insert_page,
+        "form_text_filter": q_form_text_filter,
+        "dest_semijoin": q_dest_semijoin,
+        "resource_merge": q_resource_merge,
+        "procset_union": q_procset_union,
+        "merge_union": q_merge_union,
+        "stream_events_window": q_stream_events_window,
+        "png_pixel_stats": q_png_pixel_stats,
+        "repetition_ratio": q_repetition_ratio,
+        "duplicate_ngrams": q_duplicate_ngrams,
+        "ccitt_ink_ratio": q_ccitt_ink_ratio,
+        "viewer_prefs": q_viewer_prefs,
+        "remove_links": q_remove_links,
+        "write_encrypted": q_write_encrypted,
+        "attachments": q_attachments,
+        "write_aes256": q_write_aes256,
+        "overlay_rename": q_overlay_rename,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "ann_ivf_nprobe2": q_ann_ivf_nprobe2,
+        "chunk_documents": q_chunk_documents,
+        "session_window_native": q_session_window_native,
+        "pii_scrub": q_pii_scrub,
+        "av_media_features": q_av_media_features,
+        "hash_split": q_hash_split,
+        "gif_anim_stats": q_gif_anim_stats,
+        "tiff_pixel_stats": q_tiff_pixel_stats,
+        "jpeg_lossless_stats": q_jpeg_lossless_stats,
+        "benchmark_contamination": q_benchmark_contamination,
+        "embedding_near_dups": q_embedding_near_dups,
+        "jpeg_pixel_stats": q_jpeg_pixel_stats,
     }
 
 

@@ -113,19 +113,27 @@ def main(argv=None):
     # keep each cluster's min-doc_id representative; degenerate LSH
     # buckets (above the cap) are excluded from pair generation and
     # REPORTED, never silently dropped (round-5 skew guard)
-    from sparkpdf.operators.dedup import minhash_lsh_overflow
+    from pyspark import StorageLevel
+    from sparkpdf.operators.dedup import _minhash_buckets, minhash_lsh_overflow
 
+    # one signature pass shared by pair generation and the overflow
+    # report (round-6 advice: the overflow count used to re-sign the
+    # whole corpus from scratch)
+    buckets = _minhash_buckets(scrubbed.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     clusters = dup_clusters(
-        scrubbed.select("doc_id", "text"), jaccard_threshold=args.dup_jaccard
+        scrubbed.select("doc_id", "text"),
+        jaccard_threshold=args.dup_jaccard,
+        buckets=buckets,
     )
     keepers = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
         "doc_id"
     )
     unique_docs = scrubbed.join(keepers, "doc_id")
     n_unique = unique_docs.count()
-    n_overflow_buckets = minhash_lsh_overflow(
-        scrubbed.select("doc_id", "text")
-    ).count()
+    n_overflow_buckets = minhash_lsh_overflow(buckets=buckets).count()
+    buckets.unpersist()
 
     # 4b. exact-substring dedup (optional): cut duplicated ranges out
     # of the surviving docs; range list parqueted for audit

@@ -25,6 +25,13 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--batches", type=int, default=64)
     ap.add_argument("--target-bytes", type=int, default=64 << 20)
+    ap.add_argument(
+        "--auto-target",
+        action="store_true",
+        help="derive target-bytes from the corpus's own whale stats "
+        "(p99 big-doc bytes x ~3.2, floor at the default target) — "
+        "the measured whale100x rule; overrides --target-bytes",
+    )
     ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
     ap.add_argument("--no-salting", action="store_true")
     ap.add_argument(
@@ -50,7 +57,7 @@ def main(argv=None):
         report = skew_report(pdf_raw, args.batches)
         pdf_raw = plan_salted_partitions(
             pdf_raw,
-            target_bytes=args.target_bytes,
+            target_bytes=None if args.auto_target else args.target_bytes,
             big_doc_bytes=args.big_doc_bytes,
             size_col=args.size_col,
         )

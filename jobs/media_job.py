@@ -32,7 +32,7 @@ import json
 import sys
 
 
-def main(argv=None):
+def main(argv=None, spark=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -47,7 +47,9 @@ def main(argv=None):
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = SparkSession.builder.appName("sparkpdf-media").getOrCreate()
+    own_session = spark is None
+    if own_session:
+        spark = SparkSession.builder.appName("sparkpdf-media").getOrCreate()
 
     from sparkpdf.operators.multimodal import (
         extract_media_features,
@@ -66,7 +68,13 @@ def main(argv=None):
     media = payloads.filter(F.col("error").isNull()).drop("error")
 
     if args.force_decode:
-        pixel_formats = None  # global default: decode everything
+        # the full decodable set, NOT None: None defers to the
+        # SPARKPDF_PIXEL_STATS env knob, so a forced decode under
+        # SPARKPDF_PIXEL_STATS=0 would silently run header-only while
+        # the manifest records '*forced*'
+        from sparkpdf.operators.multimodal import PIXEL_DECODABLE_FORMATS
+
+        pixel_formats = set(PIXEL_DECODABLE_FORMATS)
         policy = {"decode_formats": ["*forced*"], "formats": {},
                   "sampled": 0}
     elif args.force_header_only:
@@ -107,7 +115,8 @@ def main(argv=None):
         "policy": policy,
     }
     print(json.dumps(summary))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

@@ -251,6 +251,24 @@ def main():
         result["salted_pushdown"] = run_pass(
             spark, salted_pd.drop("n_bytes"), "salted_pushdown"
         )
+    if "salted_auto" in layouts and "n_bytes" in corpus.columns:
+        # salted_auto (round 6): target_bytes derived from the
+        # corpus's own whale p99 inside the planning aggregate — must
+        # reproduce the hand-tuned 384 MB row's p99/p50 <= 2 without
+        # tuning
+        from sparkpdf.plans.salting import derive_target_bytes
+
+        wp99 = corpus.filter(
+            F.col("n_bytes") > args.big_doc_bytes
+        ).agg(F.expr("percentile_approx(n_bytes, 0.99)")).collect()[0][0]
+        result["auto_target_bytes"] = derive_target_bytes(wp99)
+        salted_auto = plan_salted_partitions(
+            corpus, target_bytes=None,
+            big_doc_bytes=args.big_doc_bytes, size_col="n_bytes",
+        )
+        result["salted_auto"] = run_pass(
+            spark, salted_auto.drop("n_bytes"), "salted_auto"
+        )
     print(json.dumps(result))
     spark.stop()
 

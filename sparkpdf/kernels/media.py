@@ -1132,11 +1132,23 @@ def ogg_info(b: bytes) -> Optional[dict]:
         gran_rate = 48000  # opus granule is always 48 kHz (RFC 7845 §4)
     if out is None:
         return None
-    last = b.rfind(b"OggS")
-    if last >= 0 and last + 14 <= len(b) and gran_rate:
-        gran = int.from_bytes(b[last + 6:last + 14], "little", signed=True)
-        if gran > 0:
-            out["duration_ms"] = gran * 1000 // gran_rate
+    # walk pages FORWARD via the segment tables to find the true last
+    # page header — rfind(b"OggS") can match the 4-byte pattern inside
+    # packet payload bytes of a real-world file and yield a garbage
+    # granule position (a page body is arbitrary codec data)
+    last_gran = None
+    pos = 0
+    while pos + 27 <= len(b) and b[pos:pos + 4] == b"OggS" and b[pos + 4] == 0:
+        nsegs = b[pos + 26]
+        hdr_end = pos + 27 + nsegs
+        if hdr_end > len(b):
+            break  # truncated page header: keep the last complete page
+        gran = int.from_bytes(b[pos + 6:pos + 14], "little", signed=True)
+        if gran > 0:  # -1 = no packet finishes on this page (RFC 3533)
+            last_gran = gran
+        pos = hdr_end + sum(b[pos + 27:hdr_end])
+    if last_gran is not None and gran_rate:
+        out["duration_ms"] = last_gran * 1000 // gran_rate
     return out
 
 

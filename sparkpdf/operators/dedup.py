@@ -110,6 +110,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 4,
     bands: int = 2,
     bucket_cap: int = 10000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become candidate pairs
     (doc_a < doc_b), deduplicated across bands.
@@ -123,8 +124,17 @@ def minhash_lsh_pairs(
     broadcast LEFT-ANTI join against the overflow set, which is small
     by construction (only buckets above the cap). Skipped buckets are
     never silently dropped: minhash_lsh_overflow() reports them for a
-    quarantine sweep. bucket_cap=None disables the cap (oracle replay)."""
-    stacked = _minhash_buckets(documents, n_hashes, bands)
+    quarantine sweep. bucket_cap=None disables the cap (oracle replay).
+
+    `buckets`: a precomputed (persisted) _minhash_buckets frame — pass
+    the same frame here and to minhash_lsh_overflow so a job that
+    needs both pairs AND the overflow report computes signatures
+    once (round-6 advice: curate_job was re-signing the corpus just
+    for the overflow count)."""
+    stacked = (
+        buckets if buckets is not None
+        else _minhash_buckets(documents, n_hashes, bands)
+    )
     if bucket_cap is not None:
         over = (
             stacked.groupBy("bucket")
@@ -145,19 +155,28 @@ def minhash_lsh_pairs(
 
 
 def minhash_lsh_overflow(
-    documents: DataFrame,
+    documents: DataFrame | None = None,
     n_hashes: int = 4,
     bands: int = 2,
     bucket_cap: int = 10000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Overflow accounting for minhash_lsh_pairs: (bucket, bucket_n)
     rows whose buckets exceeded bucket_cap and were excluded from the
     candidate self-join — at 100 TB these go to a quarantine sweep
     (exact-hash dedup within the bucket, or a re-hash at higher
     (n_hashes, bands) selectivity), never silently dropped. Mirrors
-    similarity.near_dup_overflow for the text path."""
+    similarity.near_dup_overflow for the text path.
+
+    `buckets`: precomputed _minhash_buckets frame (see
+    minhash_lsh_pairs) — lets a job share one signature pass between
+    the pair generation and this report."""
+    stacked = (
+        buckets if buckets is not None
+        else _minhash_buckets(documents, n_hashes, bands)
+    )
     return (
-        _minhash_buckets(documents, n_hashes, bands)
+        stacked
         .groupBy("bucket")
         .agg(F.count("*").alias("bucket_n"))
         .filter(F.col("bucket_n") > bucket_cap)
@@ -268,6 +287,7 @@ def dup_clusters(
     max_iters: int = 20,
     jaccard_threshold: float | None = None,
     bucket_cap: int = 10000,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate CLUSTERS from LSH candidate pairs: iterative min-label
     propagation (connected components) — the final stage of corpus
@@ -295,8 +315,12 @@ def dup_clusters(
     via one anti-join. Each iteration localCheckpoints the new labels
     (truncates the growing lineage — without it the plan re-derives
     every prior iteration) and runs ONE tiny count on the materialized
-    frame instead of a second labels-vs-labels join."""
-    pairs = minhash_lsh_pairs(documents, n_hashes, bands, bucket_cap)
+    frame instead of a second labels-vs-labels join.
+
+    `buckets`: precomputed _minhash_buckets frame forwarded to
+    minhash_lsh_pairs (see there)."""
+    pairs = minhash_lsh_pairs(documents, n_hashes, bands, bucket_cap,
+                              buckets=buckets)
     if jaccard_threshold is not None:
         toks = documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),

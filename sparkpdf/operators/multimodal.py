@@ -62,6 +62,12 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# every format _decode_image has a real pixel path for — the explicit
+# "decode everything" set (pixel_formats=None means "let the
+# SPARKPDF_PIXEL_STATS env knob decide", which is NOT the same thing)
+PIXEL_DECODABLE_FORMATS = frozenset({"jpeg", "png", "gif", "tiff"})
+
+
 def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
     """REAL header decode: true width/height parsed from the JPEG SOF /
     PNG IHDR / GIF LSD / TIFF IFD structures (kernels/media.py) — no

@@ -22,17 +22,49 @@ DEFAULT_TARGET_BYTES = 64 << 20  # ~64 MB of raw PDF per task
 DEFAULT_BIG_DOC_BYTES = 16 << 20  # docs above this get private partitions
 
 
+# measured at 27 GB (BENCH/BASELINE.md rounds 5-6): ~384 MB of small
+# docs cost the same end-to-end task wall as one whale whose PDF is
+# ~121 MB on disk (200 MB of incompressible text, ~0.6x flate inside
+# the PDF container). Parse is FASTER per byte on giants; the gap is
+# the whale partition's incompressible shuffle + indivisibility. The
+# factor is expressed against the SIZE COLUMN the planner reads
+# (pdf_bytes / n_bytes), so: target ~= whale_p99_bytes x 3.2
+# (384/121). A first round-6 attempt derived 1.9 from the whale's
+# TEXT size — wrong basis, measured p99/p50 2.23 (> 2 bar); 3.2
+# against pdf bytes reproduces the hand-tuned 384 MB row.
+WHALE_COST_FACTOR = 3.2
+
+
+def derive_target_bytes(
+    whale_p99: int | None, whale_cost_factor: float = WHALE_COST_FACTOR
+) -> int:
+    """The auto-target rule, measured in the round-5 whale100x run:
+    size small-doc partitions against the p99 whale's task COST
+    (p99 whale bytes x ~1.9), never below the default target. With no
+    whales, the default stands."""
+    return max(DEFAULT_TARGET_BYTES, int((whale_p99 or 0) * whale_cost_factor))
+
+
 def plan_salted_partitions(
     pdf_raw: DataFrame,
-    target_bytes: int = DEFAULT_TARGET_BYTES,
+    target_bytes: int | None = DEFAULT_TARGET_BYTES,
     big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES,
     min_partitions: int = 4,
     size_col: str | None = None,
+    whale_cost_factor: float = WHALE_COST_FACTOR,
 ) -> DataFrame:
     """Returns pdf_raw repartitioned by a byte-aware salt column.
 
     salt ∈ [0, n_small) for normal docs via hash(doc_id);
     salt ∈ [n_small, n_small + n_big) gives each big doc its own slot.
+
+    `target_bytes=None` AUTO-DERIVES the target from the corpus's own
+    size stats (round-6; the round-5 whale100x run showed a hand-tuned
+    128 MB target leaves p99/p50 ~ 4 because a whale task is ~2 small
+    waves of indivisible work): target = max(DEFAULT_TARGET_BYTES,
+    p99 whale bytes x whale_cost_factor), computed inside the SAME
+    planning aggregate that sizes the partitions (no extra pass).
+    With no whales present the default target stands.
 
     `size_col`: name of a MATERIALIZED per-doc byte-size column in the
     source table. The two-branch union below filters the corpus twice
@@ -68,7 +100,13 @@ def plan_salted_partitions(
         F.coalesce(
             F.sum((F.col("_doc_bytes") > big_doc_bytes).cast("int")), F.lit(0)
         ).alias("n_big"),
+        F.percentile_approx(
+            F.when(F.col("_doc_bytes") > big_doc_bytes, F.col("_doc_bytes")),
+            0.99,
+        ).alias("whale_p99"),
     ).collect()[0]
+    if target_bytes is None:
+        target_bytes = derive_target_bytes(stats.whale_p99, whale_cost_factor)
     n_small = max(min_partitions, -(-int(stats.small_bytes) // target_bytes))
     n_big = int(stats.n_big)
     # NOTE: repartition(n, col) HASHES the column, so one shared

@@ -720,6 +720,35 @@ def test_flac_ogg_avi_header_parse():
     assert avi_info(b"RIFF\x04\x00\x00\x00AVI ") is None
 
 
+def test_ogg_payload_oggs_lookalike():
+    """Round-6 advice fix: an 'OggS' byte pattern INSIDE a packet body
+    (arbitrary codec data can contain it) must not be mistaken for the
+    last page header — duration comes from the forward page walk via
+    the segment tables, not rfind."""
+    from sparkpdf.kernels.media import ogg_info
+    from sparkpdf.testing.imagegen import _ogg_page
+
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([1])
+        + (24000).to_bytes(4, "little") + (0).to_bytes(4, "little") * 3
+        + bytes([0xB8, 0x01])
+    )
+    gran = 24000 * 1300 // 1000
+    # the EOS page's own packet embeds a fake page header with a
+    # garbage granule — rfind(b"OggS") would land on it
+    fake = (b"OggS" + bytes([0, 4])
+            + (10 ** 15).to_bytes(8, "little") + b"junk" * 4)
+    b = (_ogg_page(7, 0, 0, ident, 0x02)
+         + _ogg_page(7, 1, -1, b"\x01" * 10, 0x00)  # -1: none finishes
+         + _ogg_page(7, 2, gran, fake, 0x04))
+    v = ogg_info(b)
+    assert v["duration_ms"] == 1300, v
+    # truncation mid-header of the last page: fall back to the last
+    # COMPLETE page's positive granule (here: none -> no duration)
+    t = ogg_info(b[: len(b) - len(fake) - 10])
+    assert t is not None and "duration_ms" not in t
+
+
 def test_gif_frames_info():
     """GIF animation metadata (round 5): frame count, summed GCE
     delays, NETSCAPE loop count; single-frame GIFs report one frame /

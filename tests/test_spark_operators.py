@@ -95,6 +95,33 @@ def test_salting_plan(spark, corpus):
     assert set(salted.columns) == set(corpus.columns)
     rep = skew_report(corpus, 8)
     assert rep["skew_ratio"] >= 1.0
+    # auto target (round 6): target_bytes=None derives the target
+    # from the corpus's own whale p99 inside the planning aggregate
+    auto = plan_salted_partitions(
+        corpus, target_bytes=None, big_doc_bytes=8 << 10, min_partitions=4
+    )
+    assert auto.count() == corpus.count()
+    assert set(auto.columns) == set(corpus.columns)
+
+
+def test_salting_auto_target_rule():
+    """The measured whale100x rule: p99 whale bytes x ~1.9, floored at
+    the default 64 MB target; whale-free corpora keep the default."""
+    from sparkpdf.plans.salting import (
+        DEFAULT_TARGET_BYTES,
+        WHALE_COST_FACTOR,
+        derive_target_bytes,
+    )
+
+    assert derive_target_bytes(None) == DEFAULT_TARGET_BYTES
+    assert derive_target_bytes(0) == DEFAULT_TARGET_BYTES
+    # small whales never shrink the target below the default
+    assert derive_target_bytes(1 << 20) == DEFAULT_TARGET_BYTES
+    # a ~121 MB (on-disk) whale -> ~387 MB target, reproducing the
+    # hand-tuned 384 MB row of the round-5 whale100x table
+    t = derive_target_bytes(121 << 20)
+    assert t == int((121 << 20) * WHALE_COST_FACTOR)
+    assert 350 << 20 < t < 420 << 20
 
 
 def test_checkpoint_resume(spark, corpus, tmp_path):
@@ -1285,7 +1312,9 @@ def test_driver_contract_window():
     """The driver grades the FIRST 50 queries() entries: every query
     has a matching oracle, column names line up between the Spark plan
     and the SQL (the canonicalizer hash-compares by sorted column
-    name), and the round-5 work sits inside the graded window."""
+    name), and the round-6 rotation holds: round-6-changed operators
+    plus the 41 queries that were judge-only in r5 (the
+    longest-unaudited tail) all sit inside the graded window."""
     import __spark_entry__ as e
 
     q = e.queries()
@@ -1294,10 +1323,17 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        "dup_substring_ranges", "substring_scrub", "dedup_minhash_lsh",
-        "dup_clusters", "dup_clusters_verified", "xmp_project",
-        "jpeg12_pixel_stats", "gif_anim_stats", "tiff_pixel_stats",
-        "jpeg_lossless_stats", "av_media_features",
+        # round-6 changed operators
+        "token_rarity", "bigram_surprisal", "line_dedup",
+        # representatives of the r5 judge-only tail now driver-graded
+        "obj_join", "font_join", "text_agg", "extract_stats",
+        "ann_lsh_topk", "ann_ivf_topk", "ann_recall", "html_main",
+        "write_enriched", "write_rc4_40", "write_viewer_prefs",
+        "write_form_fill", "write_navigation", "pricing_summary",
+        "lang_id", "quality_score", "token_count", "gif_pixel_stats",
+        "multimodal_features", "extract_full_text",
+        # flagship continuity
+        "extract_spans", "dedup_minhash_lsh", "ann_cosine_topk",
     ):
         assert name in window, f"{name} fell out of the graded window"
 
@@ -1381,6 +1417,86 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
     assert ("u1", 1000, 2000, 2, "gap") in got, got
     assert ("u1", 10_000_000, 10_000_000, 1, "timeout") in got, got
     assert len(got) == 2  # no duplicate emissions
+
+
+def test_streaming_sessionize_kill_and_resume(spark, tmp_path):
+    """Round-6 verdict item 7: the stateful sessionizer must survive a
+    query kill + restart on the same checkpoint with no duplicate and
+    no lost sessions. An OPEN session's state (started before the
+    kill) must be restored on restart and merge with post-restart
+    events into ONE session. The idle timeout is set far beyond the
+    test horizon so every close is deterministic ('gap')."""
+    import time
+
+    from pyspark.sql import Row
+    from sparkpdf.streaming.stateful import streaming_sessionize
+
+    in_dir = str(tmp_path / "kr_in")
+    out_dir = str(tmp_path / "kr_out")
+    ck_dir = str(tmp_path / "kr_ck")
+    schema = "user_id string, ts long"
+
+    def start_query():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        return (
+            streaming_sessionize(src, gap_ms=10_000,
+                                 idle_timeout_ms=600_000)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck_dir)
+            .outputMode("append")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    def poll_rows(n, deadline_s=120):
+        deadline = time.time() + deadline_s
+        got = []
+        while time.time() < deadline:
+            try:
+                got = sorted(
+                    (r.user_id, r.session_start, r.session_end,
+                     r.n_events, r.closed_by)
+                    for r in spark.read.parquet(out_dir).collect()
+                )
+            except Exception:
+                got = []
+            if len(got) >= n:
+                break
+            time.sleep(2)
+        return got
+
+    # phase 1: session A closes by gap; session B opens (stays in state)
+    spark.createDataFrame(
+        [Row(user_id="u1", ts=1000), Row(user_id="u1", ts=2000),
+         Row(user_id="u1", ts=10_000_000)],
+        schema=schema,
+    ).write.mode("append").parquet(in_dir)
+    q = start_query()
+    try:
+        got = poll_rows(1)
+    finally:
+        q.stop()  # the kill
+    assert ("u1", 1000, 2000, 2, "gap") in got, got
+
+    # phase 2 (written while the query is DOWN): continues session B,
+    # then a gap event closes it
+    spark.createDataFrame(
+        [Row(user_id="u1", ts=10_000_500),
+         Row(user_id="u1", ts=20_000_000)],
+        schema=schema,
+    ).write.mode("append").parquet(in_dir)
+    q2 = start_query()
+    try:
+        got = poll_rows(2)
+    finally:
+        q2.stop()
+    # exactly two sessions: A once (no batch-1 reprocessing), and B
+    # spanning the restart (state restored: n_events=2 across the kill)
+    assert got == [
+        ("u1", 1000, 2000, 2, "gap"),
+        ("u1", 10_000_000, 10_000_500, 2, "gap"),
+    ], got
 
 
 def test_remove_duplicate_lines_large_doc_ids(spark):
@@ -1582,6 +1698,64 @@ def test_pixel_stats_policy_empty_media(spark):
     )
     pol = pixel_stats_policy(empty)
     assert pol == {"formats": {}, "decode_formats": set(), "sampled": 0}
+
+
+def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
+    """Round-6 verdict item 5: the pixel policy pinned END-TO-END
+    through jobs/media_job.py. A budget far below any format's
+    projected core-seconds must flip every decodable format to
+    header_only; the run manifest carries the pixel_policy row with
+    those decisions, and the feature table degrades exactly as
+    documented: dims/format/digest stay, mean_luma/ink_ratio are
+    null."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "media_job", os.path.join(os.path.dirname(__file__),
+                                  "..", "jobs", "media_job.py")
+    )
+    mj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mj)
+
+    from sparkpdf.operators.multimodal import write_pdfs_with_jpeg_media
+
+    in_dir = str(tmp_path / "mj_in")
+    out_dir = str(tmp_path / "mj_out")
+    # real JPEG payloads (the default synth corpus embeds raw sample
+    # blobs with no sniffable header), so the policy has a format to
+    # decide over and the header fields populate
+    write_pdfs_with_jpeg_media(docs).select(
+        "doc_id", "pdf_bytes"
+    ).write.parquet(in_dir)
+    rc = mj.main(
+        ["--input", in_dir, "--output", out_dir,
+         "--budget-core-seconds", "1e-9"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["decoded_stats"] == 0
+    assert summary["policy"]["decode_formats"] == []
+    feats = spark.read.parquet(f"{out_dir}/features")
+    n = feats.count()
+    assert n > 0
+    # degradation contract: header fields survive, pixel stats do not
+    assert feats.filter(
+        "mean_luma is not null or ink_ratio is not null"
+    ).count() == 0
+    assert feats.filter(
+        "format is not null and width is not null and sha8 is not null"
+    ).count() > 0
+    # the manifest records the decision for resumed/downstream runs
+    with open(f"{out_dir}/_progress.jsonl") as fh:
+        rows = [json.loads(ln) for ln in fh if ln.strip()]
+    pol = [r for r in rows if r.get("status") == "pixel_policy"]
+    assert len(pol) == 1
+    assert pol[0]["decode_formats"] == []
+    decisions = {f: v["decision"] for f, v in pol[0]["formats"].items()}
+    assert decisions and set(decisions.values()) == {"header_only"}
 
 
 def test_windowed_ops_linear_on_long_docs(spark):
