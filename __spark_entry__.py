@@ -1160,10 +1160,11 @@ def q_gif_anim_stats(spark, sf_dir):
 
 
 def q_tiff_pixel_stats(spark, sf_dir):
-    # FOUR TIFF organizations over identical pixels (round 5): plain
+    # FIVE TIFF organizations over identical luma (rounds 5-6): plain
     # strips, LZW+predictor strips, LZW tiles (322-325), lossless-JPEG
-    # strips (compression 7) — one oracle formula certifies all four
-    # decode paths at once
+    # strips (compression 7), and RGB PLANAR strips (tag 284=2,
+    # round 6 — previously a silent misdecode risk) — one oracle
+    # formula certifies all five decode paths at once
     from sparkpdf.operators.multimodal import (
         extract_media_features,
         synthesize_tiff_media,
@@ -1266,6 +1267,23 @@ def q_av_media_features(spark, sf_dir):
     )
 
 
+def q_wav_pcm_stats(spark, sf_dir):
+    # round 6: SAMPLE-level audio decode (beyond container headers) —
+    # every WAV body sample decoded (16/8-bit PCM squares + G.711
+    # mu-law/A-law via the public closed-form expansion); the oracle
+    # restates the planted waveforms' exact rms/peak/mean by formula
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_wav_pcm_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_wav_pcm_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
@@ -1279,10 +1297,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pixel stats, LSH clustering...) — unchanged code, still
     # check_oracle-verified at both scales every round.
     return {
-        # --- round-6 changed operators ---
+        # --- round-6 changed/new operators ---
         "token_rarity": q_token_rarity,
         "bigram_surprisal": q_bigram_surprisal,
         "line_dedup": q_line_dedup,
+        "wav_pcm_stats": q_wav_pcm_stats,
+        "tiff_pixel_stats": q_tiff_pixel_stats,
         # --- judge-only in r5, now driver-graded (41) ---
         "obj_join": q_obj_join,
         "font_join": q_font_join,
@@ -1325,15 +1345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
-        # --- flagship / perf-plan continuity (6) ---
+        # --- flagship / perf-plan continuity (4) ---
         "extract_spans": q_extract_spans,
         "write_roundtrip": q_write_roundtrip,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "pdf_embedded_media": q_pdf_embedded_media,
-        "sessionize": q_sessionize,
         # ---- driver window boundary (50) ----
         # r5-driver-certified tail (unchanged code)
+        "pdf_embedded_media": q_pdf_embedded_media,
+        "sessionize": q_sessionize,
         "dup_substring_ranges": q_dup_substring_ranges,
         "substring_scrub": q_substring_scrub,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1370,7 +1390,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "av_media_features": q_av_media_features,
         "hash_split": q_hash_split,
         "gif_anim_stats": q_gif_anim_stats,
-        "tiff_pixel_stats": q_tiff_pixel_stats,
         "jpeg_lossless_stats": q_jpeg_lossless_stats,
         "benchmark_contamination": q_benchmark_contamination,
         "embedding_near_dups": q_embedding_near_dups,
@@ -2708,6 +2727,35 @@ def oracle_sql() -> dict[str, str]:
                          WHEN 0 THEN 8
                          WHEN 4 THEN 16
                          ELSE -1 END AS INTEGER) AS bits
+        FROM documents
+    """
+    # wav_pcm_stats (round 6): the planted square/G.711 waveforms'
+    # exact sample statistics restated by formula — the engine must
+    # walk the RIFF chunks and decode EVERY sample (PCM 16/8-bit +
+    # mu-law/A-law expansion) to match. Amplitudes are terminating
+    # binary fractions, so every 6-dp round is exact on both engines;
+    # mu-law 0x80/0x00 -> +-32124 and A-law 0xAA/0x2A -> +-32256 are
+    # the public G.711 expansion values.
+    sql["wav_pcm_stats"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE doc_id % 4
+                         WHEN 0 THEN 2 * (100 + doc_id % 250)
+                         WHEN 1 THEN 2 * (50 + doc_id % 200)
+                         ELSE 2 * (60 + doc_id % 100)
+                         END AS INTEGER) AS n_samples,
+               ROUND(CASE doc_id % 4
+                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          WHEN 2 THEN 32124 / 32768.0
+                          ELSE 32256 / 32768.0
+                          END, 6) AS rms,
+               ROUND(CASE doc_id % 4
+                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          WHEN 2 THEN 32124 / 32768.0
+                          ELSE 32256 / 32768.0
+                          END, 6) AS peak,
+               CAST(0.0 AS DOUBLE) AS mean
         FROM documents
     """
     # media_dims: expected dims restated by formula; the engine must

@@ -259,6 +259,49 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_decode_planar(b, w, h, spp, photometric, predictor, comp):
+    """PlanarConfiguration 2 strip decode (8-bit only): strips ordered
+    plane 0 first (TIFF 6.0 §14), StripsPerImage strips per plane; the
+    horizontal predictor differences within each plane."""
+    import numpy as _np
+
+    from .filters import lzw_decode
+
+    offs = _tiff_tag_array(b, 273)
+    sizes = _tiff_tag_array(b, 279)
+    if not offs or not sizes or len(offs) != len(sizes):
+        return None
+    rows_per_strip = _tiff_tag(b, 278) or h
+    strips_per_plane = -(-h // rows_per_strip)
+    if len(offs) != spp * strips_per_plane:
+        return None
+    rowbytes = w  # one 8-bit sample per pixel per plane
+    planes = bytearray()
+    for i, (off, size) in enumerate(zip(offs, sizes)):
+        if off + size > len(b):
+            return None
+        row0 = (i % strips_per_plane) * rows_per_strip
+        nrows = min(rows_per_strip, h - row0)
+        expect = nrows * rowbytes
+        raw = b[off:off + size]
+        if comp == 5:
+            raw = lzw_decode(raw, None)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        if len(raw) < expect:
+            return None
+        planes += raw[:expect]
+    if len(planes) != spp * h * rowbytes:
+        return None
+    arr = _np.frombuffer(bytes(planes), _np.uint8).reshape(spp, h, w)
+    if predictor == 2:  # horizontal differencing, per plane row
+        arr = _np.cumsum(arr.astype(_np.uint32), axis=2).astype(_np.uint8)
+    if photometric == 0:  # WhiteIsZero
+        arr = 255 - arr
+    arr = _np.ascontiguousarray(arr.transpose(1, 2, 0))
+    return w, h, spp, arr.tobytes()
+
+
 def tiff_pixels(b: bytes):
     """Decode a baseline multi-strip TIFF to (width, height, channels,
     pixel_bytes) with 8-bit samples: compressions 1 (none), 5 (LZW —
@@ -298,7 +341,21 @@ def _tiff_decode(b: bytes):
         return None
     if comp == 7 and (predictor != 1 or depth != 8):
         return None  # new-style JPEG blocks carry no TIFF predictor
+    planar = _tiff_tag(b, 284) or 1
+    if planar not in (1, 2):
+        return None
     tw, th = _tiff_tag(b, 322), _tiff_tag(b, 323)
+    if planar == 2 and spp > 1:
+        # PlanarConfiguration 2 (TIFF 6.0 §14, round 6): strips are
+        # grouped plane-major. Ignoring the tag would decode plane-0
+        # bytes as interleaved RGB — a SILENT wrong answer, which is
+        # why this branch (and the quarantine below for the
+        # planar+tiled / planar+JPEG corners) must exist.
+        if (tw and th) or comp == 7 or depth != 8:
+            return None
+        return _tiff_decode_planar(
+            b, w, h, spp, photometric, predictor, comp
+        )
     if tw and th:  # tiled organization (TIFF 6.0 §15) — round 5
         return _tiff_decode_tiled(
             b, w, h, spp, depth, photometric, predictor, tw, th
@@ -497,6 +554,125 @@ def wav_info(b: bytes) -> Optional[dict]:
         if bytes_per_sec:
             out["duration_ms"] = data_size * 1000 // bytes_per_sec
     return out
+
+
+# G.711 (public ITU spec) byte -> linear decode, used for WAV format
+# codes 6 (A-law) and 7 (mu-law). Pure closed-form expansion; the
+# canonical identities (u-law 0xFF -> 0, u-law 0x7F -> 0, A-law
+# 0x55 -> -8) are pinned in tests.
+def _ulaw_to_linear(u: int) -> int:
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    x = (((mant << 3) + 0x84) << exp) - 0x84
+    return -x if sign else x
+
+
+def _alaw_to_linear(a: int) -> int:
+    a ^= 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    if exp == 0:
+        x = (mant << 4) + 8
+    else:
+        x = ((mant << 4) + 0x108) << (exp - 1)
+    return x if sign else -x
+
+
+def wav_pcm_stats(b: bytes) -> Optional[dict]:
+    """REAL sample-level decode for WAV payloads (round 6 — upgrades
+    the audio lane from header-only): linear PCM (format 1; 8-bit
+    unsigned, 16/24/32-bit signed LE), IEEE float32 (format 3), and
+    G.711 A-law / mu-law (formats 6/7, decoded by the public
+    closed-form expansion above). Returns
+    {n_samples, rms, peak, mean} with amplitudes normalized to
+    full scale and rounded to 6 dp; integer formats accumulate
+    sum/sum-of-squares EXACTLY (python ints via numpy int64 ->
+    object-free paths), so a synthetic corpus with closed-form
+    waveforms round-trips bit-identically through an SQL oracle.
+    Anything else (extensible fmt, ADPCM...) returns None — the
+    quarantine lane, same contract as the other media kernels."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    import numpy as np
+
+    audio_fmt = channels = rate = bits = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(b):
+            audio_fmt = int.from_bytes(b[i + 8:i + 10], "little")
+            channels = int.from_bytes(b[i + 10:i + 12], "little")
+            rate = int.from_bytes(b[i + 12:i + 16], "little")
+            bits = int.from_bytes(b[i + 22:i + 24], "little")
+        elif cid == b"data":
+            data = b[i + 8:i + 8 + size]
+        i += 8 + size + (size & 1)
+    if audio_fmt is None or data is None or not bits:
+        return None
+    if audio_fmt == 1 and bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        full = 128.0
+    elif audio_fmt == 1 and bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+        full = 32768.0
+    elif audio_fmt == 1 and bits == 24:
+        raw = data[: len(data) - (len(data) % 3)]
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        x = a[:, 0] | (a[:, 1] << 8) | (a[:, 2] << 16)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        full = float(1 << 23)
+    elif audio_fmt == 1 and bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<i4"
+        ).astype(np.int64)
+        full = float(1 << 31)
+    elif audio_fmt == 3 and bits == 32:
+        xf = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype="<f4"
+        ).astype(np.float64)
+        n = int(xf.size)
+        if not n:
+            return None
+        return {
+            "n_samples": n,
+            "rms": round(float(np.sqrt(np.mean(xf * xf))), 6),
+            "peak": round(float(np.max(np.abs(xf))), 6),
+            "mean": round(float(np.mean(xf)), 6),
+        }
+    elif audio_fmt in (6, 7) and bits == 8:
+        table = _alaw_to_linear if audio_fmt == 6 else _ulaw_to_linear
+        lut = np.array([table(v) for v in range(256)], dtype=np.int64)
+        x = lut[np.frombuffer(data, dtype=np.uint8)]
+        full = 32768.0
+    else:
+        return None
+    n = int(x.size)
+    if not n:
+        return None
+    # exact integer accumulation (int64 sums are exact for any
+    # realistic payload: n * full^2 < 2^63 up to ~1e9 16-bit samples);
+    # fall back to python ints past that bound
+    if n * (full * full) < float(1 << 62):
+        s = int(np.sum(x))
+        ss = int(np.sum(x * x))
+    else:
+        s = sum(int(v) for v in x)
+        ss = sum(int(v) * int(v) for v in x)
+    import math
+
+    return {
+        "n_samples": n,
+        "rms": round(math.sqrt(ss / n) / full, 6),
+        "peak": round(int(np.max(np.abs(x))) / full, 6),
+        "mean": round(s / n / full, 6),
+    }
 
 
 def _iter_boxes(b: bytes, start: int, end: int):

@@ -415,11 +415,14 @@ def synthesize_animated_gif_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
-    """documents -> one gray TIFF per doc cycling FOUR organizations
-    over identical pixels (round 5 — the oracle formula never moves
-    while the engine exercises every decode path):
-      d%4==0 strip, uncompressed      d%4==1 strip, LZW + predictor 2
-      d%4==2 TILED 16x16, LZW         d%4==3 JPEG strips (lossless SOF3)
+    """documents -> one TIFF per doc cycling FIVE organizations over
+    identical luma (rounds 5-6 — the oracle formula never moves while
+    the engine exercises every decode path):
+      d%5==0 strip, uncompressed      d%5==1 strip, LZW + predictor 2
+      d%5==2 TILED 16x16, LZW         d%5==3 JPEG strips (lossless SOF3)
+      d%5==4 RGB PLANAR (tag 284=2), LZW + predictor 2, multi-strip —
+             gray-valued planes (R=G=B=row value), so the 299/587/114
+             luma equals the gray formula exactly (round 6)
     width = 24 + (d%3)*8, height = 8 + (d%2)*8, row y is the constant
     40 + ((d + y*11) % 50) * 4 -> mean_luma = avg_y(row value), exact
     (heights 8/16 keep the mean's decimals terminating)."""
@@ -444,7 +447,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                 img = np.zeros((h, w), dtype=np.uint8)
                 for y in range(h):
                     img[y, :] = 40 + ((d + y * 11) % 50) * 4
-                v = d % 4
+                v = d % 5
                 if v == 0:
                     payload = make_tiff(img)
                 elif v == 1:
@@ -452,8 +455,13 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                                         rows_per_strip=4, predictor=2)
                 elif v == 2:
                     payload = make_tiff_tiled(img, 16, 16, compression=5)
-                else:
+                elif v == 3:
                     payload = make_tiff_jpeg(img, rows_per_strip=8)
+                else:
+                    rgb = np.repeat(img[..., None], 3, axis=2)
+                    payload = make_tiff(rgb, compression=5,
+                                        rows_per_strip=4, predictor=2,
+                                        planar=2)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"tif-{d}")
                 out["modality"].append("image")
@@ -740,6 +748,119 @@ def extract_media_features(
     return media.mapInPandas(
         _make_feature_batches(pixel_formats), schema=FEATURE_SCHEMA
     )
+
+
+AUDIO_PCM_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("mean", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
+    """REAL sample-level audio features (round 6 — upgrades the audio
+    lane beyond container headers): per payload, decode every sample
+    of a WAV body (linear PCM 8/16/24/32-bit, IEEE float32, G.711
+    A-law/mu-law — kernels/media.wav_pcm_stats) and emit n_samples +
+    normalized rms/peak/mean. Non-WAV or unsupported-codec payloads
+    quarantine via the error column — never a raise, never a dropped
+    row (the extract_doc contract). Arrow-batched mapInPandas; the
+    decode is numpy-vectorized per payload."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.media import wav_pcm_stats
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_PCM_SCHEMA.fields}
+            for doc_id, media_ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                out["doc_id"].append(str(doc_id))
+                out["media_ref"].append(str(media_ref))
+                stats, err = None, None
+                try:
+                    stats = wav_pcm_stats(bytes(payload))
+                    if stats is None:
+                        err = "unsupported audio payload (not PCM/float/G.711 WAV)"
+                except Exception as e:  # poison payloads quarantine
+                    err = f"{type(e).__name__}: {e}"
+                out["n_samples"].append(
+                    int(stats["n_samples"]) if stats else None
+                )
+                out["rms"].append(stats["rms"] if stats else None)
+                out["peak"].append(stats["peak"] if stats else None)
+                out["mean"].append(stats["mean"] if stats else None)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        gen, schema=AUDIO_PCM_SCHEMA
+    )
+
+
+def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL WAV per doc (doc_id % 4) whose waveform
+    has a CLOSED-FORM rms/peak/mean the oracle restates in SQL while
+    the engine must parse the RIFF chunks and decode every sample:
+      0: 16-bit PCM square wave, A = 4096*(1 + d%7)
+         -> rms = peak = A/32768 (exact eighths), n = 2*(100 + d%250)
+      1: 8-bit PCM square wave, A = 2*(1 + d%63)
+         -> rms = peak = A/128, n = 2*(50 + d%200)
+      2: G.711 mu-law, bytes 0x80/0x00 -> +-32124
+         -> rms = peak = 32124/32768, n = 2*(60 + d%100)
+      3: G.711 A-law, bytes 0xAA/0x2A -> +-32256
+         -> rms = peak = 32256/32768, n = 2*(60 + d%100)
+    All squares alternate +A/-A over an even frame count, so mean is
+    exactly 0; amplitudes are picked so every 6-dp round is exact on
+    both engines (terminating binary fractions)."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..testing.imagegen import make_wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 4
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    amp = 4096 * (1 + d % 7)
+                    n = 2 * (100 + d % 250)
+                    data = struct.pack(
+                        f"<{n}h", *([amp, -amp] * (n // 2))
+                    )
+                    wav = make_wav(rate, 0, bits=16, data=data)
+                elif v == 1:
+                    amp = 2 * (1 + d % 63)
+                    n = 2 * (50 + d % 200)
+                    data = bytes([128 + amp, 128 - amp] * (n // 2))
+                    wav = make_wav(rate, 0, bits=8, data=data)
+                elif v == 2:
+                    n = 2 * (60 + d % 100)
+                    data = bytes([0x80, 0x00] * (n // 2))
+                    wav = make_wav(rate, 0, bits=8, data=data, fmt_code=7)
+                else:
+                    n = 2 * (60 + d % 100)
+                    data = bytes([0xAA, 0x2A] * (n // 2))
+                    wav = make_wav(rate, 0, bits=8, data=data, fmt_code=6)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"wav-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(wav)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
 def sniff_image_format(payload_col) -> "F.Column":

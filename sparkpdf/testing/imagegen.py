@@ -60,20 +60,29 @@ def make_gif(width: int, height: int) -> bytes:
 
 
 def make_wav(sample_rate: int, duration_ms: int, channels: int = 1,
-             bits: int = 8) -> bytes:
-    """Minimal valid RIFF/WAVE: fmt + data chunks, silence payload."""
-    n_bytes = sample_rate * duration_ms // 1000 * channels * (bits // 8)
+             bits: int = 8, data: bytes | None = None,
+             fmt_code: int = 1) -> bytes:
+    """Minimal valid RIFF/WAVE: fmt + data chunks. `data=None` fills
+    a silence payload sized from duration; a bytes payload embeds
+    verbatim (round 6: sample-level decode fixtures). `fmt_code`:
+    1 = PCM, 3 = IEEE float, 6 = A-law, 7 = mu-law."""
+    if data is None:
+        data = b"\x00" * (
+            sample_rate * duration_ms // 1000 * channels * (bits // 8)
+        )
     fmt = (
         b"fmt " + (16).to_bytes(4, "little")
-        + (1).to_bytes(2, "little")            # PCM
+        + fmt_code.to_bytes(2, "little")
         + channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little")
         + (sample_rate * channels * bits // 8).to_bytes(4, "little")
         + (channels * bits // 8).to_bytes(2, "little")
         + bits.to_bytes(2, "little")
     )
-    data = b"data" + n_bytes.to_bytes(4, "little") + b"\x00" * n_bytes
-    body = b"WAVE" + fmt + data
+    chunk = b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunk += b"\x00"  # RIFF chunks pad to even offsets
+    body = b"WAVE" + fmt + chunk
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
@@ -259,11 +268,13 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def make_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
               photometric=None, predictor: int = 1,
-              byte_order: str = "II") -> bytes:
+              byte_order: str = "II", planar: int = 1) -> bytes:
     """Baseline multi-strip TIFF from an (h, w[, ch]) uint8-like array:
     compression 1 (none), 5 (LZW) or 32773 (PackBits); optional
     horizontal-differencing predictor (317=2); strips of
-    rows_per_strip rows (0 = single strip)."""
+    rows_per_strip rows (0 = single strip). `planar=2` writes
+    PlanarConfiguration 2 (TIFF 6.0 §14: all plane-0 strips, then
+    plane 1, ...; the predictor differences within each plane)."""
     import numpy as np
 
     from .pdfgen import lzw_encode
@@ -281,13 +292,25 @@ def make_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
         diff[:, 1:, :] -= src[:, :-1, :].astype(np.int16)
         src = (diff & 0xFF).astype(np.uint8)
     strips = []
-    for r0 in range(0, h, rps):
-        raw = src[r0:r0 + rps].tobytes()
-        if compression == 5:
-            raw = lzw_encode(raw)
-        elif compression == 32773:
-            raw = _packbits_encode(raw)
-        strips.append(raw)
+    if planar == 2 and ch > 1:
+        for c in range(ch):
+            for r0 in range(0, h, rps):
+                raw = np.ascontiguousarray(
+                    src[r0:r0 + rps, :, c]
+                ).tobytes()
+                if compression == 5:
+                    raw = lzw_encode(raw)
+                elif compression == 32773:
+                    raw = _packbits_encode(raw)
+                strips.append(raw)
+    else:
+        for r0 in range(0, h, rps):
+            raw = src[r0:r0 + rps].tobytes()
+            if compression == 5:
+                raw = lzw_encode(raw)
+            elif compression == 32773:
+                raw = _packbits_encode(raw)
+            strips.append(raw)
     bo = "little" if byte_order == "II" else "big"
 
     def _e(v, n):
@@ -319,6 +342,8 @@ def make_tiff(pixels, compression: int = 1, rows_per_strip: int = 0,
     tag(279, 4, nstrips, [len(s) for s in strips])
     if predictor != 1:
         tag(317, 3, 1, [predictor])
+    if planar != 1:
+        tag(284, 3, 1, [planar])
     tags.sort()
     ifd_off = pos
     ext = bytearray()

@@ -749,6 +749,75 @@ def test_ogg_payload_oggs_lookalike():
     assert t is not None and "duration_ms" not in t
 
 
+def test_wav_pcm_sample_decode():
+    """Round-6 sample-level WAV decode: every PCM width, IEEE float,
+    and the G.711 expansions, validated against hand-derived spec
+    values (mu-law 0xFF/0x7F -> 0, 0x80 -> +32124, A-law 0x55 -> -8,
+    0xAA -> +32256) and closed-form waveforms; truncation/garbage
+    quarantines to None, never a raise."""
+    import struct
+
+    from sparkpdf.kernels.media import (
+        _alaw_to_linear,
+        _ulaw_to_linear,
+        wav_pcm_stats,
+    )
+    from sparkpdf.testing.imagegen import make_wav
+
+    # G.711 canonical identities (public ITU spec values)
+    assert _ulaw_to_linear(0xFF) == 0
+    assert _ulaw_to_linear(0x7F) == 0
+    assert _ulaw_to_linear(0x80) == 32124
+    assert _ulaw_to_linear(0x00) == -32124
+    assert _alaw_to_linear(0x55) == -8
+    assert _alaw_to_linear(0xD5) == 8
+    assert _alaw_to_linear(0xAA) == 32256
+    assert _alaw_to_linear(0x2A) == -32256
+
+    # 16-bit square: rms = peak = A/32768 exactly, mean 0
+    s = wav_pcm_stats(
+        make_wav(8000, 0, bits=16, data=struct.pack("<4h", 8192, -8192,
+                                                    8192, -8192))
+    )
+    assert s == {"n_samples": 4, "rms": 0.25, "peak": 0.25, "mean": 0.0}
+    # 8-bit unsigned square around the 128 midpoint
+    s8 = wav_pcm_stats(make_wav(8000, 0, bits=8,
+                                data=bytes([128 + 64, 128 - 64] * 3)))
+    assert s8 == {"n_samples": 6, "rms": 0.5, "peak": 0.5, "mean": 0.0}
+    # 24-bit: one sample at exactly -2^23 -> peak 1.0
+    s24 = wav_pcm_stats(make_wav(8000, 0, bits=24,
+                                 data=b"\x00\x00\x80"))
+    assert s24["n_samples"] == 1 and s24["peak"] == 1.0
+    assert s24["mean"] == -1.0
+    # 32-bit int and 32-bit float
+    s32 = wav_pcm_stats(
+        make_wav(8000, 0, bits=32,
+                 data=struct.pack("<2i", 1 << 30, -(1 << 30)))
+    )
+    assert s32["rms"] == 0.5 and s32["mean"] == 0.0
+    sf = wav_pcm_stats(
+        make_wav(8000, 0, bits=32, fmt_code=3,
+                 data=struct.pack("<4f", 0.5, -0.5, 0.5, -0.5))
+    )
+    assert sf == {"n_samples": 4, "rms": 0.5, "peak": 0.5, "mean": 0.0}
+    # G.711 payloads through the full RIFF path
+    mu = wav_pcm_stats(make_wav(8000, 0, bits=8, fmt_code=7,
+                                data=bytes([0x80, 0x00] * 5)))
+    assert mu["peak"] == round(32124 / 32768, 6) and mu["mean"] == 0.0
+    al = wav_pcm_stats(make_wav(8000, 0, bits=8, fmt_code=6,
+                                data=bytes([0xAA, 0x2A] * 5)))
+    assert al["peak"] == round(32256 / 32768, 6) and al["mean"] == 0.0
+    # quarantine: unsupported format code, empty data, truncations
+    assert wav_pcm_stats(make_wav(8000, 0, bits=16, fmt_code=2,
+                                  data=b"\x00\x00")) is None
+    assert wav_pcm_stats(make_wav(8000, 0, bits=16, data=b"")) is None
+    full = make_wav(8000, 0, bits=16,
+                    data=struct.pack("<4h", 100, -100, 100, -100))
+    for n in range(0, len(full), 3):
+        wav_pcm_stats(full[:n])  # must not raise
+    assert wav_pcm_stats(b"RIFFxxxxWAVEgarbage") is None
+
+
 def test_gif_frames_info():
     """GIF animation metadata (round 5): frame count, summed GCE
     delays, NETSCAPE loop count; single-frame GIFs report one frame /
@@ -837,6 +906,41 @@ def test_tiled_tiff_decode():
     ts = make_tiff(gray, compression=5)
     assert tiff_pixels(ts)[3] == pix
     assert tiff_mean_luma(t) == tiff_mean_luma(ts)
+
+
+def test_planar_tiff_decode():
+    """PlanarConfiguration 2 (round 6): plane-major strips decode to
+    the SAME pixels as the chunky file across compressions, multi-strip
+    layouts and the per-plane predictor. Before this round the tag was
+    ignored — plane-0 bytes would decode as interleaved RGB, a silent
+    wrong answer; the unsupported planar corners (tiled, JPEG strips)
+    must quarantine to None instead."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import tiff_pixels
+    from sparkpdf.testing.imagegen import make_tiff
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
+    chunky = tiff_pixels(make_tiff(rgb))
+    for comp in (1, 5, 32773):
+        for rps in (0, 7):
+            p = make_tiff(rgb, compression=comp, rows_per_strip=rps,
+                          planar=2)
+            got = tiff_pixels(p)
+            assert got == chunky, (comp, rps)
+    # per-plane horizontal predictor
+    p = make_tiff(rgb, compression=5, predictor=2, planar=2,
+                  rows_per_strip=9)
+    assert tiff_pixels(p) == chunky
+    # gray planar=2 degenerates to chunky (one plane) and still decodes
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert tiff_pixels(make_tiff(gray, planar=2)) == \
+        tiff_pixels(make_tiff(gray))
+    # truncation sweep must never raise
+    full = make_tiff(rgb, compression=5, planar=2)
+    for n in range(0, len(full), 17):
+        tiff_pixels(full[:n])
 
 
 def test_jpeg_in_tiff_decode():

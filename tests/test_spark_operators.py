@@ -1323,8 +1323,9 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        # round-6 changed operators
+        # round-6 changed/new operators
         "token_rarity", "bigram_surprisal", "line_dedup",
+        "wav_pcm_stats",
         # representatives of the r5 judge-only tail now driver-graded
         "obj_join", "font_join", "text_agg", "extract_stats",
         "ann_lsh_topk", "ann_ivf_topk", "ann_recall", "html_main",
@@ -1698,6 +1699,35 @@ def test_pixel_stats_policy_empty_media(spark):
     )
     pol = pixel_stats_policy(empty)
     assert pol == {"formats": {}, "decode_formats": set(), "sampled": 0}
+
+
+def test_audio_pcm_features_quarantine(spark, docs):
+    """extract_audio_pcm_features NEVER raises or drops a row: real
+    WAVs decode, poison/non-WAV payloads quarantine via the error
+    column with null stats."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_wav_pcm_media,
+    )
+
+    good = synthesize_wav_pcm_media(docs.limit(8))
+    poison = spark.createDataFrame(
+        [Row(doc_id="px", media_ref="bad-1", modality="audio",
+             payload=b"RIFF\x10\x00\x00\x00WAVEjunkchunk"),
+         Row(doc_id="py", media_ref="bad-2", modality="audio",
+             payload=b"not audio at all")],
+        schema="doc_id string, media_ref string, modality string, "
+               "payload binary",
+    )
+    out = extract_audio_pcm_features(good.unionByName(poison))
+    rows = {r.media_ref: r for r in out.collect()}
+    assert len(rows) == 10
+    for ref in ("bad-1", "bad-2"):
+        assert rows[ref].error is not None and rows[ref].rms is None
+    oks = [r for r in rows.values() if r.error is None]
+    assert len(oks) == 8
+    assert all(r.mean == 0.0 and r.rms == r.peak > 0 for r in oks)
 
 
 def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
