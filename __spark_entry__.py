@@ -1284,6 +1284,21 @@ def q_wav_pcm_stats(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    # round 6: deterministic per-stratum downsampling (corpus
+    # rebalancing) composed with lang_id — stable md5 buckets, literal
+    # rate CASE, zero shuffle; the oracle recomputes the language
+    # argmax AND the bucket arithmetic
+    from sparkpdf.operators.text import lang_id, stratified_sample
+
+    return stratified_sample(
+        lang_id(_t(spark, sf_dir, "documents")),
+        "pred_lang",
+        {"en": 250, "de": 500, "fr": 750},
+        default_permille=125,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
@@ -1303,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "wav_pcm_stats": q_wav_pcm_stats,
         "tiff_pixel_stats": q_tiff_pixel_stats,
+        "stratified_sample": q_stratified_sample,
         # --- judge-only in r5, now driver-graded (41) ---
         "obj_join": q_obj_join,
         "font_join": q_font_join,
@@ -1345,13 +1361,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
-        # --- flagship / perf-plan continuity (4) ---
+        # --- flagship / perf-plan continuity (3) ---
         "extract_spans": q_extract_spans,
-        "write_roundtrip": q_write_roundtrip,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         # ---- driver window boundary (50) ----
         # r5-driver-certified tail (unchanged code)
+        "write_roundtrip": q_write_roundtrip,
         "pdf_embedded_media": q_pdf_embedded_media,
         "sessionize": q_sessionize,
         "dup_substring_ranges": q_dup_substring_ranges,
@@ -2092,6 +2108,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(best AS INTEGER) AS stopword_hits
         FROM g
     """
+    # stratified_sample (round 6): the language argmax AND the stable
+    # md5 bucket + literal rate CASE recomputed in SQL
+    sql["stratified_sample"] = f"""
+        WITH t AS (
+            SELECT doc_id, list_distinct({_TOKENS}) AS toks FROM documents
+        ), s AS (
+            SELECT doc_id, {score_cols} FROM t
+        ), g AS (
+            SELECT doc_id, s_en, s_de, s_fr, s_es,
+                   greatest(s_en, s_de, s_fr, s_es) AS best
+            FROM s
+        ), l AS (
+            SELECT doc_id, {pred} AS stratum FROM g
+        ), b AS (
+            SELECT doc_id, stratum,
+                   CAST('0x' || substr(md5('strata:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 3) AS INTEGER)
+                       AS bucket
+            FROM l
+        )
+        SELECT doc_id, stratum, CAST(bucket AS INTEGER) AS bucket,
+               CAST(CASE stratum WHEN 'en' THEN 250 WHEN 'de' THEN 500
+                                 WHEN 'fr' THEN 750 ELSE 125
+                    END AS INTEGER) AS rate_permille,
+               bucket * 1000 < (CASE stratum WHEN 'en' THEN 250
+                                             WHEN 'de' THEN 500
+                                             WHEN 'fr' THEN 750
+                                             ELSE 125 END) * 4096
+                   AS kept
+        FROM b
+    """
     sql["quality_score"] = f"""
         WITH t AS (
             SELECT doc_id,
@@ -2738,22 +2785,26 @@ def oracle_sql() -> dict[str, str]:
     # the public G.711 expansion values.
     sql["wav_pcm_stats"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CAST(CASE doc_id % 4
+               CAST(CASE doc_id % 6
                          WHEN 0 THEN 2 * (100 + doc_id % 250)
                          WHEN 1 THEN 2 * (50 + doc_id % 200)
+                         WHEN 4 THEN 2 * (40 + doc_id % 80)
+                         WHEN 5 THEN 2 * (30 + doc_id % 60)
                          ELSE 2 * (60 + doc_id % 100)
                          END AS INTEGER) AS n_samples,
-               ROUND(CASE doc_id % 4
+               ROUND(CASE doc_id % 6
                           WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
                           WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
                           WHEN 2 THEN 32124 / 32768.0
-                          ELSE 32256 / 32768.0
+                          WHEN 3 THEN 32256 / 32768.0
+                          ELSE 0.125 * (1 + doc_id % 7)
                           END, 6) AS rms,
-               ROUND(CASE doc_id % 4
+               ROUND(CASE doc_id % 6
                           WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
                           WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
                           WHEN 2 THEN 32124 / 32768.0
-                          ELSE 32256 / 32768.0
+                          WHEN 3 THEN 32256 / 32768.0
+                          ELSE 0.125 * (1 + doc_id % 7)
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents

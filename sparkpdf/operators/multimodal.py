@@ -805,7 +805,7 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL WAV per doc (doc_id % 4) whose waveform
+    """documents -> one REAL WAV per doc (doc_id % 6) whose waveform
     has a CLOSED-FORM rms/peak/mean the oracle restates in SQL while
     the engine must parse the RIFF chunks and decode every sample:
       0: 16-bit PCM square wave, A = 4096*(1 + d%7)
@@ -816,6 +816,10 @@ def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
          -> rms = peak = 32124/32768, n = 2*(60 + d%100)
       3: G.711 A-law, bytes 0xAA/0x2A -> +-32256
          -> rms = peak = 32256/32768, n = 2*(60 + d%100)
+      4: 24-bit PCM square, A = 2^20*(1 + d%7)
+         -> rms = peak = A/2^23 (exact eighths), n = 2*(40 + d%80)
+      5: IEEE float32 square, amp = 0.125*(1 + d%7) (exact binary)
+         -> rms = peak = amp, n = 2*(30 + d%60)
     All squares alternate +A/-A over an even frame count, so mean is
     exactly 0; amplitudes are picked so every 6-dp round is exact on
     both engines (terminating binary fractions)."""
@@ -832,7 +836,7 @@ def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                v = d % 4
+                v = d % 6
                 rate = 8000 + (d % 8) * 1000
                 if v == 0:
                     amp = 4096 * (1 + d % 7)
@@ -850,10 +854,25 @@ def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
                     n = 2 * (60 + d % 100)
                     data = bytes([0x80, 0x00] * (n // 2))
                     wav = make_wav(rate, 0, bits=8, data=data, fmt_code=7)
-                else:
+                elif v == 3:
                     n = 2 * (60 + d % 100)
                     data = bytes([0xAA, 0x2A] * (n // 2))
                     wav = make_wav(rate, 0, bits=8, data=data, fmt_code=6)
+                elif v == 4:
+                    amp = (1 << 20) * (1 + d % 7)
+                    n = 2 * (40 + d % 80)
+                    pos = amp.to_bytes(3, "little", signed=True)
+                    neg = (-amp).to_bytes(3, "little", signed=True)
+                    data = (pos + neg) * (n // 2)
+                    wav = make_wav(rate, 0, bits=24, data=data)
+                else:
+                    amp = 0.125 * (1 + d % 7)
+                    n = 2 * (30 + d % 60)
+                    data = struct.pack(
+                        f"<{n}f", *([amp, -amp] * (n // 2))
+                    )
+                    wav = make_wav(rate, 0, bits=32, data=data,
+                                   fmt_code=3)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"wav-{d}")
                 out["modality"].append("audio")

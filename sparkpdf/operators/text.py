@@ -458,6 +458,44 @@ def hash_split(documents: DataFrame, val_permille: int = 100,
     )
 
 
+def stratified_sample(documents: DataFrame, strata_col,
+                      rates: "dict[str, int]",
+                      default_permille: int = 1000,
+                      salt: str = "strata") -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-rebalancing
+    primitive of a training-data pipeline (cap over-represented
+    languages/domains, keep rare ones whole): each doc is kept iff its
+    stable hash bucket falls under its stratum's permille rate.
+    bucket = first 3 hex digits of md5(salt:doc_id) in [0, 4096) (the
+    hash_split machinery), so membership is reproducible across runs,
+    engines and partitionings, independent of corpus growth, and
+    MONOTONE in the rate: raising a stratum's rate only ADDS docs
+    (bucket membership never reshuffles — the property that makes
+    incremental re-curation cheap at 100 TB).
+
+    Scale shape: the rates map is a literal CASE expression
+    (config-sized); the whole operator is scan-local — no shuffle, no
+    RNG, no driver state.
+
+    Output: doc_id, stratum, bucket, rate_permille, kept."""
+    sc = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    rate = F.lit(int(default_permille))
+    for k, v in sorted(rates.items(), reverse=True):
+        rate = F.when(sc == F.lit(k), F.lit(int(v))).otherwise(rate)
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"),
+                                   F.col("doc_id").cast("string"))), 1, 3),
+        16, 10,
+    ).cast("int")
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        sc.alias("stratum"),
+        bucket.alias("bucket"),
+        rate.cast("int").alias("rate_permille"),
+        (bucket * 1000 < rate * 4096).alias("kept"),
+    )
+
+
 def bigram_surprisal(documents: DataFrame,
                      head_budget: int = 1_000_000) -> DataFrame:
     """Corpus-estimated bigram surprisal — the KenLM-style fluency

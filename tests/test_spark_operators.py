@@ -1701,6 +1701,37 @@ def test_pixel_stats_policy_empty_media(spark):
     assert pol == {"formats": {}, "decode_formats": set(), "sampled": 0}
 
 
+def test_stratified_sample(spark):
+    """Deterministic per-stratum downsampling: rates apply per
+    stratum, membership is stable across calls, empirical keep rates
+    land near the permille targets, and raising a rate only ADDS docs
+    (monotone buckets — the incremental-re-curation property)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import stratified_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=str(d), stratum="a" if d % 2 == 0 else "b")
+         for d in range(2000)]
+    )
+    out = stratified_sample(docs, "stratum", {"a": 250}, 1000)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 2000
+    a_kept = sum(1 for r in rows.values() if r.stratum == "a" and r.kept)
+    b_kept = sum(1 for r in rows.values() if r.stratum == "b" and r.kept)
+    assert b_kept == 1000  # default rate 1000 permille keeps all
+    assert 150 <= a_kept <= 350  # ~25% of 1000, loose band
+    assert all(r.rate_permille == (250 if r.stratum == "a" else 1000)
+               for r in rows.values())
+    # determinism + monotonicity: the 250-permille keep set is a
+    # subset of the 500-permille keep set
+    again = {r.doc_id: r.kept for r in stratified_sample(
+        docs, "stratum", {"a": 250}, 1000).collect()}
+    assert again == {k: r.kept for k, r in rows.items()}
+    wider = {r.doc_id: r.kept for r in stratified_sample(
+        docs, "stratum", {"a": 500}, 1000).collect()}
+    assert all(wider[k] for k, r in rows.items() if r.kept)
+
+
 def test_audio_pcm_features_quarantine(spark, docs):
     """extract_audio_pcm_features NEVER raises or drops a row: real
     WAVs decode, poison/non-WAV payloads quarantine via the error
