@@ -56,6 +56,13 @@ def main(argv=None):
         "(token_rarity_score: mean -log10 token frequency) falls "
         "below this — boilerplate/templated docs score low; 0 = off",
     )
+    ap.add_argument(
+        "--stratify-lang", default=None,
+        help="deterministic per-language downsampling after dedup "
+        "(round 6): 'en=250,de=500' keeps 25%% of en docs, 50%% of "
+        "de, 100%% of unlisted languages (permille; stable md5 "
+        "buckets, so re-running with raised rates only ADDS docs)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -172,6 +179,25 @@ def main(argv=None):
             "doc_id",
         )
 
+    # 4d. language-stratified downsampling (optional, round 6):
+    # deterministic md5-bucket rebalancing — zero shuffle, monotone in
+    # the rates (incremental re-curation adds docs, never reshuffles)
+    n_stratified = None
+    if args.stratify_lang:
+        from sparkpdf.operators.text import lang_id, stratified_sample
+
+        rates = {
+            k.strip(): int(v)
+            for k, v in (kv.split("=")
+                         for kv in args.stratify_lang.split(","))
+        }
+        langs = lang_id(unique_docs.select("doc_id", "text"))
+        keep = stratified_sample(langs, "pred_lang", rates).filter(
+            "kept"
+        ).select("doc_id")
+        unique_docs = unique_docs.join(keep, "doc_id")
+        n_stratified = unique_docs.count()
+
     # 5. training windows
     chunks = chunk_documents(
         unique_docs, chunk_chars=args.chunk_chars, overlap=args.overlap
@@ -187,6 +213,7 @@ def main(argv=None):
         "lsh_overflow_buckets": n_overflow_buckets,
         "dup_substring_chars_cut": n_dup_chars,
         "dropped_duplicate_lines": n_dropped_lines,
+        "stratified_kept": n_stratified,
         "chunks": n_chunks,
     }
     print(json.dumps(summary))
