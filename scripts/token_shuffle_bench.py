@@ -197,6 +197,44 @@ def _synth_zipf(spark, n_docs, doc_len, vocab, burst):
     )
 
 
+def variant_bigram_occ_join(documents):
+    """The round-5 bigram shape: raw bigram occurrences join both
+    frequency tables on content."""
+    from pyspark.sql import functions as F
+    from sparkpdf.operators.text import _tokens
+
+    toksed = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _tokens("text").alias("toks"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.struct(
+            F.element_at("toks", i + 1).alias("w1"),
+            F.element_at("toks", i + 2).alias("w2"),
+        ),
+    )
+    pairs = toksed.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    big_freq = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni_freq = big_freq.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    micro = F.round(
+        -F.log10(F.col("c2") / F.col("c1")) * 1e6
+    ).cast("long")
+    return (
+        pairs.join(big_freq, ["w1", "w2"])
+        .join(uni_freq, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(micro) / (F.count("*") * F.lit(1e6)), 6)
+            .alias("surprisal"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=None,
@@ -247,20 +285,29 @@ def main():
               "docs": n_docs, "tokens": int(n_tokens),
               "distinct_pair_ratio": round(n_pairs / max(n_tokens, 1), 3),
               "variants": {}}
+    from sparkpdf.operators.text import bigram_surprisal
+
     variants = [
-        ("occ_join", lambda d: variant_occ_join(d), True),
-        ("tf_join", lambda d: variant_tf_join(d), True),
+        ("occ_join", lambda d: variant_occ_join(d), True, "tok"),
+        ("tf_join", lambda d: variant_tf_join(d), True, "tok"),
         # default budget: threshold = total // 1e6 — on the synth
         # corpus this is already a real head/tail split
-        ("head_tail_default", lambda d: token_rarity_score(d), False),
+        ("head_tail_default", lambda d: token_rarity_score(d), False,
+         "tok"),
         # small head budget: more vocabulary falls to the tail join —
         # the worst case for the pruned shape
         ("head_tail_small_head",
          lambda d: token_rarity_score(d, head_budget=args.split_budget),
-         False),
+         False, "tok"),
+        # the same before/after pair for the bigram operator (its own
+        # output contract: rows compare within the bigram group)
+        ("bigram_occ_join", lambda d: variant_bigram_occ_join(d), True,
+         "bigram"),
+        ("bigram_head_tail", lambda d: bigram_surprisal(d), False,
+         "bigram"),
     ]
-    baseline_rows = None
-    for name, fn, no_broadcast in variants:
+    baselines = {}
+    for name, fn, no_broadcast, group in variants:
         # legacy shapes: disable auto-broadcast so the content-keyed
         # join actually shuffles (the at-scale regime); head_tail uses
         # explicit broadcast() which ignores the threshold
@@ -270,13 +317,11 @@ def main():
         )
         t_start_ms = int(time.time() * 1000)
         t0 = time.time()
-        rows = sorted(
-            (r.doc_id, r.rarity, r.n_tokens) for r in fn(docs).collect()
-        )
+        rows = sorted(tuple(r) for r in fn(docs).collect())
         wall = time.time() - t0
-        if baseline_rows is None:
-            baseline_rows = rows
-        assert rows == baseline_rows, f"{name} output differs"
+        if group not in baselines:
+            baselines[group] = rows
+        assert rows == baselines[group], f"{name} output differs"
         rec = {"wall_sec": round(wall, 1), "n_docs_out": len(rows)}
         rec.update(_stage_totals(spark, t_start_ms))
         rec["shuffle_write_bytes_per_token"] = round(

@@ -259,3 +259,47 @@ def test_jpeg_valid_file_bitflip_quarantines(seed):
     enc[pos] ^= int(rng.integers(1, 256))
     out = decode_jpeg(bytes(enc))
     assert out is None or out.dtype.name == "uint8"
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    st.sampled_from([8, 16, 24, 32]),
+)
+@settings(max_examples=120, deadline=None)
+def test_wav_pcm_stats_matches_python_reference(values, bits):
+    """wav_pcm_stats equals a direct Python computation of the
+    normalized rms/peak/mean for every PCM width on arbitrary sample
+    values (round 6 — the closed-form corpus only exercises square
+    waves; this pins the general decode + exact accumulation)."""
+    import math
+    import struct
+
+    from sparkpdf.kernels.media import wav_pcm_stats
+    from sparkpdf.testing.imagegen import make_wav
+
+    if bits == 8:
+        xs = [max(-128, min(127, v // 256)) for v in values]
+        data = bytes((x + 128) & 0xFF for x in xs)
+        full = 128.0
+    elif bits == 16:
+        xs = values
+        data = struct.pack(f"<{len(xs)}h", *xs)
+        full = 32768.0
+    elif bits == 24:
+        xs = [v * 199 for v in values]  # spread into the 24-bit range
+        data = b"".join(x.to_bytes(3, "little", signed=True) for x in xs)
+        full = float(1 << 23)
+    else:
+        xs = [v * 65519 for v in values]
+        data = struct.pack(f"<{len(xs)}i", *xs)
+        full = float(1 << 31)
+    got = wav_pcm_stats(make_wav(8000, 0, bits=bits, data=data))
+    n = len(xs)
+    ss_sum = sum(x * x for x in xs)
+    expect = {
+        "n_samples": n,
+        "rms": round(math.sqrt(ss_sum / n) / full, 6),
+        "peak": round(max(abs(x) for x in xs) / full, 6),
+        "mean": round(sum(xs) / n / full, 6),
+    }
+    assert got == expect
