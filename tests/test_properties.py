@@ -303,3 +303,29 @@ def test_wav_pcm_stats_matches_python_reference(values, bits):
         "mean": round(sum(xs) / n / full, 6),
     }
     assert got == expect
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=150, deadline=None)
+def test_wav_pcm_stats_corruption_fuzz(seed):
+    """Random byte flips in a valid WAV must never raise: the kernel
+    either still decodes (stats dict) or quarantines (None) — same
+    contract as every other media kernel."""
+    import struct
+
+    import numpy as np
+
+    from sparkpdf.kernels.media import wav_pcm_stats
+    from sparkpdf.testing.imagegen import make_wav
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 64)) * 2
+    xs = rng.integers(-32768, 32768, n)
+    full = bytearray(
+        make_wav(8000, 0, bits=16,
+                 data=struct.pack(f"<{n}h", *map(int, xs)))
+    )
+    for _ in range(int(rng.integers(1, 5))):
+        full[int(rng.integers(0, len(full)))] ^= int(rng.integers(1, 256))
+    out = wav_pcm_stats(bytes(full))
+    assert out is None or set(out) == {"n_samples", "rms", "peak", "mean"}
