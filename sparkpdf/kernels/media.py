@@ -534,7 +534,10 @@ def wav_info(b: bytes) -> Optional[dict]:
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         size = int.from_bytes(b[i + 4:i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(b):
+            # size >= 16 guards against a truncated fmt chunk whose
+            # "body" would otherwise be the NEXT chunk's header bytes
+            # read as format code / bits — garbage decoded as PCM
             channels = int.from_bytes(b[i + 10:i + 12], "little")
             rate = int.from_bytes(b[i + 12:i + 16], "little")
             bits = int.from_bytes(b[i + 22:i + 24], "little")
@@ -604,7 +607,9 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         size = int.from_bytes(b[i + 4:i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(b):
+        if cid == b"fmt " and size >= 16 and i + 24 <= len(b):
+            # short fmt chunk (size < 16) = unsupported, not "read the
+            # next chunk's header as the format body" (quarantine)
             audio_fmt = int.from_bytes(b[i + 8:i + 10], "little")
             channels = int.from_bytes(b[i + 10:i + 12], "little")
             rate = int.from_bytes(b[i + 12:i + 16], "little")
@@ -638,7 +643,9 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
             data[: len(data) - (len(data) % 4)], dtype="<f4"
         ).astype(np.float64)
         n = int(xf.size)
-        if not n:
+        if not n or not np.isfinite(xf).all():
+            # NaN/Inf payload floats would flow straight through
+            # np.mean into the feature row — quarantine instead
             return None
         return {
             "n_samples": n,

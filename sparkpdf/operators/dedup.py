@@ -130,7 +130,14 @@ def minhash_lsh_pairs(
     the same frame here and to minhash_lsh_overflow so a job that
     needs both pairs AND the overflow report computes signatures
     once (round-6 advice: curate_job was re-signing the corpus just
-    for the overflow count)."""
+    for the overflow count). When `buckets` is given, n_hashes/bands/
+    documents are IGNORED — the frame must come from _minhash_buckets
+    with the same (n_hashes, bands) or the pairs are inconsistent."""
+    if buckets is None and documents is None:
+        raise ValueError(
+            "minhash_lsh_pairs: pass either documents or a precomputed "
+            "buckets frame (from _minhash_buckets)"
+        )
     stacked = (
         buckets if buckets is not None
         else _minhash_buckets(documents, n_hashes, bands)
@@ -170,7 +177,14 @@ def minhash_lsh_overflow(
 
     `buckets`: precomputed _minhash_buckets frame (see
     minhash_lsh_pairs) — lets a job share one signature pass between
-    the pair generation and this report."""
+    the pair generation and this report. When given, n_hashes/bands/
+    documents are IGNORED and the frame's own (n_hashes, bands)
+    govern which buckets exist."""
+    if buckets is None and documents is None:
+        raise ValueError(
+            "minhash_lsh_overflow: pass either documents or a "
+            "precomputed buckets frame (from _minhash_buckets)"
+        )
     stacked = (
         buckets if buckets is not None
         else _minhash_buckets(documents, n_hashes, bands)

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     MapType,
     StringType,
     StructField,
@@ -754,7 +755,10 @@ AUDIO_PCM_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
         StructField("media_ref", StringType()),
-        StructField("n_samples", IntegerType()),
+        # Long, not Integer: an 8-bit WAV near the 4 GB RIFF limit holds
+        # >2^31 samples; an int32 Arrow conversion would raise OUTSIDE
+        # the per-row try/except and break the quarantine contract
+        StructField("n_samples", LongType()),
         StructField("rms", DoubleType()),
         StructField("peak", DoubleType()),
         StructField("mean", DoubleType()),

@@ -38,10 +38,12 @@ WHALE_COST_FACTOR = 3.2
 def derive_target_bytes(
     whale_p99: int | None, whale_cost_factor: float = WHALE_COST_FACTOR
 ) -> int:
-    """The auto-target rule, measured in the round-5 whale100x run:
-    size small-doc partitions against the p99 whale's task COST
-    (p99 whale bytes x ~1.9), never below the default target. With no
-    whales, the default stands."""
+    """The auto-target rule, measured in the whale100x runs: size
+    small-doc partitions against the p99 whale's task COST — p99 whale
+    bytes (the on-disk SIZE COLUMN the planner reads) x ~3.2 — never
+    below the default target. With no whales, the default stands. The
+    rejected first attempt (x1.9 against whale TEXT size) measured
+    p99/p50 2.23; see WHALE_COST_FACTOR above."""
     return max(DEFAULT_TARGET_BYTES, int((whale_p99 or 0) * whale_cost_factor))
 
 

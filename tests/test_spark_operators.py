@@ -105,8 +105,10 @@ def test_salting_plan(spark, corpus):
 
 
 def test_salting_auto_target_rule():
-    """The measured whale100x rule: p99 whale bytes x ~1.9, floored at
-    the default 64 MB target; whale-free corpora keep the default."""
+    """The measured whale100x rule: p99 whale bytes (on-disk size
+    column) x ~3.2, floored at the default 64 MB target; whale-free
+    corpora keep the default. (x1.9-vs-text was the measured-wrong
+    first basis — p99/p50 2.23.)"""
     from sparkpdf.plans.salting import (
         DEFAULT_TARGET_BYTES,
         WHALE_COST_FACTOR,
