@@ -29,8 +29,19 @@ def main(argv=None):
         "--auto-target",
         action="store_true",
         help="derive target-bytes from the corpus's own whale stats "
-        "(p99 big-doc bytes x ~3.2, floor at the default target) — "
-        "the measured whale100x rule; overrides --target-bytes",
+        "(p99 big-doc bytes x the whale cost factor, floor at the "
+        "default target) — the measured whale100x rule; overrides "
+        "--target-bytes",
+    )
+    ap.add_argument(
+        "--measure-factor",
+        action="store_true",
+        help="with --auto-target: MEASURE the whale cost factor on "
+        "this corpus (contended probe, plans/salting.py) instead of "
+        "the 3.2 default — required when the corpus's compressibility "
+        "regime is unknown (the constant embeds one corpus's flate "
+        "ratio; round-7 whale100x runs show measured factors 1.3-1.4 "
+        "matching the hand-tuned target quality on both regimes)",
     )
     ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
     ap.add_argument("--no-salting", action="store_true")
@@ -50,7 +61,11 @@ def main(argv=None):
 
     from sparkpdf.operators.extract import extract_spans
     from sparkpdf.plans.checkpoint import CheckpointedExtraction
-    from sparkpdf.plans.salting import plan_salted_partitions, skew_report
+    from sparkpdf.plans.salting import (
+        WHALE_COST_FACTOR,
+        plan_salted_partitions,
+        skew_report,
+    )
 
     pdf_raw = spark.read.parquet(args.input)
     if not args.no_salting:
@@ -60,6 +75,9 @@ def main(argv=None):
             target_bytes=None if args.auto_target else args.target_bytes,
             big_doc_bytes=args.big_doc_bytes,
             size_col=args.size_col,
+            whale_cost_factor=(
+                None if args.measure_factor else WHALE_COST_FACTOR
+            ),
         )
         print(json.dumps({"skew_before": report}))
 

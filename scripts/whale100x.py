@@ -78,13 +78,14 @@ def chain_text(seed: bytes, mb: int) -> str:
     return " ".join(chunks)
 
 
-def synth(spark, out_dir: str, mult: int, n_whales: int, whale_mb: int):
+def synth(spark, out_dir: str, mult: int, n_whales: int, whale_mb: int,
+          whale_kind: str = "text"):
     from pyspark.sql import Row
     from pyspark.sql import functions as F
 
     from bench import bench_corpus
     from sparkpdf.operators.extract import PDF_RAW_SCHEMA
-    from sparkpdf.testing.pdfgen import doc_to_pdf
+    from sparkpdf.testing.pdfgen import doc_to_pdf, image_whale_pdf
 
     t0 = time.time()
     # n_bytes is MATERIALIZED at ingest: the salted-pushdown layout
@@ -106,10 +107,13 @@ def synth(spark, out_dir: str, mult: int, n_whales: int, whale_mb: int):
         for pdf in batches:
             for (i,) in pdf.itertuples(index=False):
                 i = int(i)
-                doc = doc_to_pdf(
-                    chain_text(b"whale-%d" % i, whale_mb),
-                    title=f"whale-{i}",
-                )
+                if whale_kind == "image":
+                    doc = image_whale_pdf(i, whale_mb << 20)
+                else:
+                    doc = doc_to_pdf(
+                        chain_text(b"whale-%d" % i, whale_mb),
+                        title=f"whale-{i}",
+                    )
                 yield pd.DataFrame(
                     {"doc_id": [f"90000000{i}"], "pdf_bytes": [doc],
                      "n_bytes": [len(doc)]}
@@ -199,6 +203,10 @@ def main():
     ap.add_argument("--mult", type=int, default=1600)
     ap.add_argument("--whales", type=int, default=8)
     ap.add_argument("--whale-mb", type=int, default=200)
+    ap.add_argument("--whale-kind", default="text", choices=["text", "image"],
+                    help="text = flate-expanded tokenized whales (factor"
+                         " ~3.2); image = incompressible DCT payload"
+                         " (factor ~1)")
     ap.add_argument("--target-bytes", type=int, default=128 << 20)
     ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
     ap.add_argument("--cpus", type=int, default=32)
@@ -215,10 +223,12 @@ def main():
     spark = get_ui_spark(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     result = {"mult": args.mult, "whales": args.whales,
-              "whale_mb": args.whale_mb, "target_bytes": args.target_bytes}
+              "whale_mb": args.whale_mb, "whale_kind": args.whale_kind,
+              "target_bytes": args.target_bytes}
     if not args.skip_synth:
         result.update(
-            synth(spark, args.out, args.mult, args.whales, args.whale_mb)
+            synth(spark, args.out, args.mult, args.whales, args.whale_mb,
+                  args.whale_kind)
         )
     corpus = spark.read.parquet(os.path.join(args.out, "small")).unionByName(
         spark.read.parquet(os.path.join(args.out, "whales"))
@@ -268,6 +278,38 @@ def main():
         )
         result["salted_auto"] = run_pass(
             spark, salted_auto.drop("n_bytes"), "salted_auto"
+        )
+    if "salted_measured" in layouts and "n_bytes" in corpus.columns:
+        # salted_measured (round 7): BOTH knobs derived from the corpus
+        # itself — the cost factor from sampled-whale kernel timings,
+        # the target from that factor x whale p99. Must hold
+        # p99/p50 <= 2 on text AND image whale corpora with no tuning.
+        from sparkpdf.plans.salting import (
+            derive_target_bytes,
+            measure_whale_cost_factor,
+        )
+
+        t0 = time.time()
+        mdetail: dict = {}
+        factor = measure_whale_cost_factor(
+            corpus, big_doc_bytes=args.big_doc_bytes, size_col="n_bytes",
+            detail=mdetail,
+        )
+        result["measure_sec"] = round(time.time() - t0, 1)
+        result["measured_factor"] = round(factor, 3) if factor else None
+        result["measure_detail"] = mdetail
+        wp99 = corpus.filter(
+            F.col("n_bytes") > args.big_doc_bytes
+        ).agg(F.expr("percentile_approx(n_bytes, 0.99)")).collect()[0][0]
+        result["measured_target_bytes"] = (
+            derive_target_bytes(wp99, factor) if factor else None
+        )
+        salted_m = plan_salted_partitions(
+            corpus, target_bytes=None, big_doc_bytes=args.big_doc_bytes,
+            size_col="n_bytes", whale_cost_factor=factor,
+        )
+        result["salted_measured"] = run_pass(
+            spark, salted_m.drop("n_bytes"), "salted_measured"
         )
     print(json.dumps(result))
     spark.stop()

@@ -32,7 +32,201 @@ DEFAULT_BIG_DOC_BYTES = 16 << 20  # docs above this get private partitions
 # (384/121). A first round-6 attempt derived 1.9 from the whale's
 # TEXT size — wrong basis, measured p99/p50 2.23 (> 2 bar); 3.2
 # against pdf bytes reproduces the hand-tuned 384 MB row.
+#
+# ROUND 7: 3.2 is now the FALLBACK — it embeds THIS corpus's ~0.6x
+# flate ratio and this kernel's cost-per-byte; an incompressible-whale
+# corpus (scanned-image PDFs, ratio ~1.0, payload never tokenized)
+# over-sizes the target ~1.7x under it, and a highly compressible one
+# under-sizes back into the measured p99/p50-2.23 failure mode. Pass
+# whale_cost_factor=None to plan_salted_partitions to MEASURE the
+# factor per run (measure_whale_cost_factor below), the same way
+# pixel_stats_policy measures decode cost.
 WHALE_COST_FACTOR = 3.2
+
+# measured-factor clamps: >= 1.0 because the whale task's floor cost
+# is moving its own bytes (scan + the salting shuffle), which a
+# same-sized small partition also pays — a kernel-rate ratio below 1
+# (image whales: payload skipped, not parsed) must not shrink the
+# target below the whale itself or the whale task's IO alone becomes
+# the p99. <= 16 guards a timing glitch from inflating the target
+# into too-few-partitions territory.
+MEASURED_FACTOR_FLOOR = 1.0
+MEASURED_FACTOR_CAP = 16.0
+
+# the small-doc probe must run at least this long past the job-
+# overhead probe before its rate is trusted; below it (tiny local
+# corpora) the measurement returns None and the constant stands
+MIN_SIGNAL_SEC = 0.5
+
+
+def measure_whale_cost_factor(
+    pdf_raw: DataFrame,
+    big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES,
+    size_col: str | None = None,
+    k_whales: int = 2,
+    waves: int = 2,
+    poll_sec: float = 0.2,
+    detail: dict | None = None,
+) -> float | None:
+    """Measure this corpus's whale cost factor instead of trusting the
+    3.2 constant:
+
+        factor = whale_task_wall / small_task_wall   (clamped [1, 16])
+
+    with BOTH walls measured under full-machine CONTENTION at the
+    floor partition size (target = whale p99 bytes) — exactly the
+    quantity derive_target_bytes multiplies by: how many multiples of
+    a whale-sized small partition cost the same wall as the whale.
+
+    Why contention is the measurement, not a nuisance (round-7
+    finding): probes of each class run SOLO measure a text whale
+    ~0.3x per byte (giants amortize per-doc overhead and the machine
+    gives one task its full memory bandwidth), yet at 27 GB the same
+    whale task in a saturated mixed pass costs ~3.2x a same-sized
+    small task (BENCH/BASELINE.md) — flate expansion, the giant span
+    row through Arrow IPC + Tungsten, and GC all degrade superlinearly
+    when 32 tasks compete. At 3.8 GB, where one wave absorbs the
+    corpus, the contended ratio really is ~1.1 and a 121 MB target
+    beats the 3.2-derived 387 MB by 4.8x wall (fewer-tasks-than-cores
+    trap). The factor is a property of the corpus x the saturated
+    machine, so the probe reproduces the saturated regime:
+
+    ONE mixed extraction job — k_whales whale tasks (one whale each,
+    repartitionByRange, the salted plan's own big-side shape) plus
+    `waves` x (cpus - k) small-doc tasks each carrying ~whale_p99
+    bytes (the floor target), all launched in the same wave so the
+    whale runs against a busy machine. Per-task walls come from
+    polling sc.statusTracker() completion counts (works with the UI
+    disabled): small task wall = first-wave median completion, whale
+    task wall = last completion. No UI, no listener, ~poll_sec
+    resolution.
+
+    Cost: ~(waves * cpus + k) * whale_p99 bytes of extraction — fixed
+    in whale size, so negligible against a 100 TB corpus (and the
+    price of mis-sizing every partition is far higher). Returns None
+    when either class is absent or the probe finishes below timing
+    resolution (tiny test corpora) — caller falls back to
+    WHALE_COST_FACTOR."""
+    import math
+    import threading
+    import time as _time
+
+    from ..operators.extract import extract_spans
+
+    if size_col:
+        sz = F.col(size_col).cast("long")
+    else:
+        sz = F.length("pdf_bytes").cast("long")
+    raw = pdf_raw.select("doc_id", "pdf_bytes", sz.alias("_sz"))
+    stats = raw.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_sz") <= big_doc_bytes, F.col("_sz"))),
+            F.lit(0),
+        ).alias("small_bytes"),
+        F.coalesce(
+            F.sum((F.col("_sz") <= big_doc_bytes).cast("long")), F.lit(0)
+        ).alias("n_small"),
+        F.percentile_approx(
+            F.when(F.col("_sz") > big_doc_bytes, F.col("_sz")), 0.99
+        ).alias("whale_p99"),
+    ).collect()[0]
+    if not stats.whale_p99 or not stats.n_small:
+        return None
+    avg_small = max(1, int(stats.small_bytes) // int(stats.n_small))
+    spark = pdf_raw.sparkSession
+    cpus = spark.sparkContext.defaultParallelism
+    k = min(k_whales, max(1, cpus - 1))
+    m = max(2, (cpus - k) * waves)
+    rows_per_task = max(1, math.ceil(int(stats.whale_p99) / avg_small))
+    n_rows = min(m * rows_per_task, int(stats.n_small))
+    # deterministic map-side sample — a limit() of millions of rows
+    # funnels them through one GlobalLimit partition, which both costs
+    # a shuffle wave and distorts the very contention being measured
+    keep_mod = max(1, int(stats.n_small) // n_rows)
+    smalls = (
+        raw.filter(F.col("_sz") <= big_doc_bytes)
+        .filter(F.pmod(F.xxhash64("doc_id"), F.lit(keep_mod)) == 0)
+        .repartition(m)
+    )
+    whales = (
+        raw.filter(F.col("_sz") > big_doc_bytes)
+        .limit(k)
+        .repartitionByRange(k, "doc_id")
+    )
+    probe = smalls.unionByName(whales)
+    n_tasks = m + k
+
+    group = "sparkpdf-whale-factor-probe"
+    err: list = []
+
+    def run_probe():
+        try:
+            spark.sparkContext.setJobGroup(group, "whale cost factor probe")
+            extract_spans(probe).agg(F.count("*")).collect()
+        except Exception as exc:  # surfaced below; never hangs the poll
+            err.append(exc)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    tracker = spark.sparkContext.statusTracker()
+    t = threading.Thread(target=run_probe, daemon=True)
+    t0 = _time.monotonic()
+    t.start()
+    completions: list[float] = []
+    seen = 0
+    stage_id = None
+
+    def poll_once():
+        nonlocal stage_id, seen, t0
+        try:
+            if stage_id is None:
+                for jid in tracker.getJobIdsForGroup(group):
+                    info = tracker.getJobInfo(jid)
+                    for sid in info.stageIds if info else []:
+                        si = tracker.getStageInfo(sid)
+                        if si and si.numTasks == n_tasks:
+                            stage_id = sid
+                            t0 = _time.monotonic()  # stage start ~ now
+                            break
+                    if stage_id is not None:
+                        break
+            if stage_id is not None:
+                si = tracker.getStageInfo(stage_id)
+                done = si.numCompletedTasks if si else seen
+                now = _time.monotonic() - t0
+                completions.extend([now] * (done - seen))
+                seen = max(seen, done)
+        except Exception:
+            pass  # tracker hiccups: keep polling until the job ends
+
+    while t.is_alive():
+        _time.sleep(poll_sec)
+        poll_once()
+    t.join()
+    poll_once()  # tail completions between the last poll and job end
+    if err:
+        raise err[0]
+    if seen < n_tasks:  # stage never identified or AQE re-planned it
+        return None
+    completions.sort()
+    # first-wave small median: index m/(2*waves) of the m+k tasks
+    # (whales land at the tail when they are the premium; when they
+    # are not, the ratio collapses toward 1 and the floor rules)
+    small_wall = completions[max(0, (m // waves) // 2)]
+    whale_wall = completions[-1]
+    if whale_wall < MIN_SIGNAL_SEC or small_wall <= 0:
+        return None  # below timing resolution: tiny/test corpus
+    factor = whale_wall / small_wall
+    if detail is not None:
+        detail.update(
+            n_tasks=n_tasks, n_small_tasks=m, n_whale_tasks=k,
+            small_rows=n_rows, rows_per_task=rows_per_task,
+            whale_p99=int(stats.whale_p99),
+            small_task_wall=round(small_wall, 2),
+            whale_task_wall=round(whale_wall, 2),
+            raw_factor=round(factor, 3),
+        )
+    return min(MEASURED_FACTOR_CAP, max(MEASURED_FACTOR_FLOOR, factor))
 
 
 def derive_target_bytes(
@@ -53,7 +247,7 @@ def plan_salted_partitions(
     big_doc_bytes: int = DEFAULT_BIG_DOC_BYTES,
     min_partitions: int = 4,
     size_col: str | None = None,
-    whale_cost_factor: float = WHALE_COST_FACTOR,
+    whale_cost_factor: float | None = WHALE_COST_FACTOR,
 ) -> DataFrame:
     """Returns pdf_raw repartitioned by a byte-aware salt column.
 
@@ -67,6 +261,12 @@ def plan_salted_partitions(
     p99 whale bytes x whale_cost_factor), computed inside the SAME
     planning aggregate that sizes the partitions (no extra pass).
     With no whales present the default target stands.
+
+    `whale_cost_factor=None` (round 7) additionally MEASURES the
+    factor on this corpus via measure_whale_cost_factor — required
+    when the corpus's compressibility regime is unknown (the 3.2
+    default embeds one corpus's flate ratio). Falls back to the
+    constant when the sample can't produce both rates.
 
     `size_col`: name of a MATERIALIZED per-doc byte-size column in the
     source table. The two-branch union below filters the corpus twice
@@ -108,6 +308,17 @@ def plan_salted_partitions(
         ).alias("whale_p99"),
     ).collect()[0]
     if target_bytes is None:
+        if whale_cost_factor is None:
+            measured = (
+                measure_whale_cost_factor(
+                    pdf_raw, big_doc_bytes=big_doc_bytes, size_col=size_col
+                )
+                if int(stats.n_big)
+                else None
+            )
+            whale_cost_factor = (
+                measured if measured is not None else WHALE_COST_FACTOR
+            )
         target_bytes = derive_target_bytes(stats.whale_p99, whale_cost_factor)
     n_small = max(min_partitions, -(-int(stats.small_bytes) // target_bytes))
     n_big = int(stats.n_big)

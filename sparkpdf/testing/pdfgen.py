@@ -530,3 +530,54 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
             b"<< /Title (" + esc_string(title) + b") /Producer (sparkpdf) >>"
         )
     return b.build(root, info=info)
+
+
+def chain_bytes(seed: bytes, n_bytes: int) -> bytes:
+    """Incompressible binary payload: raw sha256 digest chain (flate
+    ratio ~1.0) — the scanned-image whale regime for skew experiments."""
+    import hashlib
+
+    out = bytearray()
+    while len(out) < n_bytes:
+        seed = hashlib.sha256(seed).digest()
+        out += seed
+    return bytes(out[:n_bytes])
+
+
+def image_whale_pdf(i: int, payload_bytes: int) -> bytes:
+    """A whale whose mass is an incompressible image XObject (DCT
+    passthrough): the extraction kernel emits one media_ref span and
+    never tokenizes the payload, so extraction cost per on-disk byte
+    is ~IO only — the opposite compressibility regime from a
+    flate-expanded text whale. Used to validate that the MEASURED
+    whale cost factor (plans/salting.py) adapts where the text-tuned
+    3.2 constant would over-size the target ~1.7x."""
+    b = PdfBuilder()
+    f1 = b.add(FONT_WINANSI)
+    payload = (
+        b"\xff\xd8\xff\xdb"
+        + chain_bytes(b"imgwhale-%d" % i, payload_bytes)
+        + b"\xff\xd9"
+    )
+    img = b.add_stream(
+        b"/Type /XObject /Subtype /Image /Width 4096 /Height 4096"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode",
+        payload,
+    )
+    raw, extra = encode_stream(
+        b"BT /F1 12 Tf (image whale %d) Tj ET q /imgW Do Q" % i,
+        ["FlateDecode"],
+    )
+    cref = b.add_stream(extra, raw)
+    res = (
+        b"<< /Font << /F1 %d 0 R >> /XObject << /imgW %d 0 R >> >>"
+        % (f1, img)
+    )
+    page = b.add(
+        b"<< /Type /Page /Parent {p} 0 R /Resources " + res
+        + b" /MediaBox [0 0 612 792] /Contents %d 0 R >>" % cref
+    )
+    pages = b.add(b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % page)
+    b.bodies[page - 1] = b.bodies[page - 1].replace(b"{p}", b"%d" % pages)
+    root = b.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages)
+    return b.build(root)
