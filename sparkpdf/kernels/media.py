@@ -1279,6 +1279,320 @@ def flac_info(b: bytes) -> Optional[dict]:
     return None
 
 
+class _FlacBitR:
+    """MSB-first bit reader over a bytes buffer (FLAC frame decode).
+    Raises ValueError past EOF — callers quarantine via the stats
+    wrapper's None contract."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes, bytepos: int = 0):
+        self.b = b
+        self.pos = bytepos * 8
+
+    def read(self, n: int) -> int:
+        b, pos = self.b, self.pos
+        if pos + n > len(b) * 8:
+            raise ValueError("flac: bitstream truncated")
+        out = 0
+        while n:
+            avail = 8 - (pos & 7)
+            take = avail if avail < n else n
+            out = (out << take) | (
+                (b[pos >> 3] >> (avail - take)) & ((1 << take) - 1)
+            )
+            pos += take
+            n -= take
+        self.pos = pos
+        return out
+
+    def sread(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= 1 << (n - 1) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:  # corrupt zero-fill: bail, don't spin
+                raise ValueError("flac: runaway unary code")
+        return q
+
+
+def _flac_coded_number_read(b: bytes, i: int):
+    """Frame/sample number: UTF-8-style 1-7 bytes -> (value, next_i)."""
+    first = b[i]
+    if first < 0x80:
+        return first, i + 1
+    k = 0
+    while (first << k) & 0x80:
+        k += 1
+    if k < 2 or k > 7:
+        raise ValueError("flac: bad coded number")
+    n = first & (0x7F >> k)
+    for j in range(1, k):
+        c = b[i + j]
+        if c & 0xC0 != 0x80:
+            raise ValueError("flac: bad coded number continuation")
+        n = (n << 6) | (c & 0x3F)
+    return n, i + k
+
+
+def _flac_crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def _flac_crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else \
+                (c << 1) & 0xFFFF
+    return c
+
+
+_FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                    4: [4, -6, 4, -1]}
+_FLAC_DEPTHS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residual(r: _FlacBitR, order: int, block_size: int):
+    """Coded residual: 2-bit method (0: 4-bit rice params, 1: 5-bit),
+    4-bit partition order, rice or escaped-raw partitions."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual method")
+    pbits = 4 + method
+    esc = (1 << pbits) - 1
+    p = r.read(4)
+    if block_size % (1 << p):
+        raise ValueError("flac: partition order does not divide block")
+    resid = []
+    for part in range(1 << p):
+        n = block_size // (1 << p) - (order if part == 0 else 0)
+        if n < 0:
+            raise ValueError("flac: predictor order exceeds partition")
+        param = r.read(pbits)
+        if param == esc:
+            raw = r.read(5)
+            if raw:
+                resid.extend(r.sread(raw) for _ in range(n))
+            else:  # 0-bit escape: all-zero residuals
+                resid.extend([0] * n)
+        else:
+            for _ in range(n):
+                q = r.unary()
+                u = (q << param) | r.read(param)
+                resid.append((u >> 1) ^ -(u & 1))
+    return resid
+
+
+def _flac_subframe(r: _FlacBitR, depth: int, block_size: int):
+    """One subframe -> list of block_size ints at `depth` bits
+    (before stereo undecorrelation). CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC, with the wasted-bits shift applied."""
+    if r.read(1):
+        raise ValueError("flac: subframe pad bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):  # wasted-bits flag: unary count-1 follows
+        wasted = r.unary() + 1
+    d = depth - wasted
+    if d <= 0:
+        raise ValueError("flac: wasted bits exceed depth")
+    if stype == 0:
+        x = [r.sread(d)] * block_size
+    elif stype == 1:
+        x = [r.sread(d) for _ in range(block_size)]
+    elif 8 <= stype <= 12:  # FIXED, order = stype & 7
+        order = stype & 7
+        x = [r.sread(d) for _ in range(order)]
+        coef = _FLAC_FIXED_COEF[order]
+        for v in _flac_residual(r, order, block_size):
+            x.append(
+                v + sum(c * x[-1 - j] for j, c in enumerate(coef))
+            )
+    elif stype >= 32:  # LPC, order = (stype & 31) + 1
+        order = (stype & 31) + 1
+        x = [r.sread(d) for _ in range(order)]
+        prec = r.read(4)
+        if prec == 15:
+            raise ValueError("flac: invalid qlp precision")
+        prec += 1
+        shift = r.sread(5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coef = [r.sread(prec) for _ in range(order)]
+        for v in _flac_residual(r, order, block_size):
+            pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
+            x.append(v + (pred >> shift))
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+    if wasted:
+        x = [v << wasted for v in x]
+    return x
+
+
+def flac_pcm_samples(b: bytes):
+    """REAL FLAC sample decode (public spec / RFC 9639) -> (numpy
+    int64 array of interleaved samples, bits, channels, sample_rate),
+    or None for anything outside the decoded subset. Covers what
+    spec-conforming encoders emit: fixed+variable blocksize frames,
+    subframes CONSTANT / VERBATIM / FIXED 0-4 / LPC, rice residuals
+    (4- and 5-bit params, escape partitions), wasted bits, stereo
+    decorrelation left-/right-/mid-side, with CRC-8 (frame header)
+    and CRC-16 (whole frame) VERIFIED — a flipped payload bit
+    quarantines instead of producing silently-wrong features. The
+    reference has zero audio support (its only media op is DCT
+    passthrough, /root/reference/filters.py) — this is pipeline
+    scope; lossless by construction, so encoder round-trips are
+    exact."""
+    import numpy as np
+
+    info = flac_info(b)
+    if info is None:
+        return None
+    rate0, channels0, bits0 = (
+        info["sample_rate"], info["channels"], info["bits"],
+    )
+    # skip metadata blocks to the first frame
+    i = 4
+    while i + 4 <= len(b):
+        last = b[i] & 0x80
+        blen = int.from_bytes(b[i + 1:i + 4], "big")
+        i += 4 + blen
+        if last:
+            break
+    out = []
+    while i < len(b):
+        if i + 2 > len(b):
+            return None  # trailing garbage that is not a frame
+        r = _FlacBitR(b, i)
+        try:
+            if r.read(14) != 0b11111111111110 or r.read(1):
+                return None
+            r.read(1)  # blocking strategy (number semantics only)
+            bs_code = r.read(4)
+            rate_code = r.read(4)
+            ca = r.read(4)
+            depth_code = r.read(3)
+            if r.read(1):
+                return None  # reserved bit
+            _, j = _flac_coded_number_read(b, r.pos // 8)
+            r.pos = j * 8
+            if bs_code == 0:
+                return None  # reserved
+            elif bs_code == 1:
+                bs = 192
+            elif bs_code <= 5:
+                bs = 576 << (bs_code - 2)
+            elif bs_code == 6:
+                bs = r.read(8) + 1
+            elif bs_code == 7:
+                bs = r.read(16) + 1
+            else:
+                bs = 256 << (bs_code - 8)
+            if rate_code == 12:
+                r.read(8)
+            elif rate_code in (13, 14):
+                r.read(16)
+            elif rate_code == 15:
+                return None
+            hdr_end = r.pos // 8
+            if _flac_crc8(b[i:hdr_end]) != b[hdr_end]:
+                return None
+            r.pos = (hdr_end + 1) * 8
+            depth = bits0 if depth_code == 0 else \
+                _FLAC_DEPTHS.get(depth_code)
+            if depth is None:
+                return None
+            if ca < 8:
+                nch = ca + 1
+                if nch != channels0:
+                    return None
+                subs = [
+                    _flac_subframe(r, depth, bs) for _ in range(nch)
+                ]
+            elif ca in (8, 9, 10):
+                if channels0 != 2:
+                    return None
+                d0 = depth + (1 if ca == 9 else 0)
+                d1 = depth + (1 if ca in (8, 10) else 0)
+                s0 = _flac_subframe(r, d0, bs)
+                s1 = _flac_subframe(r, d1, bs)
+                if ca == 8:  # left-side: R = L - side
+                    subs = [s0, [a - v for a, v in zip(s0, s1)]]
+                elif ca == 9:  # right-side: L = side + R
+                    subs = [[v + a for v, a in zip(s0, s1)], s1]
+                else:  # mid-side
+                    left, right = [], []
+                    for m, s in zip(s0, s1):
+                        m2 = (m << 1) | (s & 1)
+                        left.append((m2 + s) >> 1)
+                        right.append((m2 - s) >> 1)
+                    subs = [left, right]
+                nch = 2
+            else:
+                return None  # reserved channel assignment
+            # frame footer: pad to byte, verify CRC-16 of whole frame
+            if r.pos & 7:
+                if r.read(8 - (r.pos & 7)):
+                    return None  # nonzero padding
+            fend = r.pos // 8
+            if fend + 2 > len(b):
+                return None
+            if _flac_crc16(b[i:fend]) != int.from_bytes(
+                b[fend:fend + 2], "big"
+            ):
+                return None
+            for k in range(bs):
+                for ch in range(nch):
+                    out.append(subs[ch][k])
+            i = fend + 2
+        except (ValueError, IndexError):
+            return None
+    if not out:
+        return None
+    return np.array(out, dtype=np.int64), bits0, channels0, rate0
+
+
+def flac_pcm_stats(b: bytes) -> Optional[dict]:
+    """Sample-level FLAC features, same contract and math as
+    wav_pcm_stats: {n_samples, rms, peak, mean} normalized to full
+    scale (2^(bits-1)) and rounded to 6 dp, exact int64 accumulation.
+    None = quarantine (not FLAC / unsupported subset / CRC fail)."""
+    import math
+
+    import numpy as np
+
+    decoded = flac_pcm_samples(b)
+    if decoded is None:
+        return None
+    x, bits, _, _ = decoded
+    full = float(1 << (bits - 1))
+    n = int(x.size)
+    if not n:
+        return None
+    if n * (full * full) < float(1 << 62):
+        s = int(np.sum(x))
+        ss = int(np.sum(x * x))
+    else:
+        s = sum(int(v) for v in x)
+        ss = sum(int(v) * int(v) for v in x)
+    return {
+        "n_samples": n,
+        "rms": round(math.sqrt(ss / n) / full, 6),
+        "peak": round(int(np.max(np.abs(x))) / full, 6),
+        "mean": round(s / n / full, 6),
+    }
+
+
 # --- Ogg (RFC 3533 pages; Vorbis I / Opus (RFC 7845) ident headers) ----------
 
 

@@ -771,14 +771,16 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
     """REAL sample-level audio features (round 6 — upgrades the audio
     lane beyond container headers): per payload, decode every sample
     of a WAV body (linear PCM 8/16/24/32-bit, IEEE float32, G.711
-    A-law/mu-law — kernels/media.wav_pcm_stats) and emit n_samples +
-    normalized rms/peak/mean. Non-WAV or unsupported-codec payloads
-    quarantine via the error column — never a raise, never a dropped
-    row (the extract_doc contract). Arrow-batched mapInPandas; the
-    decode is numpy-vectorized per payload."""
+    A-law/mu-law — kernels/media.wav_pcm_stats) or a FLAC stream
+    (round 7 — CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals,
+    stereo decorrelation, CRC-verified — kernels/media.flac_pcm_stats,
+    dispatched on magic) and emit n_samples + normalized
+    rms/peak/mean. Unsupported-codec payloads quarantine via the
+    error column — never a raise, never a dropped row (the
+    extract_doc contract). Arrow-batched mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.media import wav_pcm_stats
+        from ..kernels.media import flac_pcm_stats, wav_pcm_stats
 
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_PCM_SCHEMA.fields}
@@ -789,9 +791,19 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
                 out["media_ref"].append(str(media_ref))
                 stats, err = None, None
                 try:
-                    stats = wav_pcm_stats(bytes(payload))
+                    raw = bytes(payload)
+                    # magic dispatch (round 7): RIFF -> WAV lane,
+                    # fLaC -> FLAC frame decode; both share the
+                    # normalized {n_samples, rms, peak, mean} contract
+                    if raw[:4] == b"fLaC":
+                        stats = flac_pcm_stats(raw)
+                    else:
+                        stats = wav_pcm_stats(raw)
                     if stats is None:
-                        err = "unsupported audio payload (not PCM/float/G.711 WAV)"
+                        err = (
+                            "unsupported audio payload (not PCM/float/"
+                            "G.711 WAV or decodable FLAC)"
+                        )
                 except Exception as e:  # poison payloads quarantine
                     err = f"{type(e).__name__}: {e}"
                 out["n_samples"].append(
@@ -881,6 +893,82 @@ def synthesize_wav_pcm_media(documents: DataFrame) -> DataFrame:
                 out["media_ref"].append(f"wav-{d}")
                 out["modality"].append("audio")
                 out["payload"].append(wav)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_flac_pcm_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL FLAC per doc (doc_id % 6) covering the
+    codec surface — the engine must parse STREAMINFO, frame headers,
+    subframes, rice residuals and stereo decorrelation (CRCs and all)
+    to recover waveforms whose stats the oracle restates in SQL:
+      0: CONSTANT subframe, 16-bit, A = 1024*(1 + d%7)
+         -> rms = peak = mean = A/32768, n = 100 + d%250
+      1: VERBATIM square +-A, A = 4096*(1 + d%7)
+         -> rms = peak = A/32768, mean 0, n = 2*(50 + d%200)
+      2: FIXED-2 square (partition order 1), same A
+         -> same closed form, n = 2*(60 + d%100)
+      3: LPC (order 1, shift 2) square, 24-bit, A = 2^20*(1 + d%7)
+         -> rms = peak = A/2^23 = 0.125*(1 + d%7), n = 2*(40 + d%80)
+      4: MID-SIDE stereo, L = +A / R = -A constant, A = 4096*(1+d%7)
+         -> rms = peak = A/32768, mean 0, n = 2*(60 + d%100)
+      5: 8-bit square with ESCAPED rice partitions, A = 2*(1 + d%31)
+         -> rms = peak = A/128, mean 0, n = 2*(50 + d%200)
+    Amplitudes are terminating binary fractions (exact 6-dp rounds on
+    both engines); FLAC is lossless, so decode is exact by
+    construction."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import encode_flac
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 6
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    amp = 1024 * (1 + d % 7)
+                    n = 100 + d % 250
+                    blob = encode_flac([amp] * n, rate,
+                                       subframe="constant")
+                elif v == 1:
+                    amp = 4096 * (1 + d % 7)
+                    n = 2 * (50 + d % 200)
+                    blob = encode_flac([amp, -amp] * (n // 2), rate,
+                                       subframe="verbatim")
+                elif v == 2:
+                    amp = 4096 * (1 + d % 7)
+                    n = 2 * (60 + d % 100)
+                    blob = encode_flac([amp, -amp] * (n // 2), rate,
+                                       subframe="fixed2",
+                                       partition_order=1)
+                elif v == 3:
+                    amp = (1 << 20) * (1 + d % 7)
+                    n = 2 * (40 + d % 80)
+                    blob = encode_flac([amp, -amp] * (n // 2), rate,
+                                       bits=24, subframe="lpc1")
+                elif v == 4:
+                    amp = 4096 * (1 + d % 7)
+                    n = 2 * (60 + d % 100)
+                    blob = encode_flac([amp, -amp] * (n // 2), rate,
+                                       channels=2,
+                                       stereo_mode="mid-side",
+                                       subframe="constant")
+                else:
+                    amp = 2 * (1 + d % 31)
+                    n = 2 * (50 + d % 200)
+                    blob = encode_flac([amp, -amp] * (n // 2), rate,
+                                       bits=8, subframe="fixed1",
+                                       rice_escape=True)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"flac-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(blob)
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)

@@ -383,6 +383,261 @@ def make_flac(sample_rate: int, duration_ms: int, channels: int = 2,
     return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(s)
 
 
+class _FlacBitW:
+    """MSB-first bit accumulator for FLAC frame assembly."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def w(self, val: int, bits: int):
+        self.acc = (self.acc << bits) | (val & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def align(self):
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def data(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def flac_crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — FLAC frame header."""
+    c = 0
+    for byte in data:
+        c ^= byte
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+def flac_crc16(data: bytes) -> int:
+    """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 — FLAC frame."""
+    c = 0
+    for byte in data:
+        c ^= byte << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else \
+                (c << 1) & 0xFFFF
+    return c
+
+
+def flac_coded_number(n: int) -> bytes:
+    """FLAC frame/sample number: UTF-8-style variable length (up to
+    7 bytes / 36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    k = 1
+    while n >= (1 << (6 - k + 6 * k)) and k < 6:
+        k += 1
+    cont = []
+    for _ in range(k):
+        cont.append(0x80 | (n & 0x3F))
+        n >>= 6
+    first = ((0xFF << (7 - k)) & 0xFF) | n
+    return bytes([first] + cont[::-1])
+
+
+_FLAC_DEPTH_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101,
+                    24: 0b110, 32: 0b111}
+
+_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _rice_param(resid, order, depth):
+    """Cheapest 4-bit rice parameter for a residual run (exhaustive
+    over 0..14; escape code left to the explicit fixture knob)."""
+    us = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1 for v in resid]
+    best, best_r = None, 0
+    for r in range(15):
+        cost = sum((u >> r) for u in us) + len(us) * (r + 1)
+        if best is None or cost < best:
+            best, best_r = cost, r
+    return best_r
+
+
+def _encode_subframe(w: _FlacBitW, x, depth: int, subframe: str,
+                     partition_order: int, block_size: int,
+                     rice_escape: bool):
+    """One subframe: CONSTANT / VERBATIM / FIXED order 0-4 with rice
+    residuals (method 0, 4-bit params), optional escaped partitions."""
+    if subframe == "auto":
+        if len(set(x)) == 1:
+            subframe = "constant"
+        else:
+            subframe = "fixed2" if len(x) > 4 else "verbatim"
+    if subframe == "constant" and len(set(x)) != 1:
+        raise ValueError("constant subframe needs a constant signal")
+    if (subframe.startswith("fixed") and int(subframe[-1]) >= len(x)) \
+            or (subframe == "lpc1" and len(x) < 2):
+        subframe = "verbatim"  # short final block: no room for warm-up
+    w.w(0, 1)
+    if subframe == "constant":
+        w.w(0b000000, 6)
+        w.w(0, 1)  # no wasted bits
+        w.w(x[0], depth)
+        return
+    if subframe == "verbatim":
+        w.w(0b000001, 6)
+        w.w(0, 1)
+        for v in x:
+            w.w(v, depth)
+        return
+    if subframe == "lpc1":
+        # order-1 LPC, coef 4 at shift 2 (predictor = x[i-1]) —
+        # exercises the decoder's LPC warm-up/precision/shift path
+        # with residuals identical to fixed1
+        order, coef = 1, [1]
+        if order >= len(x):
+            raise ValueError("lpc1 needs >= 2 samples")
+        w.w(0b100000, 6)  # LPC, order-1 = 0
+        w.w(0, 1)
+        w.w(x[0], depth)
+        w.w(3, 4)   # precision-1 -> 4-bit coefficients
+        w.w(2, 5)   # shift
+        w.w(4, 4)   # qlp coef: 4 >> 2 == 1
+    else:
+        order = int(subframe[-1])
+        if not subframe.startswith("fixed") or order > 4 \
+                or order >= len(x):
+            raise ValueError(f"unsupported subframe {subframe}")
+        w.w(0b001000 | order, 6)
+        w.w(0, 1)
+        for v in x[:order]:
+            w.w(v, depth)
+        coef = _FIXED_COEF[order]
+    resid = [
+        x[i] - sum(c * x[i - 1 - j] for j, c in enumerate(coef))
+        for i in range(order, len(x))
+    ]
+    w.w(0b00, 2)  # residual method 0: 4-bit rice params
+    p = partition_order
+    # final partial block: clamp p so partitions divide the block and
+    # the first partition still has room for the warm-up samples
+    while p and (block_size % (1 << p)
+                 or block_size // (1 << p) <= order):
+        p -= 1
+    w.w(p, 4)
+    idx = 0
+    for part in range(1 << p):
+        n = block_size // (1 << p) - (order if part == 0 else 0)
+        chunk = resid[idx:idx + n]
+        idx += n
+        if rice_escape:
+            w.w(0b1111, 4)  # escape: raw residuals at `depth` bits
+            w.w(depth, 5)
+            for v in chunk:
+                w.w(v, depth)
+            continue
+        r = _rice_param(chunk, order, depth)
+        w.w(r, 4)
+        for v in chunk:
+            u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+            q = u >> r
+            w.w(0, q)   # unary quotient: q zeros...
+            w.w(1, 1)   # ...then a one
+            w.w(u, r)   # r low bits
+    assert idx == len(resid)
+
+
+def encode_flac(samples, sample_rate: int, bits: int = 16,
+                channels: int = 1, block_size: int = 4096,
+                subframe: str = "auto", partition_order: int = 0,
+                stereo_mode: str = "independent",
+                rice_escape: bool = False) -> bytes:
+    """REAL FLAC encoder (public spec / RFC 9639) for sample-decode
+    fixtures: STREAMINFO + fixed-blocking frames, subframes CONSTANT /
+    VERBATIM / FIXED 0-4 with rice residuals (4-bit params, any
+    partition order that divides the block, optional escape coding),
+    stereo decorrelation left-side / right-side / mid-side. CRC-8 and
+    CRC-16 are real, so any spec-conforming decoder accepts the
+    output; round-trip with kernels.media.flac_pcm_samples is exact
+    (lossless by construction).
+
+    `samples`: interleaved ints in [-2^(bits-1), 2^(bits-1));
+    `subframe`: auto|constant|verbatim|fixed0..fixed4."""
+    assert sample_rate < 65536, "encoder writes 16-bit rate"
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    assert all(lo <= v <= hi for v in samples), \
+        f"samples out of {bits}-bit range"
+    total = len(samples) // channels
+    chans = [samples[c::channels] for c in range(channels)]
+    out = bytearray()
+    pos = 0
+    frame_no = 0
+    min_bs = max_bs = None
+    while pos < total:
+        bs = min(block_size, total - pos)
+        min_bs = bs if min_bs is None else min(min_bs, bs)
+        max_bs = bs if max_bs is None else max(max_bs, bs)
+        hdr = bytearray()
+        hw = _FlacBitW()
+        hw.w(0b11111111111110, 14)
+        hw.w(0, 1)   # reserved
+        hw.w(0, 1)   # fixed blocksize strategy
+        hw.w(0b0111, 4)   # blocksize: 16-bit value-1 follows
+        hw.w(0b1101, 4)   # rate: 16-bit Hz follows
+        block = [ch[pos:pos + bs] for ch in chans]
+        if channels == 2 and stereo_mode != "independent":
+            l, r = block
+            if stereo_mode == "left-side":
+                ca, sub = 0b1000, [l, [a - b for a, b in zip(l, r)]]
+                depths = [bits, bits + 1]
+            elif stereo_mode == "right-side":
+                ca, sub = 0b1001, [[a - b for a, b in zip(l, r)], r]
+                depths = [bits + 1, bits]
+            elif stereo_mode == "mid-side":
+                ca = 0b1010
+                sub = [[(a + b) >> 1 for a, b in zip(l, r)],
+                       [a - b for a, b in zip(l, r)]]
+                depths = [bits, bits + 1]
+            else:
+                raise ValueError(stereo_mode)
+        else:
+            ca, sub, depths = channels - 1, block, [bits] * channels
+        hw.w(ca, 4)
+        hw.w(_FLAC_DEPTH_CODE[bits], 3)
+        hw.w(0, 1)   # reserved
+        hdr += hw.data()
+        hdr += flac_coded_number(frame_no)
+        hdr += (bs - 1).to_bytes(2, "big")
+        hdr += sample_rate.to_bytes(2, "big")
+        hdr.append(flac_crc8(bytes(hdr)))
+        fw = _FlacBitW()
+        for x, depth in zip(sub, depths):
+            _encode_subframe(fw, x, depth, subframe, partition_order,
+                             bs, rice_escape)
+        frame = bytes(hdr) + fw.data()
+        frame += flac_crc16(frame).to_bytes(2, "big")
+        out += frame
+        pos += bs
+        frame_no += 1
+    s = bytearray(34)
+    s[0:2] = (min_bs or 0).to_bytes(2, "big")
+    s[2:4] = (max_bs or 0).to_bytes(2, "big")
+    s[10] = (sample_rate >> 12) & 0xFF
+    s[11] = (sample_rate >> 4) & 0xFF
+    s[12] = ((sample_rate & 0x0F) << 4) | (((channels - 1) & 0x07) << 1) \
+        | (((bits - 1) >> 4) & 1)
+    s[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
+    s[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
+    return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(s)
+            + bytes(out))
+
+
 def _ogg_page(serial: int, seq: int, granule: int, packet: bytes,
               header_type: int) -> bytes:
     """One Ogg page (RFC 3533) holding a single packet; CRC left 0

@@ -818,6 +818,60 @@ def test_wav_pcm_sample_decode():
     assert wav_pcm_stats(b"RIFFxxxxWAVEgarbage") is None
 
 
+def test_flac_sample_decode():
+    """Round-7 FLAC frame decode: every subframe type (CONSTANT /
+    VERBATIM / FIXED 0-4 / LPC), rice partitions incl. escapes, all
+    three stereo decorrelations and depths 8-32, round-tripped EXACTLY
+    through the from-scratch encoder (FLAC is lossless by
+    construction); CRC-8/16 are verified, so corruption quarantines."""
+    from sparkpdf.kernels.media import flac_pcm_samples, flac_pcm_stats
+    from sparkpdf.testing.imagegen import encode_flac
+
+    def rt(samples, **kw):
+        blob = encode_flac(samples, kw.pop("rate", 8000), **kw)
+        dec = flac_pcm_samples(blob)
+        assert dec is not None, f"quarantined: {kw}"
+        x, _, _, _ = dec
+        assert list(x) == list(samples), kw
+        return blob
+
+    sq = [4096, -4096] * 100
+    rt(sq)
+    rt([7] * 64, subframe="constant")
+    rt(sq, subframe="verbatim")
+    for o in range(5):
+        rt(sq, subframe=f"fixed{o}")
+    rt(sq, subframe="fixed3", partition_order=2, block_size=64)
+    rt(sq, subframe="fixed2", rice_escape=True)
+    rt(sq, subframe="lpc1")  # LPC warm-up + precision + shift path
+    rt(sq, bits=24)
+    rt(sq, bits=32, subframe="fixed1")
+    rt([1024, -1024] * 30, bits=12, subframe="verbatim")
+    rt([20, -20] * 50, bits=8)
+    rt([5, 3, -7, 2] * 123, subframe="fixed2", block_size=64)
+    st_ = [100, -100] * 80
+    rt(st_, channels=2)
+    for m in ("left-side", "right-side", "mid-side"):
+        rt(st_, channels=2, stereo_mode=m, subframe="fixed1")
+    # closed-form stats: square wave rms = peak = A/2^(bits-1)
+    s = flac_pcm_stats(encode_flac(sq, 8000))
+    assert s == {"n_samples": 200, "rms": 0.125, "peak": 0.125,
+                 "mean": 0.0}
+    sc = flac_pcm_stats(encode_flac([1024] * 50, 8000,
+                                    subframe="constant"))
+    assert sc == {"n_samples": 50, "rms": 0.03125, "peak": 0.03125,
+                  "mean": 0.03125}
+    # quarantine lane: non-FLAC, truncations, CRC-breaking flips
+    assert flac_pcm_samples(b"fLaC") is None
+    assert flac_pcm_samples(b"\x00" * 100) is None
+    blob = encode_flac(sq, 8000)
+    for n in range(0, len(blob), 7):
+        flac_pcm_samples(blob[:n])  # must not raise
+    flipped = bytearray(blob)
+    flipped[-10] ^= 0x40  # inside the last frame -> CRC-16 mismatch
+    assert flac_pcm_samples(bytes(flipped)) is None
+
+
 def test_gif_frames_info():
     """GIF animation metadata (round 5): frame count, summed GCE
     delays, NETSCAPE loop count; single-frame GIFs report one frame /

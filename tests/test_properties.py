@@ -305,6 +305,54 @@ def test_wav_pcm_stats_matches_python_reference(values, bits):
     assert got == expect
 
 
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=2, max_size=300),
+    st.sampled_from(["auto", "verbatim", "fixed1", "fixed2", "fixed4",
+                     "lpc1"]),
+    st.sampled_from([16, 24]),
+    st.sampled_from([0, 1, 2]),
+)
+@settings(max_examples=80, deadline=None)
+def test_flac_round_trip_lossless(values, subframe, bits, porder):
+    """FLAC is lossless: encode(arbitrary samples) -> decode recovers
+    them EXACTLY for every subframe type, depth, and partition order
+    (round 7 — pins the rice coder, predictors, and bit I/O on
+    non-square waveforms the closed-form corpus never exercises)."""
+    from sparkpdf.kernels.media import flac_pcm_samples
+    from sparkpdf.testing.imagegen import encode_flac
+
+    xs = [v << (bits - 16) for v in values]
+    blob = encode_flac(xs, 8000, bits=bits, subframe=subframe,
+                       partition_order=porder, block_size=64)
+    dec = flac_pcm_samples(blob)
+    assert dec is not None
+    x, got_bits, ch, rate = dec
+    assert list(x) == xs and got_bits == bits and ch == 1 and rate == 8000
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=120, deadline=None)
+def test_flac_corruption_fuzz(seed):
+    """Random byte flips in a valid FLAC must never raise: decode
+    either still succeeds or quarantines to None (the CRC-8/16
+    verification catches frame corruption; STREAMINFO flips may
+    change metadata but must still never escape the None contract)."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import flac_pcm_stats
+    from sparkpdf.testing.imagegen import encode_flac
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 128)) * 2
+    xs = [int(v) for v in rng.integers(-32768, 32768, n)]
+    sub = ["auto", "verbatim", "fixed2", "lpc1"][int(rng.integers(0, 4))]
+    full = bytearray(encode_flac(xs, 8000, subframe=sub, block_size=64))
+    for _ in range(int(rng.integers(1, 5))):
+        full[int(rng.integers(0, len(full)))] ^= int(rng.integers(1, 256))
+    out = flac_pcm_stats(bytes(full))
+    assert out is None or isinstance(out, dict)
+
+
 @given(st.integers(0, 2**31 - 1))
 @settings(max_examples=150, deadline=None)
 def test_wav_pcm_stats_corruption_fuzz(seed):
