@@ -1126,7 +1126,9 @@ def q_line_dedup(spark, sf_dir):
 
 def q_bigram_surprisal(spark, sf_dir):
     # KenLM-style fluency approximation (round 5): corpus-MLE bigram
-    # conditionals, micro-unit-quantized surprisal mean
+    # conditionals, micro-unit-quantized surprisal mean. shape='auto'
+    # (round 7): picks the flat occ_join at this vocab size, head/tail
+    # at scale — both hash-identical by construction
     from sparkpdf.operators.text import bigram_surprisal
 
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
@@ -1284,6 +1286,23 @@ def q_wav_pcm_stats(spark, sf_dir):
     )
 
 
+def q_flac_pcm_stats(spark, sf_dir):
+    # round 7: REAL FLAC frame decode (STREAMINFO + frame headers +
+    # CONSTANT/VERBATIM/FIXED/LPC subframes + rice residuals incl.
+    # escapes + mid-side decorrelation, CRC-8/16 verified) — the
+    # oracle restates the planted lossless waveforms' exact stats
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_flac_pcm_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_flac_pcm_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     # round 6: deterministic per-stratum downsampling (corpus
     # rebalancing) composed with lang_id — stable md5 buckets, literal
@@ -1302,71 +1321,23 @@ def q_stratified_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
-    # locally. Round-6 rotation (r5 verdict item 3): the window leads
-    # with the round-6-changed operators (head/tail-pruned
-    # token_rarity + bigram_surprisal, struct-keyed line_dedup), then
-    # the 41 queries that were judge-only in r5 (the
-    # longest-unaudited tail), then 6 flagship/perf-plan
-    # representatives for continuity. The demoted tail is the r5
-    # driver-certified set (substring dedup, XMP, the deep-codec
-    # pixel stats, LSH clustering...) — unchanged code, still
+    # locally. Round-7 rotation (r6 verdict item 2): the window leads
+    # with the round-7-changed operators (new FLAC decode, the
+    # audio-dispatch-touched wav lane, slim-join line_dedup,
+    # shape-knobbed bigram_surprisal), then ALL 43 queries that were
+    # judge-only in r6 (the longest-since-driver-graded tail:
+    # write_roundtrip, pdf_embedded_media, xmp_project, the deep
+    # jpeg codec stats, the substring/cluster family...), then 3
+    # flagship representatives for continuity. The demoted tail is
+    # the r6 driver-certified set — unchanged code, still
     # check_oracle-verified at both scales every round.
     return {
-        # --- round-6 changed/new operators ---
-        "token_rarity": q_token_rarity,
-        "bigram_surprisal": q_bigram_surprisal,
-        "line_dedup": q_line_dedup,
+        # --- round-7 changed/new operators ---
+        "flac_pcm_stats": q_flac_pcm_stats,
         "wav_pcm_stats": q_wav_pcm_stats,
-        "tiff_pixel_stats": q_tiff_pixel_stats,
-        "stratified_sample": q_stratified_sample,
-        # --- judge-only in r5, now driver-graded (41) ---
-        "obj_join": q_obj_join,
-        "font_join": q_font_join,
-        "events_window": q_events_window,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "docinfo_project": q_docinfo_project,
-        "remove_text": q_remove_text,
-        "remove_images": q_remove_images,
-        "merge_docs": q_merge_docs,
-        "split_docs": q_split_docs,
-        "page_count": q_page_count,
-        "media_catalog": q_media_catalog,
-        "form_fields": q_form_fields,
-        "named_dests": q_named_dests,
-        "outlines": q_outlines,
-        "overlay_pages": q_overlay_pages,
-        "link_annotations": q_link_annotations,
-        "extract_stats": q_extract_stats,
-        "pageno_join": q_pageno_join,
-        "text_agg": q_text_agg,
-        "page_range_filter": q_page_range_filter,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_recall": q_ann_recall,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "token_count": q_token_count,
-        "media_dims": q_media_dims,
-        "multimodal_features": q_multimodal_features,
-        "extract_full_text": q_extract_full_text,
-        "gif_pixel_stats": q_gif_pixel_stats,
-        "write_enriched": q_write_enriched,
-        "write_rc4_40": q_write_rc4_40,
-        "write_viewer_prefs": q_write_viewer_prefs,
-        "write_form_fill": q_write_form_fill,
-        "write_navigation": q_write_navigation,
-        "html_main": q_html_main,
-        # --- flagship / perf-plan continuity (3) ---
-        "extract_spans": q_extract_spans,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # ---- driver window boundary (50) ----
-        # r5-driver-certified tail (unchanged code)
+        "line_dedup": q_line_dedup,
+        "bigram_surprisal": q_bigram_surprisal,
+        # --- longest-since-driver-graded: judge-only in r6 (43) ---
         "write_roundtrip": q_write_roundtrip,
         "pdf_embedded_media": q_pdf_embedded_media,
         "sessionize": q_sessionize,
@@ -1410,6 +1381,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "embedding_near_dups": q_embedding_near_dups,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        # --- flagship/perf-plan continuity ---
+        "extract_spans": q_extract_spans,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        # --- demoted tail (driver-graded r6; still check_oracle-
+        # verified at both scales every round) ---
+        "token_rarity": q_token_rarity,
+        "tiff_pixel_stats": q_tiff_pixel_stats,
+        "stratified_sample": q_stratified_sample,
+        "obj_join": q_obj_join,
+        "font_join": q_font_join,
+        "events_window": q_events_window,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "docinfo_project": q_docinfo_project,
+        "remove_text": q_remove_text,
+        "remove_images": q_remove_images,
+        "merge_docs": q_merge_docs,
+        "split_docs": q_split_docs,
+        "page_count": q_page_count,
+        "media_catalog": q_media_catalog,
+        "form_fields": q_form_fields,
+        "named_dests": q_named_dests,
+        "outlines": q_outlines,
+        "overlay_pages": q_overlay_pages,
+        "link_annotations": q_link_annotations,
+        "extract_stats": q_extract_stats,
+        "pageno_join": q_pageno_join,
+        "text_agg": q_text_agg,
+        "page_range_filter": q_page_range_filter,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "media_dims": q_media_dims,
+        "multimodal_features": q_multimodal_features,
+        "extract_full_text": q_extract_full_text,
+        "gif_pixel_stats": q_gif_pixel_stats,
+        "write_enriched": q_write_enriched,
+        "write_rc4_40": q_write_rc4_40,
+        "write_viewer_prefs": q_write_viewer_prefs,
+        "write_form_fill": q_write_form_fill,
+        "write_navigation": q_write_navigation,
+        "html_main": q_html_main,
     }
 
 
@@ -1759,22 +1780,81 @@ def oracle_sql() -> dict[str, str]:
                    '{_PII_NUM}', '<NUM>', 'g') AS clean_text
         FROM planted
     """
-    # dup clusters: connected components over the LSH pairs — DuckDB
-    # replays it as a recursive reachability closure (exact same
-    # components; fine at oracle scale, the Spark side is the scale path)
+    # dup clusters: connected components over the LSH pairs. Round-7
+    # oracle shape (r6 verdict item 5): the old doc-level recursive
+    # reachability closure materializes O(docs x component) rows —
+    # >1 h on sf0.1's degenerate near-clique (7.6M pairs over 5k
+    # docs). Exact fix, no recursion blowup: (1) two UNROLLED
+    # min-label rounds over the doc<->bucket BIPARTITE graph (plain
+    # GROUP BYs — cliques collapse immediately; labels only move
+    # within components, so any round count is correct), then (2) the
+    # recursive closure runs on the CONTRACTED label graph (distinct
+    # co-bucketed label pairs — tiny after contraction). Connectivity
+    # quotient: every doc-bucket-doc path maps to a label-label edge,
+    # so components of the contracted graph equal components of the
+    # pair graph, and each component's min doc_id survives as a label
+    # (the min doc's own label never changes).
     sql["dup_clusters"] = f"""
-        WITH RECURSIVE pairs AS ({sql["dedup_minhash_lsh"].strip()}),
-        edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, unnest(list_distinct({_TOKENS})) AS tok
+            FROM documents
+        ), sig AS (
+            SELECT doc_id,
+                   MIN(substr(md5(tok || ':0'), 1, 8)) AS sig0,
+                   MIN(substr(md5(tok || ':1'), 1, 8)) AS sig1,
+                   MIN(substr(md5(tok || ':2'), 1, 8)) AS sig2,
+                   MIN(substr(md5(tok || ':3'), 1, 8)) AS sig3
+            FROM toks GROUP BY doc_id
+        ), bk AS (
+            SELECT doc_id, md5(sig0 || '|' || sig1) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, md5(sig2 || '|' || sig3) AS bucket FROM sig
+        ),
+        r0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+        b1 AS (
+            SELECT bucket, MIN(r.lbl) AS lbl
+            FROM bk JOIN r0 r USING (doc_id) GROUP BY bucket
+        ),
+        r1 AS (
+            SELECT r.doc_id,
+                   LEAST(r.lbl, COALESCE(MIN(b1.lbl), r.lbl)) AS lbl
+            FROM r0 r
+            LEFT JOIN bk ON bk.doc_id = r.doc_id
+            LEFT JOIN b1 ON b1.bucket = bk.bucket
+            GROUP BY r.doc_id, r.lbl
+        ),
+        b2 AS (
+            SELECT bucket, MIN(r.lbl) AS lbl
+            FROM bk JOIN r1 r USING (doc_id) GROUP BY bucket
+        ),
+        r2 AS (
+            SELECT r.doc_id,
+                   LEAST(r.lbl, COALESCE(MIN(b2.lbl), r.lbl)) AS lbl
+            FROM r1 r
+            LEFT JOIN bk ON bk.doc_id = r.doc_id
+            LEFT JOIN b2 ON b2.bucket = bk.bucket
+            GROUP BY r.doc_id, r.lbl
+        ),
+        b3 AS (
+            SELECT bucket, MIN(r.lbl) AS lbl
+            FROM bk JOIN r2 r USING (doc_id) GROUP BY bucket
+        ),
+        ce AS (
+            SELECT DISTINCT b3.lbl AS la, r2.lbl AS lb
+            FROM bk JOIN r2 USING (doc_id) JOIN b3 USING (bucket)
+            WHERE b3.lbl <> r2.lbl
+        ),
+        ce2 AS (
+            SELECT la, lb FROM ce UNION SELECT lb, la FROM ce
         ),
         reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM documents
+            SELECT lbl, lbl FROM (SELECT DISTINCT lbl FROM r2)
             UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        )
-        SELECT src AS doc_id, MIN(dst) AS cluster_id
-        FROM reach GROUP BY src
+            SELECT r.src, c.lb FROM reach r JOIN ce2 c ON r.dst = c.la
+        ),
+        fin AS (SELECT src, MIN(dst) AS root FROM reach GROUP BY src)
+        SELECT r2.doc_id, fin.root AS cluster_id
+        FROM r2 JOIN fin ON fin.src = r2.lbl
     """
     sql["dup_clusters_verified"] = f"""
         WITH RECURSIVE pairs0 AS ({sql["dedup_minhash_lsh"].strip()}),
@@ -1790,17 +1870,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                   / len(list_distinct(ta.toks || tb.toks)) >= 0.9
         ),
-        edges AS (
+        e AS (
             SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION SELECT doc_b, doc_a FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        r0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+        r1 AS (
+            SELECT r.doc_id,
+                   LEAST(r.lbl, COALESCE(MIN(rn.lbl), r.lbl)) AS lbl
+            FROM r0 r
+            LEFT JOIN e ON e.a = r.doc_id
+            LEFT JOIN r0 rn ON rn.doc_id = e.b
+            GROUP BY r.doc_id, r.lbl
+        ),
+        r2 AS (
+            SELECT r.doc_id,
+                   LEAST(r.lbl, COALESCE(MIN(rn.lbl), r.lbl)) AS lbl
+            FROM r1 r
+            LEFT JOIN e ON e.a = r.doc_id
+            LEFT JOIN r1 rn ON rn.doc_id = e.b
+            GROUP BY r.doc_id, r.lbl
+        ),
+        ce AS (
+            SELECT DISTINCT ra.lbl AS la, rb.lbl AS lb
+            FROM e JOIN r2 ra ON ra.doc_id = e.a
+                   JOIN r2 rb ON rb.doc_id = e.b
+            WHERE ra.lbl <> rb.lbl
         ),
         reach(src, dst) AS (
-            SELECT doc_id, doc_id FROM documents
+            SELECT lbl, lbl FROM (SELECT DISTINCT lbl FROM r2)
             UNION
-            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-        )
-        SELECT src AS doc_id, MIN(dst) AS cluster_id
-        FROM reach GROUP BY src
+            SELECT r.src, c.lb FROM reach r JOIN ce c ON r.dst = c.la
+        ),
+        fin AS (SELECT src, MIN(dst) AS root FROM reach GROUP BY src)
+        SELECT r2.doc_id, fin.root AS cluster_id
+        FROM r2 JOIN fin ON fin.src = r2.lbl
     """
     # 64-bit banded simhash (4 x 16-bit bands, pigeonhole for hamming<=3)
     band_terms = []
@@ -2807,6 +2911,39 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.125 * (1 + doc_id % 7)
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
+        FROM documents
+    """
+    # flac_pcm_stats (round 7): the planted lossless FLAC waveforms'
+    # exact stats by formula — the engine must parse STREAMINFO,
+    # frame headers, subframes (CONSTANT/VERBATIM/FIXED-2/LPC),
+    # rice residuals (incl. escaped partitions) and mid-side stereo,
+    # verifying CRC-8/16, to match. All amplitudes are terminating
+    # binary fractions so 6-dp rounds are exact on both engines.
+    sql["flac_pcm_stats"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE doc_id % 6
+                         WHEN 0 THEN 100 + doc_id % 250
+                         WHEN 1 THEN 2 * (50 + doc_id % 200)
+                         WHEN 2 THEN 2 * (60 + doc_id % 100)
+                         WHEN 3 THEN 2 * (40 + doc_id % 80)
+                         WHEN 4 THEN 2 * (60 + doc_id % 100)
+                         ELSE 2 * (50 + doc_id % 200)
+                         END AS BIGINT) AS n_samples,
+               ROUND(CASE doc_id % 6
+                          WHEN 0 THEN (1024 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 3 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 5 THEN (2 * (1 + doc_id % 31)) / 128.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
+                          END, 6) AS rms,
+               ROUND(CASE doc_id % 6
+                          WHEN 0 THEN (1024 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 3 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 5 THEN (2 * (1 + doc_id % 31)) / 128.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
+                          END, 6) AS peak,
+               ROUND(CASE doc_id % 6
+                          WHEN 0 THEN (1024 * (1 + doc_id % 7)) / 32768.0
+                          ELSE 0.0 END, 6) AS mean
         FROM documents
     """
     # media_dims: expected dims restated by formula; the engine must

@@ -137,6 +137,42 @@ def timed_jpeg_decode() -> dict:
     }
 
 
+def _calib_worker(_i: int) -> str:
+    import hashlib
+
+    h = hashlib.md5()
+    block = b"\x5a" * 65536
+    for _ in range(1536):  # ~100 MB per worker
+        h.update(block)
+    return h.hexdigest()
+
+
+def host_calibration(n_procs: int = None) -> dict:
+    """Pure-Python md5 control (round 7, r6 verdict item 7): hash a
+    fixed ~100 MB workload on CPUS forked workers, Spark-free and
+    deterministic. BENCH_r06 read ~20% slower than r05 across ALL 13
+    queries — the signature of a slow host pass, not a plan
+    regression (the VM drifts +-30% between identical runs). This
+    field lets any consumer of the bench JSON normalize that drift:
+    divide a pass's timings by the ratio of its host_calibration
+    mb_per_sec to the comparison pass's before reading a "regression".
+    """
+    import multiprocessing as mp
+
+    n = n_procs or CPUS
+    t0 = time.time()
+    with mp.get_context("fork").Pool(n) as pool:
+        digests = pool.map(_calib_worker, range(n))
+    wall = time.time() - t0
+    assert len(set(digests)) == 1  # deterministic workload
+    mb = 65536 * 1536 * n / 1e6
+    return {
+        "procs": n,
+        "wall_sec": round(wall, 2),
+        "mb_per_sec": round(mb / wall, 0),
+    }
+
+
 def scaling_worker(cpus: int, corpus_path: str):
     """Timed extraction over a pre-built parquet corpus (shared by all
     parallelism levels so every run does IDENTICAL work): quarter-pass
@@ -251,6 +287,7 @@ def main():
         "extraction": extraction,
         "jpeg_decode": timed_jpeg_decode(),
         "pixel_policy": pixel_policy,
+        "host_calibration": host_calibration(),
     }
     # north-rule scaling evidence: identical job at N and 4N parallelism.
     # Two pairs are reported: (2,8) runs in the regime where the single

@@ -303,7 +303,8 @@ def main():
         # output contract: rows compare within the bigram group)
         ("bigram_occ_join", lambda d: variant_bigram_occ_join(d), True,
          "bigram"),
-        ("bigram_head_tail", lambda d: bigram_surprisal(d), False,
+        ("bigram_head_tail",
+         lambda d: bigram_surprisal(d, shape="head_tail"), False,
          "bigram"),
     ]
     baselines = {}

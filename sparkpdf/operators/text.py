@@ -496,8 +496,28 @@ def stratified_sample(documents: DataFrame, strata_col,
     )
 
 
+# shape='auto' broadcast comfort budget: the scored-bigram dimension
+# must fit WELL under Spark's 10 MB default autoBroadcastJoinThreshold
+# before the flat occ_join shape is chosen (~48 B/entry: two short
+# tokens + counts + row overhead). Below it the r5 flat shape wins
+# locally (measured 71 s vs 101 s, half the shuffle bytes —
+# BENCH/BASELINE.md r6); above it the head/tail shape is the at-scale
+# insurance a billion-bigram vocabulary requires.
+BIGRAM_BROADCAST_COMFORT_BYTES = 8 << 20
+_BIGRAM_ENTRY_BYTES = 48
+
+
+def _bigram_shape_decision(n_distinct_bigrams: int) -> str:
+    """'occ_join' when the whole scored vocabulary broadcasts
+    comfortably, else 'head_tail'. Pure planning rule, unit-tested."""
+    est = n_distinct_bigrams * _BIGRAM_ENTRY_BYTES
+    return "occ_join" if est <= BIGRAM_BROADCAST_COMFORT_BYTES \
+        else "head_tail"
+
+
 def bigram_surprisal(documents: DataFrame,
-                     head_budget: int = 1_000_000) -> DataFrame:
+                     head_budget: int = 1_000_000,
+                     shape: str = "auto") -> DataFrame:
     """Corpus-estimated bigram surprisal — the KenLM-style fluency
     filter approximation: per doc, the mean of
     -log10( count(w_{i-1} w_i) / count(w_{i-1}) ) over its bigrams
@@ -524,7 +544,21 @@ def bigram_surprisal(documents: DataFrame,
     discipline from token_rarity); head and tail compute micro from
     the same counts, so the split cannot change a score.
 
+    `shape` (round 7, r6 verdict item 6): the measured local cost of
+    the head/tail insurance (1.4x wall, 2x shuffle bytes vs the flat
+    r5 shape — BENCH/BASELINE.md) is now a DECISION, not a default:
+    'auto' counts distinct bigrams in the same single scan-side pass
+    that takes the corpus total (partial-agg HLL, no extra stage) and
+    picks 'occ_join' — tf joining the scored vocabulary directly,
+    which AQE broadcasts at this size — when the vocabulary fits
+    comfortably under the broadcast threshold
+    (_bigram_shape_decision), 'head_tail' otherwise. Both shapes
+    compute micro from the same counts, so they are hash-identical by
+    construction (asserted in scripts/token_shuffle_bench.py).
+
     Output: doc_id, surprisal (6dp), n_bigrams."""
+    if shape not in ("auto", "head_tail", "occ_join"):
+        raise ValueError(f"unknown shape {shape!r}")
     toksed = documents.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         _tokens("text").alias("toks"),
@@ -547,12 +581,17 @@ def bigram_surprisal(documents: DataFrame,
     # prefix counts over the SAME bigram population (so the MLE
     # conditionals sum to 1 per prefix): sum of c2 by w1
     uni_freq = big_freq.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    # corpus bigram total straight off the scan (see token_rarity:
-    # deriving it from big_freq would re-run the whole tf pipeline
-    # for a planning scalar)
-    total = documents.agg(
-        F.sum(F.greatest(F.size(_tokens("text")) - 1, F.lit(0)))
-    ).collect()[0][0] or 1
+    # planning scalars straight off the scan in ONE partial-agg pass
+    # (see token_rarity: deriving them from big_freq would re-run the
+    # whole tf pipeline): corpus bigram total + HLL distinct estimate
+    # for the auto shape rule. pairs = scan + explode, no shuffle.
+    stats = pairs.agg(
+        F.count("*").alias("total"),
+        F.approx_count_distinct(F.struct("w1", "w2")).alias("nbig"),
+    ).collect()[0]
+    total = int(stats.total or 1)
+    if shape == "auto":
+        shape = _bigram_shape_decision(int(stats.nbig or 0))
     threshold = total // max(1, head_budget)
     micro = F.round(
         -F.log10(F.col("c2") / F.col("c1")) * 1e6
@@ -560,21 +599,29 @@ def bigram_surprisal(documents: DataFrame,
     scored = big_freq.join(uni_freq, "w1").select(
         "w1", "w2", "c2", micro.alias("micro")
     )
-    head = scored.filter(F.col("c2") > F.lit(threshold)).select(
-        "w1", "w2", "micro"
-    )
-    tail = scored.filter(F.col("c2") <= F.lit(threshold)).select(
-        "w1", "w2", "micro"
-    )
-    # anti-join against the SAME broadcast relation as the head join
-    # (identical BroadcastExchange -> built and shipped once)
-    head_part = tf.join(F.broadcast(head), ["w1", "w2"])
-    tail_part = tf.join(F.broadcast(head), ["w1", "w2"],
-                        "left_anti").join(tail, ["w1", "w2"])
     cols = ["doc_id", "n_occ", "micro"]
+    if shape == "occ_join":
+        # flat r5 shape: the whole (comfortably small) vocabulary in
+        # one join — AQE broadcasts it at this size
+        occ = tf.join(scored.select("w1", "w2", "micro"), ["w1", "w2"])
+        parts = occ.select(*cols)
+    else:
+        head = scored.filter(F.col("c2") > F.lit(threshold)).select(
+            "w1", "w2", "micro"
+        )
+        tail = scored.filter(F.col("c2") <= F.lit(threshold)).select(
+            "w1", "w2", "micro"
+        )
+        # anti-join against the SAME broadcast relation as the head
+        # join (identical BroadcastExchange -> built and shipped once)
+        head_part = tf.join(F.broadcast(head), ["w1", "w2"])
+        tail_part = tf.join(F.broadcast(head), ["w1", "w2"],
+                            "left_anti").join(tail, ["w1", "w2"])
+        parts = head_part.select(*cols).unionByName(
+            tail_part.select(*cols)
+        )
     return (
-        head_part.select(*cols)
-        .unionByName(tail_part.select(*cols))
+        parts
         .groupBy("doc_id")
         .agg(
             F.round(
