@@ -1303,6 +1303,25 @@ def q_flac_pcm_stats(spark, sf_dir):
     )
 
 
+def q_adpcm_pcm_stats(spark, sf_dir):
+    # round 7: ADPCM decode (WAV formats 2 + 17 — the two classic
+    # compressed WAV codecs, public integer adaptation tables). The
+    # nibble streams are constructed so the spec state machines land
+    # on closed-form waveforms the oracle restates per variant;
+    # the engine must parse the extended fmt chunk, walk the blocks
+    # and run the IMA/MS adaptation state to match.
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_adpcm_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_adpcm_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     # round 6: deterministic per-stratum downsampling (corpus
     # rebalancing) composed with lang_id — stable md5 buckets, literal
@@ -1333,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle-verified at both scales every round.
     return {
         # --- round-7 changed/new operators ---
+        "adpcm_pcm_stats": q_adpcm_pcm_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
         "wav_pcm_stats": q_wav_pcm_stats,
         "line_dedup": q_line_dedup,
@@ -2912,6 +2932,61 @@ def oracle_sql() -> dict[str, str]:
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents
+    """
+    # adpcm_pcm_stats (round 7): the planted IMA/MS ADPCM nibble
+    # streams decode (per the public adaptation tables) to closed-form
+    # waveforms; the oracle restates n/rms/peak/mean per variant,
+    # mirroring the kernel's float op order exactly (sum/n then /full;
+    # sqrt(ss/n) then /full) so the doubles are bit-identical. Peaks
+    # are terminating binary fractions; the alternating variants'
+    # rms/mean go through the same exact-int -> IEEE-double -> ROUND
+    # path on both engines.
+    sql["adpcm_pcm_stats"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   doc_id % 4 AS v,
+                   1 + doc_id % 7 AS k,
+                   1 + doc_id % 4 AS b,
+                   2 + doc_id % 6 AS g0,
+                   1 + doc_id % 5 AS g1,
+                   2 + doc_id % 7 AS m2,
+                   1 + doc_id % 6 AS m3
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE v WHEN 0 THEN b * (1 + 8 * g0)
+                           WHEN 1 THEN b * 2 * (1 + 8 * g1)
+                           WHEN 2 THEN b * (2 + 2 * m2)
+                           ELSE b * (2 + 2 * m3) END AS BIGINT)
+                   AS n_samples,
+               ROUND(CASE v
+                   WHEN 0 THEN SQRT(
+                       (b * (1 + 4 * g0) * (4096 * k - 2) * (4096 * k - 2)
+                        + b * 4 * g0 * (4096 * k + 2) * (4096 * k + 2))
+                       / (b * (1 + 8 * g0))) / 32768.0
+                   WHEN 1 THEN (4096 * k) / 32768.0
+                   WHEN 2 THEN SQRT(
+                       (b * (2 + m2) * (4096 * k - 8) * (4096 * k - 8)
+                        + b * m2 * (4096 * k + 8) * (4096 * k + 8))
+                       / (b * (2 + 2 * m2))) / 32768.0
+                   ELSE (4096 * k) / 32768.0 END, 6) AS rms,
+               ROUND(CASE v
+                   WHEN 0 THEN (4096 * k + 2) / 32768.0
+                   WHEN 1 THEN (4096 * k) / 32768.0
+                   WHEN 2 THEN (4096 * k + 8) / 32768.0
+                   ELSE (4096 * k) / 32768.0 END, 6) AS peak,
+               ROUND(CASE v
+                   WHEN 0 THEN
+                       (b * (1 + 4 * g0) * (4096 * k - 2)
+                        + b * 4 * g0 * (4096 * k + 2))
+                       / (b * (1 + 8 * g0)) / 32768.0
+                   WHEN 1 THEN 0.0
+                   WHEN 2 THEN
+                       (b * (2 + m2) * (4096 * k - 8)
+                        + b * m2 * (4096 * k + 8))
+                       / (b * (2 + 2 * m2)) / 32768.0
+                   ELSE (4096 * k) / 32768.0 END, 6) AS mean
+        FROM p
     """
     # flac_pcm_stats (round 7): the planted lossless FLAC waveforms'
     # exact stats by formula — the engine must parse STREAMINFO,

@@ -584,24 +584,176 @@ def _alaw_to_linear(a: int) -> int:
     return x if sign else -x
 
 
+# --- ADPCM (public specs: IMA/DVI ADPCM per the IMA Digital Audio ---
+# --- compatibility pack; Microsoft ADPCM per the MS WAVE format doc) -
+
+# IMA step-size table (89 entries) and per-nibble index adjustment —
+# both fixed by the public IMA ADPCM specification.
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+# Microsoft ADPCM adaptation table + the 7 standard predictor
+# coefficient pairs (spec fixes both; the fmt-chunk copy is redundant).
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+_MS_COEF = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+            (460, -208), (392, -232))
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """IMA ADPCM (WAV format 17) -> list of int16 samples. Block layout
+    per the IMA spec: a 4-byte header per channel (int16 predictor,
+    uint8 step index, reserved) — the predictor IS the block's first
+    output frame — then nibble data in 4-byte groups per channel
+    (low nibble first). Only whole blocks decode; a malformed header
+    (step index > 88) or geometry quarantines (None)."""
+    if channels < 1 or block_align < 4 * channels:
+        return None
+    if (block_align - 4 * channels) % (4 * channels):
+        return None
+    n_blocks = len(data) // block_align
+    if not n_blocks:
+        return None
+    out = []
+    for k in range(0, n_blocks * block_align, block_align):
+        pred = []
+        idx = []
+        for c in range(channels):
+            h = k + 4 * c
+            pred.append(int.from_bytes(data[h:h + 2], "little",
+                                       signed=True))
+            step_idx = data[h + 2]
+            if step_idx > 88:
+                return None
+            idx.append(step_idx)
+        out.extend(pred)  # frame 0 = the header predictors
+        body = data[k + 4 * channels:k + block_align]
+        # per-channel sample runs, interleaved in 4-byte groups
+        chans = [[] for _ in range(channels)]
+        for g in range(0, len(body), 4 * channels):
+            for c in range(channels):
+                p, ix = pred[c], idx[c]
+                for byte in body[g + 4 * c:g + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[ix]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = _clamp16(p - diff if nib & 8 else p + diff)
+                        ix += _IMA_INDEX[nib]
+                        ix = 0 if ix < 0 else (88 if ix > 88 else ix)
+                        chans[c].append(p)
+                pred[c], idx[c] = p, ix
+        # interleave channel runs into frames
+        if channels == 1:
+            out.extend(chans[0])
+        else:
+            for frame in zip(*chans):
+                out.extend(frame)
+    return out
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """C-style integer division (truncate toward zero) — the MS ADPCM
+    spec's /256 is C integer division, not floor."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
+    """Microsoft ADPCM (WAV format 2) -> list of int16 samples. Block
+    header per channel: predictor-coefficient index (1 byte), initial
+    delta (int16), sample1, sample2 (int16 each, 7 bytes x channels);
+    sample2 then sample1 are the first two output frames, then one
+    sample per nibble (HIGH nibble first, channels alternating).
+    Coefficient index > 6 or non-positive delta quarantines."""
+    hdr = 7 * channels
+    if channels < 1 or block_align <= hdr:
+        return None
+    n_blocks = len(data) // block_align
+    if not n_blocks:
+        return None
+    out = []
+    for k in range(0, n_blocks * block_align, block_align):
+        coef = []
+        delta = []
+        s1 = []
+        s2 = []
+        for c in range(channels):
+            ip = data[k + c]
+            if ip > 6:
+                return None
+            coef.append(_MS_COEF[ip])
+            d0 = int.from_bytes(
+                data[k + channels + 2 * c:k + channels + 2 * c + 2],
+                "little", signed=True)
+            if d0 <= 0:
+                return None
+            delta.append(d0)
+            s1.append(int.from_bytes(
+                data[k + 3 * channels + 2 * c:
+                     k + 3 * channels + 2 * c + 2],
+                "little", signed=True))
+            s2.append(int.from_bytes(
+                data[k + 5 * channels + 2 * c:
+                     k + 5 * channels + 2 * c + 2],
+                "little", signed=True))
+        out.extend(s2)  # frame 0
+        out.extend(s1)  # frame 1
+        body = data[k + hdr:k + block_align]
+        c = 0
+        for byte in body:
+            for nib in (byte >> 4, byte & 0x0F):
+                signed = nib - 16 if nib & 8 else nib
+                c1, c2 = coef[c]
+                predicted = _trunc_div(s1[c] * c1 + s2[c] * c2, 256)
+                smp = _clamp16(predicted + signed * delta[c])
+                s2[c], s1[c] = s1[c], smp
+                delta[c] = max(16, _trunc_div(_MS_ADAPT[nib] * delta[c],
+                                              256))
+                out.append(smp)
+                c = (c + 1) % channels
+    return out
+
+
 def wav_pcm_stats(b: bytes) -> Optional[dict]:
     """REAL sample-level decode for WAV payloads (round 6 — upgrades
     the audio lane from header-only): linear PCM (format 1; 8-bit
-    unsigned, 16/24/32-bit signed LE), IEEE float32 (format 3), and
+    unsigned, 16/24/32-bit signed LE), IEEE float32 (format 3),
     G.711 A-law / mu-law (formats 6/7, decoded by the public
-    closed-form expansion above). Returns
+    closed-form expansion above), and — round 7 — the two classic
+    compressed WAV codecs: Microsoft ADPCM (format 2) and IMA/DVI
+    ADPCM (format 17), decoded block-by-block with the public
+    integer adaptation tables. Returns
     {n_samples, rms, peak, mean} with amplitudes normalized to
     full scale and rounded to 6 dp; integer formats accumulate
     sum/sum-of-squares EXACTLY (python ints via numpy int64 ->
     object-free paths), so a synthetic corpus with closed-form
     waveforms round-trips bit-identically through an SQL oracle.
-    Anything else (extensible fmt, ADPCM...) returns None — the
-    quarantine lane, same contract as the other media kernels."""
+    Anything else (extensible fmt, exotic codecs...) returns None —
+    the quarantine lane, same contract as the other media kernels."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     import numpy as np
 
-    audio_fmt = channels = rate = bits = None
+    audio_fmt = channels = rate = bits = block_align = None
     data = None
     i = 12
     while i + 8 <= len(b):
@@ -613,13 +765,22 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
             audio_fmt = int.from_bytes(b[i + 8:i + 10], "little")
             channels = int.from_bytes(b[i + 10:i + 12], "little")
             rate = int.from_bytes(b[i + 12:i + 16], "little")
+            block_align = int.from_bytes(b[i + 20:i + 22], "little")
             bits = int.from_bytes(b[i + 22:i + 24], "little")
         elif cid == b"data":
             data = b[i + 8:i + 8 + size]
         i += 8 + size + (size & 1)
     if audio_fmt is None or data is None or not bits:
         return None
-    if audio_fmt == 1 and bits == 8:
+    if audio_fmt in (2, 17) and bits == 4:
+        # compressed lanes: decode to int16 via the spec state machines
+        dec = (_ms_adpcm_decode if audio_fmt == 2 else _ima_adpcm_decode)(
+            data, channels or 0, block_align or 0)
+        if not dec:
+            return None
+        x = np.array(dec, dtype=np.int64)
+        full = 32768.0
+    elif audio_fmt == 1 and bits == 8:
         x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
         full = 128.0
     elif audio_fmt == 1 and bits == 16:

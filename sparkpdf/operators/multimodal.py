@@ -974,6 +974,83 @@ def synthesize_flac_pcm_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_adpcm_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL ADPCM WAV per doc (doc_id % 4) whose
+    nibble streams are constructed so the spec state machines decode
+    to closed-form waveforms (k = 1 + d%7, B = 1 + d%4 blocks):
+      0: IMA mono, pred A = 4096k-2 at step index 0 (step 7), bytes
+         0xB3 = nibbles 3/11 -> exactly +-4 with the index pinned at 0
+         -> samples per block: A, then (A+4, A) x 4g, g = 2 + d%6
+      1: IMA stereo, L=+A / R=-A (A = 4096k), all-zero nibbles (step 7
+         -> diff 0) -> constant; mean 0, rms = peak = A/32768 exact
+      2: MS mono, coeff set 0 (256,0), delta 16 (the floor: 230*16>>8
+         = 14 -> clamps back to 16), bytes 0x1F = +1/-1 -> A+16, A
+         alternation after the two header samples; A = 4096k-8,
+         m = 2 + d%7 data bytes
+      3: MS mono, coeff set 1 (512,-256): s1 = s2 = A = 4096k keeps
+         the prediction at A under zero nibbles -> constant;
+         mean = rms = peak = k/8 exact, m = 1 + d%6
+    The engine must parse the extended fmt chunk, walk the blocks and
+    run the public adaptation tables to match; peaks are terminating
+    binary fractions, means/rms mirror the kernel's exact-int
+    accumulation in the oracle's CASE formulas."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import (
+            ima_adpcm_block,
+            make_wav_adpcm,
+            ms_adpcm_block,
+        )
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 4
+                k = 1 + d % 7
+                blocks = 1 + d % 4
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    g = 2 + d % 6
+                    ba = 4 + 4 * g
+                    blk = ima_adpcm_block(
+                        [4096 * k - 2], [0], bytes([0xB3]) * (4 * g))
+                    wav = make_wav_adpcm(rate, 1, 17, ba, 1 + 8 * g,
+                                         blk * blocks)
+                elif v == 1:
+                    g = 1 + d % 5
+                    ba = 8 + 8 * g
+                    blk = ima_adpcm_block(
+                        [4096 * k, -4096 * k], [0, 0], bytes(8 * g))
+                    wav = make_wav_adpcm(rate, 2, 17, ba, 1 + 8 * g,
+                                         blk * blocks)
+                elif v == 2:
+                    m = 2 + d % 7
+                    ba = 7 + m
+                    blk = ms_adpcm_block(
+                        [0], [16], [4096 * k - 8], [4096 * k - 8],
+                        bytes([0x1F]) * m)
+                    wav = make_wav_adpcm(rate, 1, 2, ba, 2 + 2 * m,
+                                         blk * blocks)
+                else:
+                    m = 1 + d % 6
+                    ba = 7 + m
+                    blk = ms_adpcm_block(
+                        [1], [16], [4096 * k], [4096 * k], bytes(m))
+                    wav = make_wav_adpcm(rate, 1, 2, ba, 2 + 2 * m,
+                                         blk * blocks)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"adpcm-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(wav)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def sniff_image_format(payload_col) -> "F.Column":
     """JVM-side image-format sniff from payload magic bytes — lets the
     policy aggregate per-format byte totals without any Python decode:

@@ -86,6 +86,67 @@ def make_wav(sample_rate: int, duration_ms: int, channels: int = 1,
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def make_wav_adpcm(sample_rate: int, channels: int, fmt_code: int,
+                   block_align: int, samples_per_block: int,
+                   blocks: bytes) -> bytes:
+    """RIFF/WAVE wrapping pre-built ADPCM block bytes. Writes the
+    spec-correct extended fmt chunk: IMA (17) gets cbSize=2 +
+    wSamplesPerBlock; MS (2) gets cbSize=32 + wSamplesPerBlock +
+    wNumCoef + the 7 standard coefficient pairs."""
+    if fmt_code == 2:
+        coefs = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                 (460, -208), (392, -232))
+        ext = (samples_per_block.to_bytes(2, "little")
+               + (7).to_bytes(2, "little")
+               + b"".join(c1.to_bytes(2, "little", signed=True)
+                          + c2.to_bytes(2, "little", signed=True)
+                          for c1, c2 in coefs))
+    else:
+        ext = samples_per_block.to_bytes(2, "little")
+    avg_bps = sample_rate * block_align // max(1, samples_per_block)
+    body = (fmt_code.to_bytes(2, "little")
+            + channels.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + avg_bps.to_bytes(4, "little")
+            + block_align.to_bytes(2, "little")
+            + (4).to_bytes(2, "little")
+            + len(ext).to_bytes(2, "little") + ext)
+    fmt = b"fmt " + len(body).to_bytes(4, "little") + body
+    chunk = b"data" + len(blocks).to_bytes(4, "little") + blocks
+    if len(blocks) & 1:
+        chunk += b"\x00"
+    wave = b"WAVE" + fmt + chunk
+    return b"RIFF" + len(wave).to_bytes(4, "little") + wave
+
+
+def ima_adpcm_block(predictors, step_indices, body: bytes) -> bytes:
+    """One IMA ADPCM block: a 4-byte header per channel (int16
+    predictor = the block's first output frame, uint8 step index,
+    reserved 0) followed by the nibble body (caller interleaves
+    4-byte groups per channel, low nibble first)."""
+    hdr = b"".join(
+        int(p).to_bytes(2, "little", signed=True)
+        + bytes([int(ix), 0])
+        for p, ix in zip(predictors, step_indices)
+    )
+    return hdr + body
+
+
+def ms_adpcm_block(coef_indices, deltas, samples1, samples2,
+                   body: bytes) -> bytes:
+    """One MS ADPCM block: per-channel coefficient index bytes, then
+    int16 initial deltas, sample1s, sample2s (sample2 is emitted
+    first), then the nibble body (high nibble first)."""
+    return (bytes(int(i) for i in coef_indices)
+            + b"".join(int(d).to_bytes(2, "little", signed=True)
+                       for d in deltas)
+            + b"".join(int(s).to_bytes(2, "little", signed=True)
+                       for s in samples1)
+            + b"".join(int(s).to_bytes(2, "little", signed=True)
+                       for s in samples2)
+            + body)
+
+
 def _box(typ: bytes, body: bytes) -> bytes:
     return (8 + len(body)).to_bytes(4, "big") + typ + body
 

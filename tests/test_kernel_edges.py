@@ -818,6 +818,75 @@ def test_wav_pcm_sample_decode():
     assert wav_pcm_stats(b"RIFFxxxxWAVEgarbage") is None
 
 
+def test_adpcm_sample_decode():
+    """Round-7 ADPCM decode (WAV formats 2 and 17): pinned vectors
+    hand-derived from the public IMA / Microsoft specs (step + index
+    adaptation, coefficient prediction, C-style truncating division,
+    int16 clamping), block walking, stereo interleave, and the
+    quarantine contract (bad step/coefficient indices, truncation,
+    non-positive delta -> None, never a raise)."""
+    from sparkpdf.kernels.media import (
+        _ima_adpcm_decode,
+        _ms_adpcm_decode,
+        wav_pcm_stats,
+    )
+    from sparkpdf.testing.imagegen import (
+        ima_adpcm_block,
+        make_wav_adpcm,
+        ms_adpcm_block,
+    )
+
+    # IMA spec vector: pred=0, step index 20 (step 50), nibbles
+    # 7,12,1,9,15,2,0,8 (low nibble first per byte) — exercises both
+    # signs, every magnitude bit, and index movement in both directions
+    blk = ima_adpcm_block([0], [20], bytes([0xC7, 0x91, 0x2F, 0x80]))
+    assert _ima_adpcm_decode(blk, 1, 8) == [
+        0, 93, -27, 21, -22, -221, -78, -52, -75]
+    # positive clamp at the table top: pred 32000, index 88 (step
+    # 32767), magnitude-7 nibbles saturate to 32767
+    clamp = ima_adpcm_block([32000], [88], bytes([0x77, 0x77, 0x77,
+                                                  0x77]))
+    assert set(_ima_adpcm_decode(clamp, 1, 8)[1:]) == {32767}
+    # two blocks decode independently (state resets per header)
+    two = _ima_adpcm_decode(blk + blk, 1, 8)
+    assert two == 2 * [0, 93, -27, 21, -22, -221, -78, -52, -75]
+    # stereo: header frame then 4-byte groups per channel, interleaved
+    st = ima_adpcm_block([1000, -1000], [0, 0], bytes(8))
+    dec = _ima_adpcm_decode(st, 2, 16)
+    assert dec == [1000, -1000] * 9  # nibble 0 at step 7 -> diff 0
+
+    # MS spec vector: coefficient set 4 (240,0), delta 32,
+    # s1=1000/s2=-500, nibbles 3,-4,7,-8 (high nibble first) —
+    # exercises signed nibbles, delta adaptation, truncating /256
+    mblk = ms_adpcm_block([4], [32], [1000], [-500],
+                          bytes([0x3C, 0x78]))
+    assert _ms_adpcm_decode(mblk, 1, 9) == [
+        -500, 1000, 1033, 856, 1033, 336]
+
+    # quarantine lanes
+    assert _ima_adpcm_decode(
+        ima_adpcm_block([0], [89], bytes(4)), 1, 8) is None
+    assert _ms_adpcm_decode(
+        ms_adpcm_block([7], [16], [0], [0], bytes(2)), 1, 9) is None
+    assert _ms_adpcm_decode(
+        ms_adpcm_block([0], [0], [0], [0], bytes(2)), 1, 9) is None
+    assert _ima_adpcm_decode(b"", 1, 8) is None
+    assert _ima_adpcm_decode(bytes(8), 1, 5) is None  # bad geometry
+
+    # full RIFF path + corruption fuzz: truncations never raise
+    wav = make_wav_adpcm(8000, 1, 17, 8, 9, blk * 3)
+    s = wav_pcm_stats(wav)
+    assert s is not None and s["n_samples"] == 27
+    for n in range(0, len(wav), 3):
+        wav_pcm_stats(wav[:n])  # must not raise
+    mwav = make_wav_adpcm(8000, 1, 2, 9, 6, mblk)
+    ms_stats = wav_pcm_stats(mwav)
+    assert ms_stats is not None and ms_stats["n_samples"] == 6
+    assert ms_stats["peak"] == round(1033 / 32768, 6)
+    for n in range(0, len(mwav), 3):
+        wav_pcm_stats(mwav[:n])
+
+
 def test_flac_sample_decode():
     """Round-7 FLAC frame decode: every subframe type (CONSTANT /
     VERBATIM / FIXED 0-4 / LPC), rice partitions incl. escapes, all

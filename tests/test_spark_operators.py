@@ -1350,9 +1350,13 @@ def test_driver_contract_window():
     """The driver grades the FIRST 50 queries() entries: every query
     has a matching oracle, column names line up between the Spark plan
     and the SQL (the canonicalizer hash-compares by sorted column
-    name), and the round-7 rotation holds: round-7-changed operators
-    plus ALL 43 queries that were judge-only in r6 (the
-    longest-since-driver-graded tail) sit inside the graded window."""
+    name), and the round-7 rotation holds: round-7-new/changed
+    operators plus ALL 43 queries that were judge-only in r6 (the
+    longest-since-driver-graded tail) sit inside the graded window.
+    The flagships (extract_spans, dedup_minhash_lsh, ann_cosine_topk)
+    were driver-graded in r6 and every round before, so they demote
+    to the tail to make room — the tail stays check_oracle-verified
+    at both scales every round."""
     import __spark_entry__ as e
 
     q = e.queries()
@@ -1361,11 +1365,11 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        # round-7 changed/new operators
-        "flac_pcm_stats", "wav_pcm_stats", "line_dedup",
-        "bigram_surprisal",
+        # round-7 new/changed operators
+        "adpcm_pcm_stats", "flac_pcm_stats", "wav_pcm_stats",
+        "line_dedup", "bigram_surprisal",
         # the r6 judge-only tail, now driver-graded (representatives;
-        # the full 43 are positions 5-47)
+        # the full 43 are inside the window)
         "write_roundtrip", "pdf_embedded_media", "xmp_project",
         "jpeg12_pixel_stats", "jpeg_lossless_stats",
         "jpeg_pixel_stats", "dup_substring_ranges", "substring_scrub",
@@ -1375,8 +1379,6 @@ def test_driver_contract_window():
         "av_media_features", "embedding_near_dups", "pii_scrub",
         "hash_split", "chunk_documents", "benchmark_contamination",
         "sessionize", "stream_events_window",
-        # flagship continuity
-        "extract_spans", "dedup_minhash_lsh", "ann_cosine_topk",
     ):
         assert name in window, f"{name} fell out of the graded window"
 
