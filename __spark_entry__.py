@@ -1303,6 +1303,24 @@ def q_flac_pcm_stats(spark, sf_dir):
     )
 
 
+def q_aiff_au_pcm_stats(spark, sf_dir):
+    # round 7: big-endian audio containers — AIFF (IFF chunk walk,
+    # 80-bit extended sample rate, signed PCM at every depth) and
+    # Sun/NeXT AU (.snd header; linear BE + G.711 lanes). The oracle
+    # restates the planted squares' exact stats; the engine must
+    # parse the containers and decode every big-endian sample.
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_bigendian_audio_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_bigendian_audio_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def q_adpcm_pcm_stats(spark, sf_dir):
     # round 7: ADPCM decode (WAV formats 2 + 17 — the two classic
     # compressed WAV codecs, public integer adaptation tables). The
@@ -1353,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-7 changed/new operators ---
         "adpcm_pcm_stats": q_adpcm_pcm_stats,
+        "aiff_au_pcm_stats": q_aiff_au_pcm_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
         "wav_pcm_stats": q_wav_pcm_stats,
         "line_dedup": q_line_dedup,
@@ -2929,6 +2948,38 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 2 THEN 32124 / 32768.0
                           WHEN 3 THEN 32256 / 32768.0
                           ELSE 0.125 * (1 + doc_id % 7)
+                          END, 6) AS peak,
+               CAST(0.0 AS DOUBLE) AS mean
+        FROM documents
+    """
+    # aiff_au_pcm_stats (round 7): big-endian containers — the
+    # planted AIFF/AU squares' exact stats by formula (all
+    # terminating binary fractions; mu-law/A-law expansion values are
+    # the public G.711 constants). The engine walks IFF chunks /
+    # the .snd header and decodes every BE sample to match.
+    sql["aiff_au_pcm_stats"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE doc_id % 6
+                         WHEN 0 THEN 2 * (50 + doc_id % 200)
+                         WHEN 1 THEN 2 * (40 + doc_id % 120)
+                         WHEN 2 THEN 2 * (30 + doc_id % 90)
+                         ELSE 2 * (60 + doc_id % 100)
+                         END AS BIGINT) AS n_samples,
+               ROUND(CASE doc_id % 6
+                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          WHEN 2 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 3 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 4 THEN 32124 / 32768.0
+                          ELSE 32256 / 32768.0
+                          END, 6) AS rms,
+               ROUND(CASE doc_id % 6
+                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          WHEN 2 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 3 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+                          WHEN 4 THEN 32124 / 32768.0
+                          ELSE 32256 / 32768.0
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents

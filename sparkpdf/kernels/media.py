@@ -821,12 +821,20 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
         full = 32768.0
     else:
         return None
+    return _pcm_int_stats(x, full)
+
+
+def _pcm_int_stats(x, full: float) -> Optional[dict]:
+    """Shared exact-int stats tail for every integer-sample audio
+    lane (WAV/ADPCM/AIFF/AU): int64 sums are exact for any realistic
+    payload (n * full^2 < 2^63 up to ~1e9 16-bit samples); fall back
+    to python ints past that bound so the 6-dp rounds stay
+    bit-identical to an SQL oracle's exact-int formulas."""
+    import numpy as np
+
     n = int(x.size)
     if not n:
         return None
-    # exact integer accumulation (int64 sums are exact for any
-    # realistic payload: n * full^2 < 2^63 up to ~1e9 16-bit samples);
-    # fall back to python ints past that bound
     if n * (full * full) < float(1 << 62):
         s = int(np.sum(x))
         ss = int(np.sum(x * x))
@@ -841,6 +849,135 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
         "peak": round(int(np.max(np.abs(x))) / full, 6),
         "mean": round(s / n / full, 6),
     }
+
+
+def _ieee_extended(b: bytes) -> Optional[int]:
+    """80-bit IEEE 754 extended float -> int (AIFF's COMM sample rate
+    field; spec: Apple Numerics / AIFF-1.3). Sign(1) + exponent(15) +
+    64-bit mantissa with an EXPLICIT integer bit. Sample rates are
+    exact integers, so return int (None for non-integral/denormal)."""
+    if len(b) < 10:
+        return None
+    exp = int.from_bytes(b[0:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if exp & 0x8000 or not mant:
+        return None if mant else 0
+    e = (exp & 0x7FFF) - 16383 - 63
+    if e >= 0:
+        return mant << e
+    if mant & ((1 << -e) - 1):
+        return None  # fractional rate — not a real-world sample rate
+    return mant >> -e
+
+
+def aiff_pcm_stats(b: bytes) -> Optional[dict]:
+    """REAL sample decode for AIFF payloads (round 7 — the classic
+    big-endian PCM container): FORM/AIFF IFF chunk walk, COMM
+    (channels, frames, bits, 80-bit extended sample rate) + SSND
+    (offset/blockSize header then sample data). AIFF PCM is SIGNED
+    at every depth (8/16/24/32, big-endian). AIFC (compressed) and
+    malformed chunks quarantine (None)."""
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+        return None
+    import numpy as np
+
+    bits = rate = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "big")
+        if cid == b"COMM" and size >= 18 and i + 26 <= len(b):
+            bits = int.from_bytes(b[i + 14:i + 16], "big")
+            rate = _ieee_extended(b[i + 16:i + 26])
+        elif cid == b"SSND" and size >= 8:
+            off = int.from_bytes(b[i + 8:i + 12], "big")
+            data = b[i + 16 + off:i + 8 + size]
+        i += 8 + size + (size & 1)  # IFF chunks pad to even offsets
+    if bits is None or data is None or rate is None:
+        return None
+    if bits == 8:
+        x = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+        full = 128.0
+    elif bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype=">i2"
+        ).astype(np.int64)
+        full = 32768.0
+    elif bits == 24:
+        raw = data[: len(data) - (len(data) % 3)]
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        x = (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        full = float(1 << 23)
+    elif bits == 32:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype=">i4"
+        ).astype(np.int64)
+        full = float(1 << 31)
+    else:
+        return None
+    return _pcm_int_stats(x, full)
+
+
+def au_pcm_stats(b: bytes) -> Optional[dict]:
+    """REAL sample decode for Sun/NeXT .au payloads (round 7): magic
+    '.snd' + big-endian header (data offset, data size, encoding,
+    sample rate, channels). Encodings decoded: 1 = G.711 mu-law,
+    2/3/4/5 = signed linear 8/16/24/32-bit BE, 6 = float32 BE
+    (NaN/Inf quarantines), 27 = G.711 A-law. Anything else (DSP,
+    ADPCM variants...) quarantines (None)."""
+    if len(b) < 24 or b[:4] != b".snd":
+        return None
+    import numpy as np
+
+    off = int.from_bytes(b[4:8], "big")
+    size = int.from_bytes(b[8:12], "big")
+    enc = int.from_bytes(b[12:16], "big")
+    if off < 24 or off > len(b):
+        return None
+    end = len(b) if size == 0xFFFFFFFF else min(len(b), off + size)
+    data = b[off:end]
+    if enc in (1, 27):
+        table = _ulaw_to_linear if enc == 1 else _alaw_to_linear
+        lut = np.array([table(v) for v in range(256)], dtype=np.int64)
+        x = lut[np.frombuffer(data, dtype=np.uint8)]
+        full = 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, dtype=np.int8).astype(np.int64)
+        full = 128.0
+    elif enc == 3:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype=">i2"
+        ).astype(np.int64)
+        full = 32768.0
+    elif enc == 4:
+        raw = data[: len(data) - (len(data) % 3)]
+        a = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        x = (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]
+        x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        full = float(1 << 23)
+    elif enc == 5:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype=">i4"
+        ).astype(np.int64)
+        full = float(1 << 31)
+    elif enc == 6:
+        xf = np.frombuffer(
+            data[: len(data) - (len(data) % 4)], dtype=">f4"
+        ).astype(np.float64)
+        n = int(xf.size)
+        if not n or not np.isfinite(xf).all():
+            return None
+        return {
+            "n_samples": n,
+            "rms": round(float(np.sqrt(np.mean(xf * xf))), 6),
+            "peak": round(float(np.max(np.abs(xf))), 6),
+            "mean": round(float(np.mean(xf)), 6),
+        }
+    else:
+        return None
+    return _pcm_int_stats(x, full)
 
 
 def _iter_boxes(b: bytes, start: int, end: int):

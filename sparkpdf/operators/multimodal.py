@@ -780,7 +780,12 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
     extract_doc contract). Arrow-batched mapInPandas."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.media import flac_pcm_stats, wav_pcm_stats
+        from ..kernels.media import (
+            aiff_pcm_stats,
+            au_pcm_stats,
+            flac_pcm_stats,
+            wav_pcm_stats,
+        )
 
         for pdf in batches:
             out = {k.name: [] for k in AUDIO_PCM_SCHEMA.fields}
@@ -792,17 +797,24 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
                 stats, err = None, None
                 try:
                     raw = bytes(payload)
-                    # magic dispatch (round 7): RIFF -> WAV lane,
-                    # fLaC -> FLAC frame decode; both share the
-                    # normalized {n_samples, rms, peak, mean} contract
+                    # magic dispatch (round 7): RIFF -> WAV lane
+                    # (incl. ADPCM), fLaC -> FLAC frame decode,
+                    # FORM/AIFF -> big-endian AIFF, .snd -> Sun AU;
+                    # all share the normalized
+                    # {n_samples, rms, peak, mean} contract
                     if raw[:4] == b"fLaC":
                         stats = flac_pcm_stats(raw)
+                    elif raw[:4] == b"FORM":
+                        stats = aiff_pcm_stats(raw)
+                    elif raw[:4] == b".snd":
+                        stats = au_pcm_stats(raw)
                     else:
                         stats = wav_pcm_stats(raw)
                     if stats is None:
                         err = (
                             "unsupported audio payload (not PCM/float/"
-                            "G.711 WAV or decodable FLAC)"
+                            "G.711/ADPCM WAV, AIFF, AU, or decodable "
+                            "FLAC)"
                         )
                 except Exception as e:  # poison payloads quarantine
                     err = f"{type(e).__name__}: {e}"
@@ -967,6 +979,74 @@ def synthesize_flac_pcm_media(documents: DataFrame) -> DataFrame:
                                        rice_escape=True)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"flac-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL AIFF or Sun AU payload per doc (doc_id %
+    6) with closed-form waveforms (k = 1 + d%7; squares alternate so
+    mean is exactly 0 and every 6-dp round is exact on both engines):
+      0: AIFF 16-bit BE square, A = 4096k -> rms = peak = k/8,
+         n = 2*(50 + d%200)
+      1: AIFF 8-bit SIGNED square (AIFF is signed at every depth),
+         A = 2*(1 + d%63) -> A/128, n = 2*(40 + d%120)
+      2: AIFF 24-bit STEREO (L=+A, R=-A constant), A = 2^20*k
+         -> 0.125k, n = 2*(30 + d%90) total samples
+      3: AU 16-bit BE square, A = 4096k -> k/8, n = 2*(60 + d%100)
+      4: AU G.711 mu-law 0x80/0x00 -> +-32124, n = 2*(60 + d%100)
+      5: AU G.711 A-law 0xAA/0x2A -> +-32256, n = 2*(60 + d%100)
+    The engine must walk IFF chunks (COMM's 80-bit extended rate,
+    SSND offset) or the .snd header and decode big-endian samples to
+    match the oracle's restated formulas."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..testing.imagegen import make_aiff, make_au
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 6
+                k = 1 + d % 7
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    amp = 4096 * k
+                    n = 2 * (50 + d % 200)
+                    blob = make_aiff(rate, 1, 16, struct.pack(
+                        f">{n}h", *([amp, -amp] * (n // 2))))
+                elif v == 1:
+                    amp = 2 * (1 + d % 63)
+                    n = 2 * (40 + d % 120)
+                    blob = make_aiff(rate, 1, 8, struct.pack(
+                        f">{n}b", *([amp, -amp] * (n // 2))))
+                elif v == 2:
+                    amp = (1 << 20) * k
+                    n = 2 * (30 + d % 90)
+                    pos = amp.to_bytes(3, "big", signed=True)
+                    neg = (-amp).to_bytes(3, "big", signed=True)
+                    blob = make_aiff(rate, 2, 24, (pos + neg) * (n // 2))
+                elif v == 3:
+                    amp = 4096 * k
+                    n = 2 * (60 + d % 100)
+                    blob = make_au(rate, 1, 3, struct.pack(
+                        f">{n}h", *([amp, -amp] * (n // 2))))
+                elif v == 4:
+                    n = 2 * (60 + d % 100)
+                    blob = make_au(rate, 1, 1, bytes([0x80, 0x00] * (n // 2)))
+                else:
+                    n = 2 * (60 + d % 100)
+                    blob = make_au(rate, 1, 27, bytes([0xAA, 0x2A] * (n // 2)))
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"be-audio-{d}")
                 out["modality"].append("audio")
                 out["payload"].append(blob)
             yield pd.DataFrame(out)

@@ -132,6 +132,49 @@ def ima_adpcm_block(predictors, step_indices, body: bytes) -> bytes:
     return hdr + body
 
 
+def _ieee_extended_80(rate: int) -> bytes:
+    """Integer -> 80-bit IEEE extended (AIFF COMM sample rate): sign 0,
+    15-bit biased exponent, 64-bit mantissa with explicit integer bit."""
+    if rate <= 0:
+        return bytes(10)
+    l = rate.bit_length() - 1
+    exp = 16383 + l
+    mant = rate << (63 - l)
+    return exp.to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def make_aiff(sample_rate: int, channels: int, bits: int,
+              data: bytes) -> bytes:
+    """Minimal valid AIFF: FORM/AIFF with a COMM chunk (channels,
+    frames, bits, 80-bit extended rate) and an SSND chunk (offset 0,
+    block size 0) wrapping big-endian signed PCM `data`."""
+    frames = len(data) // max(1, channels * (bits // 8))
+    comm = (b"COMM" + (18).to_bytes(4, "big")
+            + channels.to_bytes(2, "big")
+            + frames.to_bytes(4, "big")
+            + bits.to_bytes(2, "big")
+            + _ieee_extended_80(sample_rate))
+    ssnd = (b"SSND" + (8 + len(data)).to_bytes(4, "big")
+            + bytes(8) + data)
+    if len(data) & 1:
+        ssnd += b"\x00"  # IFF chunks pad to even offsets
+    body = b"AIFF" + comm + ssnd
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+def make_au(sample_rate: int, channels: int, encoding: int,
+            data: bytes) -> bytes:
+    """Minimal valid Sun/NeXT .au: '.snd' magic + 24-byte big-endian
+    header (offset, data size, encoding, rate, channels) + data."""
+    return (b".snd"
+            + (24).to_bytes(4, "big")
+            + len(data).to_bytes(4, "big")
+            + encoding.to_bytes(4, "big")
+            + sample_rate.to_bytes(4, "big")
+            + channels.to_bytes(4, "big")
+            + data)
+
+
 def ms_adpcm_block(coef_indices, deltas, samples1, samples2,
                    body: bytes) -> bytes:
     """One MS ADPCM block: per-channel coefficient index bytes, then

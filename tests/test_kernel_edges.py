@@ -887,6 +887,79 @@ def test_adpcm_sample_decode():
         wav_pcm_stats(mwav[:n])
 
 
+def test_aiff_au_sample_decode():
+    """Round-7 big-endian audio containers: AIFF (IFF chunk walk,
+    80-bit extended sample rate, SIGNED PCM at 8/16/24/32) and Sun AU
+    (.snd header; linear BE 8-32, float32 BE, G.711 mu/A-law).
+    Truncation/garbage/NaN floats quarantine to None, never a raise."""
+    import struct
+
+    from sparkpdf.kernels.media import (
+        _ieee_extended,
+        aiff_pcm_stats,
+        au_pcm_stats,
+    )
+    from sparkpdf.testing.imagegen import (
+        _ieee_extended_80,
+        make_aiff,
+        make_au,
+    )
+
+    # 80-bit extended round-trip for real-world rates
+    for r in (8000, 11025, 22050, 44100, 48000, 96000, 192000, 1):
+        assert _ieee_extended(_ieee_extended_80(r)) == r
+    assert _ieee_extended(bytes(10)) == 0  # zero mantissa -> rate 0
+    assert _ieee_extended(b"\x00") is None
+
+    # AIFF: signed PCM at every depth, big-endian
+    a = aiff_pcm_stats(
+        make_aiff(44100, 1, 16, struct.pack(">4h", 8192, -8192,
+                                            8192, -8192)))
+    assert a == {"n_samples": 4, "rms": 0.25, "peak": 0.25, "mean": 0.0}
+    a8 = aiff_pcm_stats(
+        make_aiff(8000, 1, 8, struct.pack(">4b", 64, -64, 64, -64)))
+    assert a8["rms"] == 0.5 and a8["mean"] == 0.0
+    amp = 1 << 20
+    pos = amp.to_bytes(3, "big", signed=True)
+    neg = (-amp).to_bytes(3, "big", signed=True)
+    a24 = aiff_pcm_stats(make_aiff(48000, 2, 24, (pos + neg) * 4))
+    assert a24 == {"n_samples": 8, "rms": 0.125, "peak": 0.125,
+                   "mean": 0.0}
+    a32 = aiff_pcm_stats(
+        make_aiff(8000, 1, 32, struct.pack(">2i", 1 << 30, -(1 << 30))))
+    assert a32["rms"] == 0.5
+
+    # AU: every decoded encoding + the quarantine lanes
+    assert au_pcm_stats(make_au(8000, 1, 3, struct.pack(
+        ">4h", 4096, -4096, 4096, -4096)))["rms"] == 0.125
+    assert au_pcm_stats(make_au(8000, 1, 1, bytes(
+        [0x80, 0x00] * 3)))["peak"] == round(32124 / 32768, 6)
+    assert au_pcm_stats(make_au(8000, 1, 27, bytes(
+        [0xAA, 0x2A] * 3)))["peak"] == round(32256 / 32768, 6)
+    assert au_pcm_stats(make_au(8000, 1, 2, struct.pack(
+        ">4b", 32, -32, 32, -32)))["rms"] == 0.25
+    assert au_pcm_stats(make_au(8000, 1, 4, (pos + neg) * 2))[
+        "rms"] == 0.125
+    assert au_pcm_stats(make_au(8000, 1, 5, struct.pack(
+        ">2i", 1 << 29, -(1 << 29))))["rms"] == 0.25
+    assert au_pcm_stats(make_au(8000, 1, 6, struct.pack(
+        ">4f", 0.5, -0.5, 0.5, -0.5)))["rms"] == 0.5
+    assert au_pcm_stats(make_au(8000, 1, 6, struct.pack(
+        ">2f", float("nan"), 0.0))) is None
+    assert au_pcm_stats(make_au(8000, 1, 23, bytes(8))) is None
+
+    # corruption fuzz: every truncation point, never a raise
+    full = make_aiff(8000, 1, 16, struct.pack(">4h", 1, 2, 3, 4))
+    for n in range(len(full)):
+        aiff_pcm_stats(full[:n])
+        au_pcm_stats(full[:n])
+    aufull = make_au(8000, 1, 3, bytes(10))
+    for n in range(len(aufull)):
+        au_pcm_stats(aufull[:n])
+    assert aiff_pcm_stats(b"FORMxxxxAIFC" + bytes(20)) is None
+    assert au_pcm_stats(b".snd" + bytes(4)) is None
+
+
 def test_flac_sample_decode():
     """Round-7 FLAC frame decode: every subframe type (CONSTANT /
     VERBATIM / FIXED 0-4 / LPC), rice partitions incl. escapes, all

@@ -1366,8 +1366,8 @@ def test_driver_contract_window():
     window = list(q)[:50]
     for name in (
         # round-7 new/changed operators
-        "adpcm_pcm_stats", "flac_pcm_stats", "wav_pcm_stats",
-        "line_dedup", "bigram_surprisal",
+        "adpcm_pcm_stats", "aiff_au_pcm_stats", "flac_pcm_stats",
+        "wav_pcm_stats", "line_dedup", "bigram_surprisal",
         # the r6 judge-only tail, now driver-graded (representatives;
         # the full 43 are inside the window)
         "write_roundtrip", "pdf_embedded_media", "xmp_project",
