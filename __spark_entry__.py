@@ -1303,6 +1303,24 @@ def q_flac_pcm_stats(spark, sf_dir):
     )
 
 
+def q_video_frame_stats(spark, sf_dir):
+    # round 7: REAL per-frame video decode — MJPEG AVIs walked to
+    # LIST movi, every frame decoded by the from-scratch JPEG kernel
+    # (one row per frame). The planted uniform even-gray tiles decode
+    # losslessly, so the oracle restates each frame's mean luma by
+    # formula over a generate_series cross join.
+    from sparkpdf.operators.multimodal import (
+        extract_video_frame_features,
+        synthesize_mjpeg_avi_media,
+    )
+
+    return extract_video_frame_features(
+        synthesize_mjpeg_avi_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "frame_idx", "width", "height", "mean_luma"
+    )
+
+
 def q_aiff_au_pcm_stats(spark, sf_dir):
     # round 7: big-endian audio containers — AIFF (IFF chunk walk,
     # 80-bit extended sample rate, signed PCM at every depth) and
@@ -1372,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 changed/new operators ---
         "adpcm_pcm_stats": q_adpcm_pcm_stats,
         "aiff_au_pcm_stats": q_aiff_au_pcm_stats,
+        "video_frame_stats": q_video_frame_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
         "wav_pcm_stats": q_wav_pcm_stats,
         "line_dedup": q_line_dedup,
@@ -2951,6 +2970,21 @@ def oracle_sql() -> dict[str, str]:
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents
+    """
+    # video_frame_stats (round 7): per-frame MJPEG decode — each
+    # doc's AVI carries nf = 1 + d%5 uniform EVEN-gray JPEG frames
+    # (even values survive the DC quantizer exactly), restated by a
+    # generate_series cross join; the engine must walk LIST movi and
+    # run the full JPEG decode per frame.
+    sql["video_frame_stats"] = """
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               CAST(t.i AS INTEGER) AS frame_idx,
+               CAST(16 + 8 * (d.doc_id % 4) AS INTEGER) AS width,
+               CAST(8 + 8 * (d.doc_id % 3) AS INTEGER) AS height,
+               CAST(16 + 2 * ((d.doc_id + 37 * t.i) % 112) AS DOUBLE)
+                   AS mean_luma
+        FROM documents d CROSS JOIN generate_series(0, 4) t(i)
+        WHERE t.i < 1 + d.doc_id % 5
     """
     # aiff_au_pcm_stats (round 7): big-endian containers — the
     # planted AIFF/AU squares' exact stats by formula (all

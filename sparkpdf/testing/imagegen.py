@@ -797,17 +797,22 @@ def make_ogg(sample_rate: int, duration_ms: int, channels: int = 2,
 
 
 def make_avi(width: int, height: int, duration_ms: int,
-             fps: int = 25) -> bytes:
+             fps: int = 25, frames: list | None = None) -> bytes:
     """Minimal RIFF/AVI: LIST hdrl with an avih main header
-    (MicroSecPerFrame + TotalFrames + dims); no movi payload."""
+    (MicroSecPerFrame + TotalFrames + dims); no movi payload. With
+    `frames` (a list of JPEG byte strings) it becomes a real MJPEG
+    AVI: hdrl grows a LIST strl ('vids'/'MJPG' strh + a
+    BITMAPINFOHEADER strf), the frames land in LIST movi as '00dc'
+    chunks, and an idx1 keyframe index follows (offsets relative to
+    the 'movi' fourcc, per the AVI 1.0 spec)."""
     usec = 1000000 // fps
-    frames = duration_ms * 1000 // usec
+    n_frames = len(frames) if frames else duration_ms * 1000 // usec
     avih = (
         usec.to_bytes(4, "little")
         + (0).to_bytes(4, "little")     # max bytes/sec
         + (0).to_bytes(4, "little")     # padding
         + (0x10).to_bytes(4, "little")  # flags (HASINDEX)
-        + frames.to_bytes(4, "little")
+        + n_frames.to_bytes(4, "little")
         + (0).to_bytes(4, "little")     # initial frames
         + (1).to_bytes(4, "little")     # streams
         + (0).to_bytes(4, "little")     # suggested buffer
@@ -816,9 +821,52 @@ def make_avi(width: int, height: int, duration_ms: int,
         + b"\x00" * 16                  # reserved
     )
     avih_chunk = b"avih" + len(avih).to_bytes(4, "little") + avih
-    hdrl = b"LIST" + (4 + len(avih_chunk)).to_bytes(4, "little") \
-        + b"hdrl" + avih_chunk
+    strl_chunk = b""
+    if frames is not None:
+        strh = (b"vids" + b"MJPG"
+                + (0).to_bytes(4, "little")   # flags
+                + (0).to_bytes(4, "little")   # priority+language
+                + (0).to_bytes(4, "little")   # initial frames
+                + (1).to_bytes(4, "little")   # scale
+                + fps.to_bytes(4, "little")   # rate
+                + (0).to_bytes(4, "little")   # start
+                + n_frames.to_bytes(4, "little")
+                + max((len(f) for f in frames), default=0)
+                  .to_bytes(4, "little")      # suggested buffer
+                + (0xFFFFFFFF).to_bytes(4, "little")  # quality
+                + (0).to_bytes(4, "little")   # sample size
+                + (0).to_bytes(8, "little"))  # rcFrame
+        strf = ((40).to_bytes(4, "little")
+                + width.to_bytes(4, "little")
+                + height.to_bytes(4, "little")
+                + (1).to_bytes(2, "little")
+                + (24).to_bytes(2, "little")
+                + b"MJPG"
+                + (width * height * 3).to_bytes(4, "little")
+                + (0).to_bytes(16, "little"))
+        strl = (b"strh" + len(strh).to_bytes(4, "little") + strh
+                + b"strf" + len(strf).to_bytes(4, "little") + strf)
+        strl_chunk = (b"LIST" + (4 + len(strl)).to_bytes(4, "little")
+                      + b"strl" + strl)
+    hdrl = (b"LIST"
+            + (4 + len(avih_chunk) + len(strl_chunk)).to_bytes(4, "little")
+            + b"hdrl" + avih_chunk + strl_chunk)
     body = b"AVI " + hdrl
+    if frames is not None:
+        chunks = b""
+        idx = b""
+        for f in frames:
+            # idx1 offsets point at the chunk fourcc, relative to
+            # the 'movi' fourcc position
+            idx += (b"00dc" + (0x10).to_bytes(4, "little")
+                    + (4 + len(chunks)).to_bytes(4, "little")
+                    + len(f).to_bytes(4, "little"))
+            chunks += b"00dc" + len(f).to_bytes(4, "little") + f
+            if len(f) & 1:
+                chunks += b"\x00"
+        body += (b"LIST" + (4 + len(chunks)).to_bytes(4, "little")
+                 + b"movi" + chunks
+                 + b"idx1" + len(idx).to_bytes(4, "little") + idx)
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 

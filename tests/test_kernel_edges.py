@@ -887,6 +887,40 @@ def test_adpcm_sample_decode():
         wav_pcm_stats(mwav[:n])
 
 
+def test_avi_mjpeg_frame_decode():
+    """Round-7 MJPEG-in-AVI: LIST movi walk + per-frame JPEG decode
+    through the validated codec. Uniform even-gray frames decode to
+    their exact planted values; torn chunks / undecodable frames /
+    header-only AVIs quarantine to None, truncation never raises."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.media import avi_info, avi_mjpeg_frames
+    from sparkpdf.testing.imagegen import make_avi
+
+    frames = [encode_jpeg(np.full((8, 16), g, dtype=np.uint8))
+              for g in (16, 100, 238)]
+    avi = make_avi(16, 8, 0, fps=25, frames=frames)
+    out = avi_mjpeg_frames(avi)
+    assert out == [
+        {"frame_idx": 0, "width": 16, "height": 8, "mean_luma": 16.0},
+        {"frame_idx": 1, "width": 16, "height": 8, "mean_luma": 100.0},
+        {"frame_idx": 2, "width": 16, "height": 8, "mean_luma": 238.0},
+    ]
+    # the frame-ful AVI still parses as an AVI header (av_info lane)
+    info = avi_info(avi)
+    assert info["width"] == 16 and info["format"] == "avi"
+    # header-only AVI (the av corpus shape) has no frames -> None
+    assert avi_mjpeg_frames(make_avi(32, 16, 200)) is None
+    # a non-JPEG video chunk quarantines the payload
+    bad = make_avi(16, 8, 0, frames=[b"not a jpeg"])
+    assert avi_mjpeg_frames(bad) is None
+    # truncation fuzz: never a raise
+    for n in range(0, len(avi), 5):
+        avi_mjpeg_frames(avi[:n])
+    assert avi_mjpeg_frames(b"RIFFxxxxAVI garbage") is None
+
+
 def test_aiff_au_sample_decode():
     """Round-7 big-endian audio containers: AIFF (IFF chunk walk,
     80-bit extended sample rate, SIGNED PCM at 8/16/24/32) and Sun AU

@@ -1366,8 +1366,9 @@ def test_driver_contract_window():
     window = list(q)[:50]
     for name in (
         # round-7 new/changed operators
-        "adpcm_pcm_stats", "aiff_au_pcm_stats", "flac_pcm_stats",
-        "wav_pcm_stats", "line_dedup", "bigram_surprisal",
+        "adpcm_pcm_stats", "aiff_au_pcm_stats", "video_frame_stats",
+        "flac_pcm_stats", "wav_pcm_stats", "line_dedup",
+        "bigram_surprisal",
         # the r6 judge-only tail, now driver-graded (representatives;
         # the full 43 are inside the window)
         "write_roundtrip", "pdf_embedded_media", "xmp_project",
@@ -1831,6 +1832,47 @@ def test_audio_pcm_features_quarantine(spark, docs):
     oks = [r for r in rows.values() if r.error is None]
     assert len(oks) == 8
     assert all(r.mean == 0.0 and r.rms == r.peak > 0 for r in oks)
+
+
+def test_video_frame_features_quarantine(spark, docs):
+    """extract_video_frame_features emits one row per decoded frame
+    for real MJPEG AVIs and exactly one quarantine row (error set,
+    stats null) for poison payloads — never a raise, never a dropped
+    doc."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.multimodal import (
+        extract_video_frame_features,
+        synthesize_mjpeg_avi_media,
+    )
+
+    good = synthesize_mjpeg_avi_media(docs.limit(6))
+    poison = spark.createDataFrame(
+        [Row(doc_id="px", media_ref="bad-1", modality="video",
+             payload=b"RIFF\x10\x00\x00\x00AVI junkchunk"),
+         Row(doc_id="py", media_ref="bad-2", modality="video",
+             payload=b"not video at all")],
+        schema="doc_id string, media_ref string, modality string, "
+               "payload binary",
+    )
+    out = extract_video_frame_features(good.unionByName(poison))
+    rows = out.collect()
+    bad = [r for r in rows if r.error is not None]
+    assert {r.media_ref for r in bad} == {"bad-1", "bad-2"}
+    assert all(r.frame_idx is None and r.mean_luma is None for r in bad)
+    oks = [r for r in rows if r.error is None]
+    # every good doc emits nf = 1 + d%5 frames, idx contiguous from 0
+    by_doc = {}
+    for r in oks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 6
+    for doc_id, frs in by_doc.items():
+        d = int(doc_id)
+        assert sorted(f.frame_idx for f in frs) == list(
+            range(1 + d % 5))
+        for f in frs:
+            assert f.width == 16 + 8 * (d % 4)
+            assert f.mean_luma == 16 + 2 * ((d + 37 * f.frame_idx)
+                                            % 112)
 
 
 def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
