@@ -1304,18 +1304,19 @@ def q_flac_pcm_stats(spark, sf_dir):
 
 
 def q_video_frame_stats(spark, sf_dir):
-    # round 7: REAL per-frame video decode — MJPEG AVIs walked to
-    # LIST movi, every frame decoded by the from-scratch JPEG kernel
-    # (one row per frame). The planted uniform even-gray tiles decode
-    # losslessly, so the oracle restates each frame's mean luma by
-    # formula over a generate_series cross join.
+    # round 7: REAL per-frame video decode — MJPEG in BOTH classic
+    # containers (RIFF/AVI movi walk; ISO-BMFF MP4 sample-table
+    # demux), alternating by doc parity, every frame decoded by the
+    # from-scratch JPEG kernel (one row per frame). The planted
+    # uniform even-gray tiles decode losslessly, so one
+    # generate_series oracle covers both demux paths.
     from sparkpdf.operators.multimodal import (
         extract_video_frame_features,
-        synthesize_mjpeg_avi_media,
+        synthesize_mjpeg_media,
     )
 
     return extract_video_frame_features(
-        synthesize_mjpeg_avi_media(_t(spark, sf_dir, "documents"))
+        synthesize_mjpeg_media(_t(spark, sf_dir, "documents"))
     ).filter(F.col("error").isNull()).select(
         "doc_id", "frame_idx", "width", "height", "mean_luma"
     )

@@ -2031,6 +2031,107 @@ def avi_mjpeg_frames(b: bytes):
     return frames or None
 
 
+def mp4_mjpeg_frames(b: bytes):
+    """REAL ISO-BMFF sample-table demux (round 7): descend moov ->
+    trak -> mdia -> minf -> stbl, require an MJPEG visual sample
+    entry in stsd ('jpeg'/'mjpa'/'mjpb'), resolve every sample's
+    absolute offset via stsc (sample-to-chunk runs) x stco/co64
+    (chunk offsets) x stsz (sample sizes) per ISO/IEC 14496-12 §8.7,
+    then decode each sample through the JPEG kernel. Emits the same
+    per-frame contract as avi_mjpeg_frames; a torn sample table or
+    undecodable sample quarantines the payload (None)."""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    from .jpeg import decode_jpeg, jpeg_mean_luma
+
+    for typ, s, e in _iter_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in _iter_boxes(b, s, e):
+            if t2 != b"trak":
+                continue
+            stbl = None
+            for t3, s3, e3 in _iter_boxes(b, s2, e2):
+                if t3 != b"mdia":
+                    continue
+                for t4, s4, e4 in _iter_boxes(b, s3, e3):
+                    if t4 != b"minf":
+                        continue
+                    for t5, s5, e5 in _iter_boxes(b, s4, e4):
+                        if t5 == b"stbl":
+                            stbl = (s5, e5)
+            if stbl is None:
+                continue
+            is_mjpeg = False
+            sizes = None
+            chunk_offs = None
+            stsc = None
+            for t6, s6, e6 in _iter_boxes(b, stbl[0], stbl[1]):
+                body = b[s6:e6]
+                if t6 == b"stsd" and len(body) >= 16:
+                    # first sample entry's fourcc sits at body[12:16]
+                    is_mjpeg = body[12:16] in (b"jpeg", b"mjpa",
+                                               b"mjpb")
+                elif t6 == b"stsz" and len(body) >= 12:
+                    fixed = int.from_bytes(body[4:8], "big")
+                    cnt = int.from_bytes(body[8:12], "big")
+                    if fixed:
+                        sizes = [fixed] * cnt
+                    elif len(body) >= 12 + 4 * cnt:
+                        sizes = [int.from_bytes(
+                            body[12 + 4 * i:16 + 4 * i], "big")
+                            for i in range(cnt)]
+                elif t6 in (b"stco", b"co64") and len(body) >= 8:
+                    w = 4 if t6 == b"stco" else 8
+                    cnt = int.from_bytes(body[4:8], "big")
+                    if len(body) >= 8 + w * cnt:
+                        chunk_offs = [int.from_bytes(
+                            body[8 + w * i:8 + w * (i + 1)], "big")
+                            for i in range(cnt)]
+                elif t6 == b"stsc" and len(body) >= 8:
+                    cnt = int.from_bytes(body[4:8], "big")
+                    if len(body) >= 8 + 12 * cnt:
+                        stsc = [(int.from_bytes(
+                                    body[8 + 12 * i:12 + 12 * i], "big"),
+                                 int.from_bytes(
+                                    body[12 + 12 * i:16 + 12 * i], "big"))
+                                for i in range(cnt)]
+            if not is_mjpeg or not sizes or not chunk_offs or not stsc:
+                continue
+            # expand stsc runs: samples-per-chunk for every chunk
+            frames = []
+            si = 0
+            for ci in range(len(chunk_offs)):
+                spc = 0
+                for fc, n_in in stsc:
+                    if fc <= ci + 1:
+                        spc = n_in
+                pos = chunk_offs[ci]
+                for _ in range(spc):
+                    if si >= len(sizes):
+                        break
+                    end_s = pos + sizes[si]
+                    if end_s > len(b):
+                        return None  # torn sample table
+                    payload = b[pos:end_s]
+                    img = decode_jpeg(payload)
+                    luma = jpeg_mean_luma(payload)
+                    if img is None or luma is None:
+                        return None
+                    frames.append({
+                        "frame_idx": si,
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "mean_luma": luma,
+                    })
+                    pos = end_s
+                    si += 1
+            if si != len(sizes):
+                return None  # chunk map doesn't cover every sample
+            return frames or None
+    return None
+
+
 def av_info(b: bytes) -> Optional[dict]:
     """Sniff audio/video containers by magic."""
     if not b:

@@ -1001,16 +1001,18 @@ VIDEO_FRAME_SCHEMA = StructType(
 
 def extract_video_frame_features(media: DataFrame) -> DataFrame:
     """REAL per-frame video decode (round 7 — upgrades the video lane
-    beyond container headers): every MJPEG AVI payload's movi chunks
-    decode through the from-scratch JPEG kernel, emitting one row per
-    frame (frame_idx, dims, mean luma). Undecodable payloads emit a
+    beyond container headers): MJPEG payloads in BOTH classic
+    containers — RIFF/AVI (LIST movi chunk walk) and ISO-BMFF MP4
+    (full stsd/stsc/stco/stsz sample-table demux) — decode through
+    the from-scratch JPEG kernel, emitting one row per frame
+    (frame_idx, dims, mean luma). Undecodable payloads emit a
     single quarantine row with the error column set — never a raise,
     never a dropped doc (the extract_doc contract). Arrow-batched
     mapInPandas; per-frame rows explode kernel-side so Spark never
     ships pixel arrays."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.media import avi_mjpeg_frames
+        from ..kernels.media import avi_mjpeg_frames, mp4_mjpeg_frames
 
         for pdf in batches:
             out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
@@ -1019,10 +1021,14 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
             ):
                 frames, err = None, None
                 try:
-                    frames = avi_mjpeg_frames(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[4:8] == b"ftyp":
+                        frames = mp4_mjpeg_frames(raw)
+                    else:
+                        frames = avi_mjpeg_frames(raw)
                     if frames is None:
                         err = ("unsupported video payload (not an AVI "
-                               "with decodable MJPEG frames)")
+                               "or MP4 with decodable MJPEG frames)")
                 except Exception as e:  # poison payloads quarantine
                     err = f"{type(e).__name__}: {e}"
                 for row in (frames if frames else [None]):
@@ -1042,15 +1048,19 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_mjpeg_avi_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL MJPEG AVI per doc: nf = 1 + d%5 uniform
+def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL MJPEG movie per doc, container
+    alternating by parity (even d -> RIFF/AVI with movi chunks +
+    idx1; odd d -> ISO-BMFF MP4 with a full stsd/stsc/stco/stsz
+    sample table, 2 samples per chunk so a short last chunk
+    exercises real sample-to-chunk resolution): nf = 1 + d%5 uniform
     gray frames at value g_i = 16 + 2*((d + 37*i) % 112) — EVEN gray
     values survive the Annex-K DC quantizer exactly (DC = 8*(g-128)
     with quantizer 16 needs (g-128) even), so each decoded frame's
     mean luma is its planted gray value bit-for-bit. Dims
     (16 + 8*(d%4)) x (8 + 8*(d%3)) exercise non-square tiles. The
-    engine must walk LIST movi and run the full JPEG decode path per
-    frame to match the oracle's generate_series formula."""
+    frame formulas are container-independent, so ONE generate_series
+    oracle covers both demux paths."""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
@@ -1059,7 +1069,7 @@ def synthesize_mjpeg_avi_media(documents: DataFrame) -> DataFrame:
         import numpy as np
 
         from ..kernels.jpeg import encode_jpeg
-        from ..testing.imagegen import make_avi
+        from ..testing.imagegen import make_avi, make_mp4_mjpeg
 
         for pdf in batches:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
@@ -1074,11 +1084,15 @@ def synthesize_mjpeg_avi_media(documents: DataFrame) -> DataFrame:
                         dtype=np.uint8))
                     for i in range(nf)
                 ]
+                if d % 2:
+                    blob = make_mp4_mjpeg(w, h, frames,
+                                          samples_per_chunk=2)
+                else:
+                    blob = make_avi(w, h, 0, fps=25, frames=frames)
                 out["doc_id"].append(str(d))
-                out["media_ref"].append(f"avi-mjpeg-{d}")
+                out["media_ref"].append(f"mjpeg-{d}")
                 out["modality"].append("video")
-                out["payload"].append(
-                    make_avi(w, h, 0, fps=25, frames=frames))
+                out["payload"].append(blob)
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)

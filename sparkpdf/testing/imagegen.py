@@ -228,6 +228,93 @@ def make_mp4(width: int, height: int, duration_ms: int,
     return ftyp + moov
 
 
+def make_mp4_mjpeg(width: int, height: int, frames: list,
+                   timescale: int = 1000, fps: int = 25,
+                   samples_per_chunk: int = 2) -> bytes:
+    """Real ISO-BMFF MJPEG movie: ftyp + mdat (samples contiguous) +
+    moov with a full sample table — stsd 'jpeg' VisualSampleEntry,
+    stts, stsc (multi-entry when the last chunk is short), stsz,
+    stco. moov goes LAST so the absolute chunk offsets are known.
+    samples_per_chunk < len(frames) exercises real sample-to-chunk
+    resolution in the demuxer."""
+    nf = len(frames)
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    mdat = _box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8  # first sample's absolute offset
+    # chunk layout: groups of samples_per_chunk, last may be short
+    spc = max(1, samples_per_chunk)
+    chunk_sizes = [min(spc, nf - i) for i in range(0, nf, spc)]
+    offsets = []
+    pos = base
+    si = 0
+    for cs in chunk_sizes:
+        offsets.append(pos)
+        for _ in range(cs):
+            pos += len(frames[si])
+            si += 1
+    # stsc runs: (first_chunk, samples_per_chunk, desc_index)
+    stsc_entries = []
+    for ci, cs in enumerate(chunk_sizes, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != cs:
+            stsc_entries.append((ci, cs))
+    dur = nf * timescale // fps
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+                + _box(b"jpeg",
+                       bytes(6) + (1).to_bytes(2, "big")   # data ref
+                       + bytes(16)                          # pre_defined
+                       + width.to_bytes(2, "big")
+                       + height.to_bytes(2, "big")
+                       + b"\x00\x48\x00\x00" * 2            # 72 dpi
+                       + bytes(4)
+                       + (1).to_bytes(2, "big")             # frame count
+                       + bytes(32)                          # compressor
+                       + (24).to_bytes(2, "big")
+                       + (0xFFFF).to_bytes(2, "big")))
+    stts = _box(b"stts", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+                + nf.to_bytes(4, "big")
+                + (timescale // fps).to_bytes(4, "big"))
+    stsc = _box(b"stsc", b"\x00\x00\x00\x00"
+                + len(stsc_entries).to_bytes(4, "big")
+                + b"".join(fc.to_bytes(4, "big")
+                           + cs.to_bytes(4, "big")
+                           + (1).to_bytes(4, "big")
+                           for fc, cs in stsc_entries))
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + (0).to_bytes(4, "big")
+                + nf.to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames))
+    stco = _box(b"stco", b"\x00\x00\x00\x00"
+                + len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    dinf = _box(b"dinf", _box(b"dref", b"\x00\x00\x00\x00"
+                              + (1).to_bytes(4, "big")
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdhd = _box(b"mdhd", b"\x00\x00\x00\x00" + bytes(8)
+                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + b"\x55\xc4\x00\x00")
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"vide"
+                + bytes(12) + b"MJPEG\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 8 + (1).to_bytes(4, "big")
+        + b"\x00" * 4 + dur.to_bytes(4, "big") + b"\x00" * 16
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + (width << 16).to_bytes(4, "big")
+        + (height << 16).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
 def make_mp3(n_frames: int, sample_rate: int = 32000, kbps: int = 64,
              id3: bool = False) -> bytes:
     """Minimal valid MPEG-1 Layer III stream: n_frames identical frame

@@ -921,6 +921,43 @@ def test_avi_mjpeg_frame_decode():
     assert avi_mjpeg_frames(b"RIFFxxxxAVI garbage") is None
 
 
+def test_mp4_mjpeg_sample_demux():
+    """Round-7 ISO-BMFF demux: stsd 'jpeg' entry gate + real
+    stsc/stco/stsz sample resolution (incl. a short last chunk),
+    every sample decoded through the JPEG kernel. Torn sample tables,
+    non-MJPEG codecs and truncation quarantine, never a raise."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.media import mp4_info, mp4_mjpeg_frames
+    from sparkpdf.testing.imagegen import make_mp4_mjpeg
+
+    for nf in (1, 2, 3, 5):  # 3 and 5 leave a short last chunk
+        frames = [encode_jpeg(np.full((8, 16), 16 + 2 * i,
+                                      dtype=np.uint8))
+                  for i in range(nf)]
+        mp4 = make_mp4_mjpeg(16, 8, frames, samples_per_chunk=2)
+        out = mp4_mjpeg_frames(mp4)
+        assert out == [
+            {"frame_idx": i, "width": 16, "height": 8,
+             "mean_luma": float(16 + 2 * i)} for i in range(nf)
+        ]
+    # the movie still parses as an MP4 header (av_info lane)
+    info = mp4_info(mp4)
+    assert info["width"] == 16 and info["format"] == "mp4"
+    # torn sample table: an stsz size pointing past EOF quarantines
+    bad = bytearray(mp4)
+    i = bytes(bad).find(b"stsz")
+    bad[i + 12:i + 16] = (1 << 30).to_bytes(4, "big")
+    assert mp4_mjpeg_frames(bytes(bad)) is None
+    # non-MJPEG codec fourcc quarantines
+    assert mp4_mjpeg_frames(mp4.replace(b"jpeg", b"avc1", 1)) is None
+    # truncation fuzz: never a raise
+    for n in range(0, len(mp4), 5):
+        mp4_mjpeg_frames(mp4[:n])
+    assert mp4_mjpeg_frames(b"\x00\x00\x00\x08ftyp") is None
+
+
 def test_aiff_au_sample_decode():
     """Round-7 big-endian audio containers: AIFF (IFF chunk walk,
     80-bit extended sample rate, SIGNED PCM at 8/16/24/32) and Sun AU

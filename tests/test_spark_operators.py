@@ -1842,10 +1842,10 @@ def test_video_frame_features_quarantine(spark, docs):
     from pyspark.sql import Row
     from sparkpdf.operators.multimodal import (
         extract_video_frame_features,
-        synthesize_mjpeg_avi_media,
+        synthesize_mjpeg_media,
     )
 
-    good = synthesize_mjpeg_avi_media(docs.limit(6))
+    good = synthesize_mjpeg_media(docs.limit(6))
     poison = spark.createDataFrame(
         [Row(doc_id="px", media_ref="bad-1", modality="video",
              payload=b"RIFF\x10\x00\x00\x00AVI junkchunk"),
