@@ -1303,6 +1303,27 @@ def q_flac_pcm_stats(spark, sf_dir):
     )
 
 
+def q_attachment_audio_stats(spark, sf_dir):
+    # round 7: END-TO-END attachment media — each doc's WAV waveform
+    # rides INSIDE a written PDF as an embedded file (/Names
+    # /EmbeddedFiles); the engine must serialize the PDF, re-parse it
+    # (xref/COS), walk the name tree, Flate-decode the stream, then
+    # sample-decode the RIFF payload. Same closed-form oracle as
+    # wav_pcm_stats — the PDF round-trip must be byte-lossless.
+    from sparkpdf.operators.multimodal import (
+        extract_attachment_media,
+        extract_audio_pcm_features,
+        synthesize_attachment_pdf_media,
+    )
+
+    media = extract_attachment_media(
+        synthesize_attachment_pdf_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("modality") == "audio")
+    return extract_audio_pcm_features(media).filter(
+        F.col("error").isNull()
+    ).select("doc_id", "n_samples", "rms", "peak", "mean")
+
+
 def q_video_frame_stats(spark, sf_dir):
     # round 7: REAL per-frame video decode — MJPEG in BOTH classic
     # containers (RIFF/AVI movi walk; ISO-BMFF MP4 sample-table
@@ -1389,11 +1410,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # check_oracle-verified at both scales every round.
     return {
         # --- round-7 changed/new operators ---
+        # (wav_pcm_stats was driver-graded in r6; its r7-touched code
+        # paths are exercised inside the window by adpcm_pcm_stats —
+        # same fmt-chunk parse — and attachment_audio_stats — same
+        # sample decode end-to-end — so it yields its slot to keep
+        # the full 43-query ex-judge-only block driver-graded)
         "adpcm_pcm_stats": q_adpcm_pcm_stats,
         "aiff_au_pcm_stats": q_aiff_au_pcm_stats,
         "video_frame_stats": q_video_frame_stats,
+        "attachment_audio_stats": q_attachment_audio_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
-        "wav_pcm_stats": q_wav_pcm_stats,
         "line_dedup": q_line_dedup,
         "bigram_surprisal": q_bigram_surprisal,
         # --- longest-since-driver-graded: judge-only in r6 (43) ---
@@ -1446,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         # --- demoted tail (driver-graded r6; still check_oracle-
         # verified at both scales every round) ---
+        "wav_pcm_stats": q_wav_pcm_stats,
         "token_rarity": q_token_rarity,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "stratified_sample": q_stratified_sample,
@@ -3116,5 +3143,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(8 + doc_id % 16 AS INTEGER) AS height
         FROM documents
     """
+    # attachment_audio_stats (round 7): the WAV waveforms ride inside
+    # written PDFs as embedded files — the PDF round-trip is
+    # byte-lossless, so the expected stats are EXACTLY the
+    # wav_pcm_stats closed forms.
+    sql["attachment_audio_stats"] = sql["wav_pcm_stats"]
     return {k: v.strip() for k, v in sql.items()}
 

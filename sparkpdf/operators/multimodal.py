@@ -986,6 +986,102 @@ def synthesize_flac_pcm_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def extract_attachment_media(pdf_raw: DataFrame) -> DataFrame:
+    """pdf_raw -> media(doc_id, media_ref, modality, payload, error):
+    pulls every EMBEDDED FILE (the catalog /Names /EmbeddedFiles tree,
+    read side of the reference's addAttachment) out of each document
+    and sniffs its modality from payload magic — RIFF/WAVE, fLaC,
+    FORM/AIFF and .snd are audio; RIFF/AVI and ISO-BMFF ftyp are
+    video; JPEG/PNG/GIF/TIFF magics are image; anything else is
+    'other'. This is the bridge that feeds PDF-attached media into
+    the same sample-decode pipelines as standalone payloads.
+    Quarantine contract: an unparseable document yields ONE row with
+    the error set, never a dropped doc."""
+
+    def sniff(raw: bytes) -> str:
+        if raw[:4] == b"RIFF":
+            if raw[8:12] == b"WAVE":
+                return "audio"
+            if raw[8:12] == b"AVI ":
+                return "video"
+        if (raw[:4] in (b"fLaC", b".snd")
+                or (raw[:4] == b"FORM" and raw[8:12] == b"AIFF")):
+            return "audio"
+        if raw[4:8] == b"ftyp":
+            return "video"
+        if (raw[:3] == b"\xff\xd8\xff" or raw[:4] == b"\x89PNG"
+                or raw[:4] == b"GIF8"
+                or raw[:4] in (b"II*\x00", b"MM\x00*")):
+            return "image"
+        return "other"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.document import PdfDocument
+
+        cols = ("doc_id", "media_ref", "modality", "payload", "error")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["pdf_bytes"]):
+                try:
+                    doc = PdfDocument(bytes(blob))
+                    for a in doc.attachments():
+                        data = a["data"]
+                        out["doc_id"].append(str(doc_id))
+                        out["media_ref"].append(a["filename"])
+                        out["modality"].append(
+                            sniff(data) if data else None)
+                        out["payload"].append(data)
+                        out["error"].append(
+                            None if data is not None
+                            else "undecodable attachment stream")
+                except Exception as exc:  # quarantine, never drop
+                    out["doc_id"].append(str(doc_id))
+                    out["media_ref"].append(None)
+                    out["modality"].append(None)
+                    out["payload"].append(None)
+                    out["error"].append(
+                        f"{type(exc).__name__}: {exc}"[:500])
+            yield pd.DataFrame(out)
+
+    return pdf_raw.select("doc_id", "pdf_bytes").mapInPandas(
+        gen, schema=MEDIA_PAYLOAD_SCHEMA
+    )
+
+
+def synthesize_attachment_pdf_media(documents: DataFrame) -> DataFrame:
+    """documents -> pdf_raw(doc_id, pdf_bytes) where each PDF carries
+    the doc's synthesize_wav_pcm_media waveform as an EMBEDDED FILE
+    (catalog /Names /EmbeddedFiles, the write side the reference
+    calls addAttachment). The end-to-end contract: PDF byte
+    serialization -> xref/COS parse -> name-tree walk -> Flate stream
+    decode -> RIFF chunk walk -> per-sample PCM/G.711 decode, all
+    under the SAME closed-form oracle as wav_pcm_stats."""
+    wavs = synthesize_wav_pcm_media(documents)
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.write import spans_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for doc_id, media_ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                d = str(doc_id)
+                page = [{"kind": "text", "text": f"audio host {d}",
+                         "media_ref": None}]
+                out["doc_id"].append(d)
+                out["pdf_bytes"].append(spans_to_pdf(
+                    [page], title=f"att-{d}",
+                    attachments=[(f"{media_ref}.wav", bytes(payload))],
+                ))
+            yield pd.DataFrame(out)
+
+    return wavs.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema="doc_id string, pdf_bytes binary"
+    )
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),

@@ -1365,9 +1365,11 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        # round-7 new/changed operators
+        # round-7 new/changed operators (wav_pcm_stats itself yields
+        # its slot: r6-driver-graded, and its r7-touched paths are
+        # window-covered by adpcm_pcm_stats + attachment_audio_stats)
         "adpcm_pcm_stats", "aiff_au_pcm_stats", "video_frame_stats",
-        "flac_pcm_stats", "wav_pcm_stats", "line_dedup",
+        "attachment_audio_stats", "flac_pcm_stats", "line_dedup",
         "bigram_surprisal",
         # the r6 judge-only tail, now driver-graded (representatives;
         # the full 43 are inside the window)
@@ -1873,6 +1875,62 @@ def test_video_frame_features_quarantine(spark, docs):
             assert f.width == 16 + 8 * (d % 4)
             assert f.mean_luma == 16 + 2 * ((d + 37 * f.frame_idx)
                                             % 112)
+
+
+def test_attachment_media_bridge(spark, docs):
+    """extract_attachment_media pulls embedded files out of written
+    PDFs, sniffs modality from payload magic (audio/video/image/
+    other), and the payloads round-trip byte-losslessly into the
+    sample-decode lanes; poison PDFs quarantine with ONE error row."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.operators.multimodal import (
+        extract_attachment_media,
+        extract_audio_pcm_features,
+        extract_video_frame_features,
+        synthesize_attachment_pdf_media,
+    )
+    from sparkpdf.testing.imagegen import make_avi, make_wav
+
+    # end-to-end WAV: written PDF -> name tree -> sample decode
+    pdfs = synthesize_attachment_pdf_media(docs.limit(6))
+    media = extract_attachment_media(pdfs)
+    rows = media.collect()
+    assert len(rows) == 6
+    assert all(r.modality == "audio" and r.error is None for r in rows)
+    stats = extract_audio_pcm_features(media).collect()
+    assert all(r.error is None and r.mean == 0.0 for r in stats)
+
+    # mixed-modality sniff + quarantine row for a poison PDF
+    wav = make_wav(8000, 0, bits=16, data=b"\x00\x10" * 8)
+    avi = make_avi(16, 8, 0, frames=[encode_jpeg(
+        np.full((8, 16), 100, dtype=np.uint8))])
+    mixed = spans_to_pdf(
+        [[{"kind": "text", "text": "host", "media_ref": None}]],
+        attachments=[("a.wav", wav), ("b.avi", avi),
+                     ("c.png", b"\x89PNG\r\n\x1a\nxxxx"),
+                     ("d.bin", b"opaque bytes")],
+    )
+    raw = spark.createDataFrame(
+        [Row(doc_id="m", pdf_bytes=mixed),
+         Row(doc_id="p", pdf_bytes=b"%PDF-1.4 torn garbage")],
+        schema="doc_id string, pdf_bytes binary",
+    )
+    got = {r.media_ref: r for r in
+           extract_attachment_media(raw).collect()}
+    assert got["a.wav"].modality == "audio"
+    assert got["b.avi"].modality == "video"
+    assert got["c.png"].modality == "image"
+    assert got["d.bin"].modality == "other"
+    assert got[None].error is not None and got[None].payload is None
+    # the video attachment decodes through the frame lane
+    vid = extract_video_frame_features(
+        extract_attachment_media(raw).filter(
+            F.col("modality") == "video")).collect()
+    assert [r.mean_luma for r in vid] == [100.0]
 
 
 def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
