@@ -7,13 +7,21 @@ the run manifest.
         --input  /data/pdf_raw          (parquet: doc_id, pdf_bytes) \
         --output /data/media \
         [--sample-per-format 4] [--budget-core-seconds N] \
-        [--min-mb-per-sec 0.2] [--force-decode | --force-header-only]
+        [--min-mb-per-sec 0.2] [--force-decode | --force-header-only] \
+        [--attachments]
 
 Outputs under --output:
     payloads/   (doc_id, media_ref, modality, payload, error) — the
-                media table; the error column is the quarantine lane
+                media table; the error column is the quarantine lane.
+                With --attachments it also carries every embedded
+                file (/Names /EmbeddedFiles), modality sniffed from
+                payload magic (audio/video/image/other)
     features/   FEATURE_SCHEMA rows (dims/digest always; pixel stats
-                per the policy decision)
+                per the policy decision) over the image payloads
+    audio_features/, video_frames/  (--attachments only) sample-level
+                decode of attachment audio (WAV incl. ADPCM, FLAC,
+                AIFF, AU) and MJPEG video (AVI + MP4), quarantine
+                lanes included
     _progress.jsonl  carries a status='pixel_policy' row recording the
                 per-format decision (resumed runs replay it)
 plus ONE summary JSON line on stdout.
@@ -37,6 +45,12 @@ def main(argv=None, spark=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--sample-per-format", type=int, default=4)
+    ap.add_argument("--attachments", action="store_true",
+                    help="also extract embedded files (/EmbeddedFiles "
+                         "name tree) into the payload table, modality "
+                         "sniffed from magic; audio/video attachments "
+                         "get sample-level features under audio_features/"
+                         " and video_frames/")
     ap.add_argument("--budget-core-seconds", type=float, default=None)
     ap.add_argument("--min-mb-per-sec", type=float, default=0.2)
     g = ap.add_mutually_exclusive_group()
@@ -60,12 +74,21 @@ def main(argv=None, spark=None):
     from sparkpdf.plans.checkpoint import CheckpointedExtraction
 
     out = args.output.rstrip("/")
-    payloads = extract_media_payloads(spark.read.parquet(args.input))
+    pdf_raw = spark.read.parquet(args.input)
+    payloads = extract_media_payloads(pdf_raw)
+    if args.attachments:
+        from sparkpdf.operators.multimodal import extract_attachment_media
+
+        payloads = payloads.unionByName(extract_attachment_media(pdf_raw))
     payloads.write.mode("overwrite").parquet(f"{out}/payloads")
     payloads = spark.read.parquet(f"{out}/payloads")
     n_payloads = payloads.count()
     n_quarantined = payloads.filter(F.col("error").isNotNull()).count()
     media = payloads.filter(F.col("error").isNull()).drop("error")
+    # the pixel policy and image-feature pass only see image payloads;
+    # attachment audio/video route to their own sample-decode lanes
+    image_media = (media.filter(F.col("modality") == "image")
+                   if args.attachments else media)
 
     if args.force_decode:
         # the full decodable set, NOT None: None defers to the
@@ -82,7 +105,7 @@ def main(argv=None, spark=None):
         policy = {"decode_formats": [], "formats": {}, "sampled": 0}
     else:
         pol = pixel_stats_policy(
-            media,
+            image_media,
             sample_per_format=args.sample_per_format,
             budget_core_seconds=args.budget_core_seconds,
             min_mb_per_sec=args.min_mb_per_sec,
@@ -102,7 +125,8 @@ def main(argv=None, spark=None):
          "formats": policy["formats"], "sampled": policy["sampled"]},
     )
 
-    feats = extract_media_features(media, pixel_formats=pixel_formats)
+    feats = extract_media_features(image_media,
+                                   pixel_formats=pixel_formats)
     feats.write.mode("overwrite").parquet(f"{out}/features")
     feats = spark.read.parquet(f"{out}/features")
     summary = {
@@ -114,6 +138,27 @@ def main(argv=None, spark=None):
         ).count(),
         "policy": policy,
     }
+    if args.attachments:
+        # attachment audio/video get the sample-level lanes; 'other'
+        # payloads stay in the payload table (dedup-able, not decoded)
+        from sparkpdf.operators.multimodal import (
+            extract_audio_pcm_features,
+            extract_video_frame_features,
+        )
+
+        audio = extract_audio_pcm_features(
+            media.filter(F.col("modality") == "audio"))
+        audio.write.mode("overwrite").parquet(f"{out}/audio_features")
+        vid = extract_video_frame_features(
+            media.filter(F.col("modality") == "video"))
+        vid.write.mode("overwrite").parquet(f"{out}/video_frames")
+        audio = spark.read.parquet(f"{out}/audio_features")
+        vid = spark.read.parquet(f"{out}/video_frames")
+        summary["audio_rows"] = audio.count()
+        summary["audio_decoded"] = audio.filter(
+            F.col("error").isNull()).count()
+        summary["video_frame_rows"] = vid.filter(
+            F.col("error").isNull()).count()
     print(json.dumps(summary))
     if own_session:
         spark.stop()

@@ -1991,6 +1991,70 @@ def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
     assert decisions and set(decisions.values()) == {"header_only"}
 
 
+def test_media_job_attachments_lane(spark, docs, tmp_path, capsys):
+    """media_job --attachments END-TO-END: embedded files join the
+    payload table with sniffed modalities, audio attachments get
+    sample-level features, video attachments get per-frame rows, and
+    the image pass still only sees image payloads."""
+    import importlib.util
+    import json
+    import os
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    spec = importlib.util.spec_from_file_location(
+        "media_job", os.path.join(os.path.dirname(__file__),
+                                  "..", "jobs", "media_job.py")
+    )
+    mj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mj)
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.write import spans_to_pdf
+    from sparkpdf.operators.multimodal import (
+        synthesize_attachment_pdf_media,
+        write_pdfs_with_jpeg_media,
+    )
+    from sparkpdf.testing.imagegen import make_avi
+
+    with_images = write_pdfs_with_jpeg_media(docs.limit(3)).select(
+        "doc_id", "pdf_bytes")
+    with_wavs = synthesize_attachment_pdf_media(
+        docs.filter("doc_id >= 3").limit(3))
+    avi = make_avi(16, 8, 0, frames=[encode_jpeg(
+        np.full((8, 16), 100, dtype=np.uint8))])
+    with_video = spark.createDataFrame(
+        [Row(doc_id="900", pdf_bytes=spans_to_pdf(
+            [[{"kind": "text", "text": "v", "media_ref": None}]],
+            attachments=[("clip.avi", avi)]))],
+        schema="doc_id string, pdf_bytes binary",
+    )
+    in_dir = str(tmp_path / "mja_in")
+    out_dir = str(tmp_path / "mja_out")
+    with_images.unionByName(with_wavs).unionByName(
+        with_video).write.parquet(in_dir)
+
+    rc = mj.main(
+        ["--input", in_dir, "--output", out_dir, "--attachments",
+         "--force-header-only"],
+        spark=spark,
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["audio_rows"] == 3
+    assert summary["audio_decoded"] == 3
+    assert summary["video_frame_rows"] == 1
+    audio = spark.read.parquet(f"{out_dir}/audio_features")
+    assert all(r.error is None and r.mean == 0.0
+               for r in audio.collect())
+    vid = spark.read.parquet(f"{out_dir}/video_frames")
+    assert [r.mean_luma for r in vid.collect()] == [100.0]
+    # the image feature pass saw only image payloads
+    feats = spark.read.parquet(f"{out_dir}/features")
+    assert feats.count() == 3
+
+
 def test_windowed_ops_linear_on_long_docs(spark):
     """Regression guard for the round-5 quadratic fixes: every
     windowed operator (n-gram enumeration, contamination windows,
