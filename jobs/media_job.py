@@ -139,18 +139,56 @@ def main(argv=None, spark=None):
         "policy": policy,
     }
     if args.attachments:
-        # attachment audio/video get the sample-level lanes; 'other'
-        # payloads stay in the payload table (dedup-able, not decoded)
+        # attachment audio/video get the sample-level lanes under the
+        # SAME measured decode-cost discipline as pixels: sample a few
+        # payloads per sniffed container format, time the real decode,
+        # gate by throughput/budget; 'other' payloads stay in the
+        # payload table (dedup-able, not decoded)
         from sparkpdf.operators.multimodal import (
+            av_stats_policy,
             extract_audio_pcm_features,
             extract_video_frame_features,
+            sniff_av_format,
         )
 
+        av_media = media.filter(F.col("modality").isin("audio", "video"))
+        if args.force_decode:
+            av_formats = {"wav", "flac", "aiff", "au", "avi", "mp4"}
+            av_policy = {"decode_formats": ["*forced*"], "formats": {},
+                         "sampled": 0}
+        elif args.force_header_only:
+            av_formats = set()
+            av_policy = {"decode_formats": [], "formats": {},
+                         "sampled": 0}
+        else:
+            av_pol = av_stats_policy(
+                av_media,
+                sample_per_format=args.sample_per_format,
+                budget_core_seconds=args.budget_core_seconds,
+                min_mb_per_sec=args.min_mb_per_sec,
+            )
+            av_formats = av_pol["decode_formats"]
+            av_policy = {
+                "decode_formats": sorted(av_pol["decode_formats"]),
+                "formats": av_pol["formats"],
+                "sampled": av_pol["sampled"],
+            }
+        record_pixel_policy(
+            ck,
+            {"decode_formats": set(av_policy["decode_formats"]),
+             "formats": av_policy["formats"],
+             "sampled": av_policy["sampled"]},
+            status="av_policy",
+        )
+        summary["av_policy"] = av_policy
+        gated = av_media.filter(
+            sniff_av_format(F.col("payload")).isin(*av_formats)
+            if av_formats else F.lit(False))
         audio = extract_audio_pcm_features(
-            media.filter(F.col("modality") == "audio"))
+            gated.filter(F.col("modality") == "audio"))
         audio.write.mode("overwrite").parquet(f"{out}/audio_features")
         vid = extract_video_frame_features(
-            media.filter(F.col("modality") == "video"))
+            gated.filter(F.col("modality") == "video"))
         vid.write.mode("overwrite").parquet(f"{out}/video_frames")
         audio = spark.read.parquet(f"{out}/audio_features")
         vid = spark.read.parquet(f"{out}/video_frames")

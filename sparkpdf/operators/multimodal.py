@@ -1381,21 +1381,37 @@ def pixel_stats_policy(
     Driver-side cost: one aggregate (count + byte sum per format) and
     `sample_per_format` payload fetches per format via limit() — the
     same scalar-planning-collect class as plans/salting.py."""
-    import time
-
     imgs = media.filter(F.col("modality") == "image").select(
         sniff_image_format(F.col("payload")).alias("fmt"), "payload"
     )
+    return _sample_decode_policy(
+        imgs, lambda p, fmt: _decode_image(p, pixel_formats={fmt}),
+        sample_per_format, budget_core_seconds, min_mb_per_sec)
+
+
+def _sample_decode_policy(tagged: DataFrame, probe,
+                          sample_per_format: int,
+                          budget_core_seconds: "float | None",
+                          min_mb_per_sec: float) -> dict:
+    """Shared core of the sampled decode-cost policies: `tagged` is
+    (fmt, payload); `probe(payload, fmt)` runs one decode (exceptions
+    swallowed — a failing probe just measures slow). Aggregates
+    per-format byte totals JVM-side, times sample_per_format decodes
+    per format (one warm pass first so LUT/cache builds don't
+    contaminate the estimate), projects corpus-wide core-seconds, and
+    decides decode vs header_only per format."""
+    import time
+
     totals = {
         r.fmt: (int(r.n), float(r.b or 0) / 1e6)
-        for r in imgs.groupBy("fmt")
+        for r in tagged.groupBy("fmt")
         .agg(F.count("*").alias("n"), F.sum(F.length("payload")).alias("b"))
         .collect()
     }
     report: dict = {"formats": {}, "decode_formats": set(), "sampled": 0}
     for fmt, (n, mb) in sorted(totals.items()):
         if fmt == "other":
-            # unrecognised payloads have no pixel decoder to budget
+            # unrecognised payloads have no decoder to budget
             report["formats"][fmt] = {
                 "n": n, "mb": round(mb, 3), "mb_per_sec": None,
                 "est_core_sec": None, "decision": "header_only",
@@ -1403,21 +1419,19 @@ def pixel_stats_policy(
             continue
         samples = [
             bytes(r.payload)
-            for r in imgs.filter(F.col("fmt") == fmt)
+            for r in tagged.filter(F.col("fmt") == fmt)
             .limit(sample_per_format).collect()
         ]
         report["sampled"] += len(samples)
         if samples:
-            # warm pass: Huffman LUT caches etc. build on first decode
-            # and must not contaminate the throughput estimate
             try:
-                _decode_image(samples[0], pixel_formats={fmt})
+                probe(samples[0], fmt)
             except Exception:
                 pass
         t0 = time.perf_counter()
         for p in samples:
             try:
-                _decode_image(p, pixel_formats={fmt})
+                probe(p, fmt)
             except Exception:
                 pass
         wall = max(time.perf_counter() - t0, 1e-9)
@@ -1439,13 +1453,74 @@ def pixel_stats_policy(
     return report
 
 
-def record_pixel_policy(checkpoint, policy: dict) -> None:
-    """Append the pixel-stats decision to a CheckpointedExtraction's
-    _progress manifest (status='pixel_policy' — ignored by
+def sniff_av_format(payload_col) -> "F.Column":
+    """JVM-side audio/video container sniff from payload magic —
+    lets the decode-cost policy aggregate per-format byte totals
+    without any Python decode: wav/avi (RIFF forms), flac, aiff
+    (FORM/AIFF), au (.snd), mp4 (ftyp at offset 4)."""
+    head4 = F.substring(payload_col, 1, 4).cast("string")
+    form = F.substring(payload_col, 9, 4).cast("string")
+    brand = F.substring(payload_col, 5, 4).cast("string")
+    return (
+        F.when((head4 == "RIFF") & (form == "WAVE"), "wav")
+        .when((head4 == "RIFF") & (form == "AVI "), "avi")
+        .when(head4 == "fLaC", "flac")
+        .when((head4 == "FORM") & (form == "AIFF"), "aiff")
+        .when(head4 == ".snd", "au")
+        .when(brand == "ftyp", "mp4")
+        .otherwise("other")
+    )
+
+
+def _probe_av(payload: bytes, fmt: str):
+    """One sample decode for the A/V policy probe — the SAME kernels
+    the feature lanes run, so the measured MB/s is the real cost."""
+    from ..kernels.media import (
+        aiff_pcm_stats,
+        au_pcm_stats,
+        avi_mjpeg_frames,
+        flac_pcm_stats,
+        mp4_mjpeg_frames,
+        wav_pcm_stats,
+    )
+
+    return {
+        "wav": wav_pcm_stats, "flac": flac_pcm_stats,
+        "aiff": aiff_pcm_stats, "au": au_pcm_stats,
+        "avi": avi_mjpeg_frames, "mp4": mp4_mjpeg_frames,
+    }[fmt](payload)
+
+
+def av_stats_policy(
+    media: DataFrame,
+    sample_per_format: int = 4,
+    budget_core_seconds: "float | None" = None,
+    min_mb_per_sec: float = 0.2,
+) -> dict:
+    """The pixel_stats_policy discipline applied to the A/V
+    sample-decode lanes (round 7): the sequential-state-machine
+    codecs (FLAC rice streams, ADPCM nibble loops inside 'wav') cost
+    ~10x the vectorized PCM paths per byte, so at corpus scale the
+    decision must be measured per format, not assumed. Same decision
+    rule and report shape as pixel_stats_policy; feed decode_formats
+    to a sniff_av_format filter in front of
+    extract_audio_pcm_features / extract_video_frame_features."""
+    av = media.filter(F.col("modality").isin("audio", "video")).select(
+        sniff_av_format(F.col("payload")).alias("fmt"), "payload"
+    )
+    return _sample_decode_policy(av, _probe_av, sample_per_format,
+                                 budget_core_seconds, min_mb_per_sec)
+
+
+def record_pixel_policy(checkpoint, policy: dict,
+                        status: str = "pixel_policy") -> None:
+    """Append a decode-policy decision to a CheckpointedExtraction's
+    _progress manifest (status='pixel_policy' for the image lane,
+    'av_policy' for the audio/video lane — both ignored by
     completed_parts, which only consumes status='ok' rows) so a
     resumed run can replay the same decode path."""
     rec = {
-        "status": "pixel_policy",
+        "status": status,
         "decode_formats": sorted(policy["decode_formats"]),
         "formats": policy["formats"],
         "sampled": policy["sampled"],

@@ -2036,12 +2036,17 @@ def test_media_job_attachments_lane(spark, docs, tmp_path, capsys):
         with_video).write.parquet(in_dir)
 
     rc = mj.main(
-        ["--input", in_dir, "--output", out_dir, "--attachments",
-         "--force-header-only"],
+        ["--input", in_dir, "--output", out_dir, "--attachments"],
         spark=spark,
     )
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the measured A/V policy sampled both container formats and
+    # chose decode (tiny fast payloads)
+    av_decisions = {f: v["decision"]
+                    for f, v in summary["av_policy"]["formats"].items()}
+    assert av_decisions.get("wav") == "decode"
+    assert av_decisions.get("avi") == "decode"
     assert summary["audio_rows"] == 3
     assert summary["audio_decoded"] == 3
     assert summary["video_frame_rows"] == 1
@@ -2053,6 +2058,25 @@ def test_media_job_attachments_lane(spark, docs, tmp_path, capsys):
     # the image feature pass saw only image payloads
     feats = spark.read.parquet(f"{out_dir}/features")
     assert feats.count() == 3
+    # the manifest carries BOTH policy rows for resume/replay
+    with open(f"{out_dir}/_progress.jsonl") as fh:
+        rows = [json.loads(ln) for ln in fh if ln.strip()]
+    assert [r["status"] for r in rows
+            if r.get("status") in ("pixel_policy", "av_policy")] == [
+        "pixel_policy", "av_policy"]
+
+    # a starvation budget flips every A/V format to header_only:
+    # empty feature lanes, decisions recorded
+    out2 = str(tmp_path / "mja_out2")
+    rc = mj.main(
+        ["--input", in_dir, "--output", out2, "--attachments",
+         "--budget-core-seconds", "1e-9"],
+        spark=spark,
+    )
+    assert rc == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["av_policy"]["decode_formats"] == []
+    assert s2["audio_rows"] == 0 and s2["video_frame_rows"] == 0
 
 
 def test_windowed_ops_linear_on_long_docs(spark):
