@@ -1361,6 +1361,24 @@ def q_aiff_au_pcm_stats(spark, sf_dir):
     )
 
 
+def q_ogg_flac_stats(spark, sf_dir):
+    # round 7: Ogg-encapsulated FLAC (the public FLAC-to-Ogg
+    # mapping) — the engine must walk RFC 3533 pages (CRC-verified),
+    # reassemble packets through lacing incl. page-spanning
+    # continuations, rebuild the native stream and run the full FLAC
+    # frame decode. Closed-form squares: rms = peak = k/8, mean 0.
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_ogg_flac_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_ogg_flac_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def q_adpcm_pcm_stats(spark, sf_dir):
     # round 7: ADPCM decode (WAV formats 2 + 17 — the two classic
     # compressed WAV codecs, public integer adaptation tables). The
@@ -1419,9 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aiff_au_pcm_stats": q_aiff_au_pcm_stats,
         "video_frame_stats": q_video_frame_stats,
         "attachment_audio_stats": q_attachment_audio_stats,
+        "ogg_flac_stats": q_ogg_flac_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
         "line_dedup": q_line_dedup,
-        "bigram_surprisal": q_bigram_surprisal,
         # --- longest-since-driver-graded: judge-only in r6 (43) ---
         "write_roundtrip": q_write_roundtrip,
         "pdf_embedded_media": q_pdf_embedded_media,
@@ -1471,8 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         # --- demoted tail (driver-graded r6; still check_oracle-
-        # verified at both scales every round) ---
+        # verified at both scales every round; bigram_surprisal's r7
+        # change is a shape knob whose two plans are asserted
+        # hash-identical in scripts/token_shuffle_bench.py) ---
         "wav_pcm_stats": q_wav_pcm_stats,
+        "bigram_surprisal": q_bigram_surprisal,
         "token_rarity": q_token_rarity,
         "tiff_pixel_stats": q_tiff_pixel_stats,
         "stratified_sample": q_stratified_sample,
@@ -3043,6 +3064,23 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 4 THEN 32124 / 32768.0
                           ELSE 32256 / 32768.0
                           END, 6) AS peak,
+               CAST(0.0 AS DOUBLE) AS mean
+        FROM documents
+    """
+    # ogg_flac_stats (round 7): Ogg-encapsulated FLAC — every page
+    # CRC-verified, packets reassembled through lacing (incl.
+    # page-spanning continuations), native stream rebuilt, full frame
+    # decode. Squares of +-4096k: rms = peak = k/8 (exact eighths),
+    # mean 0 on every variant.
+    sql["ogg_flac_stats"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE doc_id % 4
+                         WHEN 0 THEN 2 * (50 + doc_id % 200)
+                         WHEN 2 THEN 2 * (300 + doc_id % 300)
+                         ELSE 2 * (60 + doc_id % 100)
+                         END AS BIGINT) AS n_samples,
+               ROUND((4096 * (1 + doc_id % 7)) / 32768.0, 6) AS rms,
+               ROUND((4096 * (1 + doc_id % 7)) / 32768.0, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents
     """

@@ -1894,6 +1894,103 @@ def flac_pcm_stats(b: bytes) -> Optional[dict]:
 # --- Ogg (RFC 3533 pages; Vorbis I / Opus (RFC 7845) ident headers) ----------
 
 
+_OGG_CRC_TABLE = None
+
+
+def _ogg_crc32(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533 §6): polynomial 0x04c11db7,
+    non-reflected, init 0, no final xor. Table-driven (the demuxer
+    verifies every page)."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000
+                     else r << 1) & 0xFFFFFFFF
+            tbl.append(r)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) ^ byte) & 0xFF]
+    return crc
+
+
+def _ogg_packets(b: bytes):
+    """RFC 3533 page walk -> reassembled logical packets: capture
+    pattern + version checked, page CRC VERIFIED (field zeroed for
+    the computation), lacing values concatenated with proper
+    continuation handling (a 255 lacing continues the packet, < 255
+    completes it — including the 0 terminator of a 255-multiple
+    packet; the continuation flag must match mid-packet state).
+    Any violation returns None — torn streams quarantine."""
+    i = 0
+    packets = []
+    partial = bytearray()
+    while i < len(b):
+        if b[i:i + 4] != b"OggS" or i + 27 > len(b) or b[i + 4] != 0:
+            return None
+        nseg = b[i + 26]
+        body_start = i + 27 + nseg
+        if body_start > len(b):
+            return None
+        segs = b[i + 27:i + 27 + nseg]
+        body_len = sum(segs)
+        if body_start + body_len > len(b):
+            return None
+        page = bytearray(b[i:body_start + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc32(bytes(page)) != int.from_bytes(
+                b[i + 22:i + 26], "little"):
+            return None
+        if bool(b[i + 5] & 0x01) != bool(partial):
+            return None  # continuation flag vs mid-packet mismatch
+        pos = body_start
+        for lv in segs:
+            partial += b[pos:pos + lv]
+            pos += lv
+            if lv < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+        i = body_start + body_len
+    if partial:
+        return None  # stream ends mid-packet
+    return packets
+
+
+def ogg_flac_pcm_stats(b: bytes) -> Optional[dict]:
+    """Ogg-encapsulated FLAC (round 7 — the public FLAC-to-Ogg
+    mapping): verify + reassemble Ogg pages into packets, require the
+    mapping header packet (0x7F 'FLAC' major 1 + 16-bit header count
+    + 'fLaC' + STREAMINFO), skip the declared header packets, then
+    rebuild the NATIVE stream (STREAMINFO re-marked last-metadata +
+    one frame per audio packet) and run the existing CRC-verified
+    FLAC frame decoder. Vorbis/Opus/other Ogg payloads and torn pages
+    quarantine (None)."""
+    if b[:4] != b"OggS":
+        return None
+    pk = _ogg_packets(b)
+    if not pk:
+        return None
+    h = pk[0]
+    if len(h) < 17 or h[0] != 0x7F or h[1:5] != b"FLAC" or h[5] != 1:
+        return None
+    n_hdr = int.from_bytes(h[7:9], "big")
+    if h[9:13] != b"fLaC":
+        return None
+    blk_len = int.from_bytes(h[14:17], "big")
+    block = bytearray(h[13:17 + blk_len])
+    if len(block) != 4 + blk_len or (block[0] & 0x7F) != 0:
+        return None  # first block must be STREAMINFO
+    block[0] |= 0x80  # last-metadata-block: headers live in packets
+    audio = pk[1 + n_hdr:]
+    if not audio:
+        return None
+    return flac_pcm_stats(b"fLaC" + bytes(block) + b"".join(audio))
+
+
 def ogg_info(b: bytes) -> Optional[dict]:
     """Ogg: the BOS page's first packet identifies the codec
     ('\\x01vorbis' ident: channels + rate; 'OpusHead': channels,
@@ -1925,6 +2022,20 @@ def ogg_info(b: bytes) -> Optional[dict]:
             "sample_rate": int.from_bytes(pkt[12:16], "little"),
         }
         gran_rate = 48000  # opus granule is always 48 kHz (RFC 7845 §4)
+    elif (pkt[0] == 0x7F and pkt[1:5] == b"FLAC" and pkt[9:13] == b"fLaC"
+            and len(pkt) >= 17 + 34):
+        # FLAC-to-Ogg mapping: STREAMINFO rides in the first packet
+        # at offset 13 (block header) + 4; rate 20 bits, channels 3
+        si = pkt[17:]
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        if not rate:
+            return None
+        out = {
+            "format": "ogg-flac",
+            "channels": ((si[12] >> 1) & 0x07) + 1,
+            "sample_rate": rate,
+        }
+        gran_rate = rate  # FLAC granule = PCM sample count
     if out is None:
         return None
     # walk pages FORWARD via the segment tables to find the true last

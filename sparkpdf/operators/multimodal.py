@@ -784,6 +784,7 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
             aiff_pcm_stats,
             au_pcm_stats,
             flac_pcm_stats,
+            ogg_flac_pcm_stats,
             wav_pcm_stats,
         )
 
@@ -804,6 +805,8 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
                     # {n_samples, rms, peak, mean} contract
                     if raw[:4] == b"fLaC":
                         stats = flac_pcm_stats(raw)
+                    elif raw[:4] == b"OggS":
+                        stats = ogg_flac_pcm_stats(raw)
                     elif raw[:4] == b"FORM":
                         stats = aiff_pcm_stats(raw)
                     elif raw[:4] == b".snd":
@@ -814,7 +817,7 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
                         err = (
                             "unsupported audio payload (not PCM/float/"
                             "G.711/ADPCM WAV, AIFF, AU, or decodable "
-                            "FLAC)"
+                            "native/Ogg FLAC)"
                         )
                 except Exception as e:  # poison payloads quarantine
                     err = f"{type(e).__name__}: {e}"
@@ -1004,7 +1007,7 @@ def extract_attachment_media(pdf_raw: DataFrame) -> DataFrame:
                 return "audio"
             if raw[8:12] == b"AVI ":
                 return "video"
-        if (raw[:4] in (b"fLaC", b".snd")
+        if (raw[:4] in (b"fLaC", b".snd", b"OggS")
                 or (raw[:4] == b"FORM" and raw[8:12] == b"AIFF")):
             return "audio"
         if raw[4:8] == b"ftyp":
@@ -1262,6 +1265,62 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_ogg_flac_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL Ogg-FLAC stream per doc (doc_id % 4),
+    exercising every demux shape under closed-form waveforms
+    (k = 1 + d%7; squares alternate so mean is exactly 0):
+      0: one frame, one audio packet, one page (A = 4096k,
+         n = 2*(50 + d%200))
+      1: MULTI-FRAME (block_size 32 -> many packets packed greedily
+         into pages), A = 4096k, n = 2*(60 + d%100)
+      2: packet SPANNING pages (16-bit VERBATIM frame, 4-segment page
+         budget -> continuation flags + lacing reassembly),
+         A = 4096k, n = 2*(300 + d%300)
+      3: mid-side stereo constant L=+A/R=-A, A = 4096k,
+         n = 2*(60 + d%100) total samples
+    All page CRCs are real and VERIFIED by the demuxer; rms = peak =
+    k/8 exactly for every variant, mean 0."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_ogg_flac
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 4
+                amp = 4096 * (1 + d % 7)
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    n = 2 * (50 + d % 200)
+                    blob = make_ogg_flac([amp, -amp] * (n // 2), rate)
+                elif v == 1:
+                    n = 2 * (60 + d % 100)
+                    blob = make_ogg_flac([amp, -amp] * (n // 2), rate,
+                                         block_size=32)
+                elif v == 2:
+                    n = 2 * (300 + d % 300)
+                    blob = make_ogg_flac([amp, -amp] * (n // 2), rate,
+                                         subframe="verbatim",
+                                         max_segs_per_page=4)
+                else:
+                    n = 2 * (60 + d % 100)
+                    blob = make_ogg_flac([amp, -amp] * (n // 2), rate,
+                                         channels=2,
+                                         stereo_mode="mid-side",
+                                         subframe="constant")
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"ogg-flac-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def synthesize_adpcm_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL ADPCM WAV per doc (doc_id % 4) whose
     nibble streams are constructed so the spec state machines decode
@@ -1465,6 +1524,7 @@ def sniff_av_format(payload_col) -> "F.Column":
         F.when((head4 == "RIFF") & (form == "WAVE"), "wav")
         .when((head4 == "RIFF") & (form == "AVI "), "avi")
         .when(head4 == "fLaC", "flac")
+        .when(head4 == "OggS", "ogg")
         .when((head4 == "FORM") & (form == "AIFF"), "aiff")
         .when(head4 == ".snd", "au")
         .when(brand == "ftyp", "mp4")
@@ -1481,12 +1541,14 @@ def _probe_av(payload: bytes, fmt: str):
         avi_mjpeg_frames,
         flac_pcm_stats,
         mp4_mjpeg_frames,
+        ogg_flac_pcm_stats,
         wav_pcm_stats,
     )
 
     return {
         "wav": wav_pcm_stats, "flac": flac_pcm_stats,
         "aiff": aiff_pcm_stats, "au": au_pcm_stats,
+        "ogg": ogg_flac_pcm_stats,
         "avi": avi_mjpeg_frames, "mp4": mp4_mjpeg_frames,
     }[fmt](payload)
 

@@ -748,7 +748,8 @@ def encode_flac(samples, sample_rate: int, bits: int = 16,
                 channels: int = 1, block_size: int = 4096,
                 subframe: str = "auto", partition_order: int = 0,
                 stereo_mode: str = "independent",
-                rice_escape: bool = False) -> bytes:
+                rice_escape: bool = False,
+                return_parts: bool = False):
     """REAL FLAC encoder (public spec / RFC 9639) for sample-decode
     fixtures: STREAMINFO + fixed-blocking frames, subframes CONSTANT /
     VERBATIM / FIXED 0-4 with rice residuals (4-bit params, any
@@ -767,6 +768,7 @@ def encode_flac(samples, sample_rate: int, bits: int = 16,
     total = len(samples) // channels
     chans = [samples[c::channels] for c in range(channels)]
     out = bytearray()
+    frames = []
     pos = 0
     frame_no = 0
     min_bs = max_bs = None
@@ -814,6 +816,7 @@ def encode_flac(samples, sample_rate: int, bits: int = 16,
         frame = bytes(hdr) + fw.data()
         frame += flac_crc16(frame).to_bytes(2, "big")
         out += frame
+        frames.append(frame)
         pos += bs
         frame_no += 1
     s = bytearray(34)
@@ -825,8 +828,100 @@ def encode_flac(samples, sample_rate: int, bits: int = 16,
         | (((bits - 1) >> 4) & 1)
     s[13] = (((bits - 1) & 0x0F) << 4) | ((total >> 32) & 0x0F)
     s[14:18] = (total & 0xFFFFFFFF).to_bytes(4, "big")
-    return (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + bytes(s)
-            + bytes(out))
+    streaminfo = bytes([0x80]) + (34).to_bytes(3, "big") + bytes(s)
+    if return_parts:
+        # (STREAMINFO block incl. its header, per-frame bytes) — the
+        # Ogg-FLAC muxer needs packet boundaries (one frame = one
+        # audio packet per the FLAC-to-Ogg mapping)
+        return streaminfo, frames
+    return b"fLaC" + streaminfo + bytes(out)
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC-32 (RFC 3533): polynomial 0x04c11db7,
+    non-reflected, init 0, no final xor."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7 if crc & 0x80000000
+                   else crc << 1) & 0xFFFFFFFF
+    return crc
+
+
+def _ogg_page_crc(serial: int, seq: int, granule: int,
+                  header_type: int, segs: list, data: bytes) -> bytes:
+    """One Ogg page with a REAL CRC (unlike the header-probe pages of
+    _ogg_page) — the Ogg-FLAC demuxer verifies checksums."""
+    hdr = bytearray(
+        b"OggS" + bytes([0, header_type])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    page = bytes(hdr) + data
+    crc = _ogg_crc(page)
+    hdr[22:26] = crc.to_bytes(4, "little")
+    return bytes(hdr) + data
+
+
+def make_ogg_flac(samples, sample_rate: int,
+                  max_segs_per_page: int = 255, **flac_kw) -> bytes:
+    """Ogg-encapsulated FLAC per the public FLAC-to-Ogg mapping: the
+    BOS page carries the single header packet (0x7F 'FLAC' 1.0 +
+    16-bit header count + 'fLaC' + STREAMINFO); each native frame is
+    one audio packet. Packets pack into pages greedily;
+    `max_segs_per_page` < 255 forces packets to SPAN pages
+    (continuation flag), exercising real lacing reassembly. All page
+    CRCs are real; the last page sets EOS with the total-sample
+    granule."""
+    streaminfo, frames = encode_flac(samples, sample_rate,
+                                     return_parts=True, **flac_kw)
+    channels = flac_kw.get("channels", 1)
+    total = len(samples) // channels
+    first = (b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big")
+             + b"fLaC" + streaminfo)
+    serial = 0x464C6143
+    segs0 = [255] * (len(first) // 255) + [len(first) % 255]
+    out = bytearray(_ogg_page_crc(serial, 0, 0, 0x02, segs0, first))
+    seq = 1
+    # greedy packer with forced spanning under a segment budget
+    blk = flac_kw.get("block_size", 4096)
+    cur_segs: list = []
+    cur_data = bytearray()
+    page_is_cont = False   # current page started mid-packet
+    page_granule = -1      # last completed packet's granule, -1 if none
+    done = 0
+
+    def flush(eos: bool = False):
+        nonlocal cur_segs, cur_data, page_is_cont, page_granule, seq
+        out.extend(_ogg_page_crc(
+            serial, seq, page_granule,
+            (0x01 if page_is_cont else 0) | (0x04 if eos else 0),
+            cur_segs, bytes(cur_data)))
+        seq += 1
+        cur_segs, cur_data = [], bytearray()
+        page_granule = -1
+
+    for frame in frames:
+        lacing = [255] * (len(frame) // 255) + [len(frame) % 255]
+        off = 0
+        for li, lv in enumerate(lacing):
+            if len(cur_segs) >= max_segs_per_page:
+                mid_packet = li > 0  # flushing inside this packet?
+                flush()
+                page_is_cont = mid_packet
+            cur_segs.append(lv)
+            cur_data += frame[off:off + lv]
+            off += lv
+        done += 1
+        # a packet just COMPLETED on the current page
+        page_granule = min(done * blk, total)
+    page_granule = total
+    flush(eos=True)
+    return bytes(out)
 
 
 def _ogg_page(serial: int, seq: int, granule: int, packet: bytes,

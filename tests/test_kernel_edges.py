@@ -958,6 +958,57 @@ def test_mp4_mjpeg_sample_demux():
     assert mp4_mjpeg_frames(b"\x00\x00\x00\x08ftyp") is None
 
 
+def test_ogg_flac_decode():
+    """Round-7 Ogg-FLAC (public FLAC-to-Ogg mapping): RFC 3533 page
+    walk with VERIFIED CRCs, lacing reassembly incl. packets spanning
+    pages (continuation flags), mapping-header gate, then the full
+    FLAC frame decode. Vorbis/Opus payloads, flipped bits and
+    truncation quarantine, never a raise."""
+    from sparkpdf.kernels.media import (
+        _ogg_packets,
+        ogg_flac_pcm_stats,
+        ogg_info,
+    )
+    from sparkpdf.testing.imagegen import make_ogg, make_ogg_flac
+
+    sq = [8192, -8192] * 100
+    one = make_ogg_flac(sq, 8000)
+    assert ogg_flac_pcm_stats(one) == {
+        "n_samples": 200, "rms": 0.25, "peak": 0.25, "mean": 0.0}
+    # multi-frame: many packets greedily packed into pages
+    multi = make_ogg_flac(sq, 8000, block_size=16)
+    assert ogg_flac_pcm_stats(multi) == ogg_flac_pcm_stats(one)
+    # spanning: a verbatim frame forced across >= 3 pages
+    big = [4096, -4096] * 600
+    span = make_ogg_flac(big, 8000, max_segs_per_page=2,
+                         subframe="verbatim")
+    assert span.count(b"OggS") >= 4
+    s3 = ogg_flac_pcm_stats(span)
+    assert s3["n_samples"] == 1200 and s3["rms"] == 0.125
+    # mid-side stereo through the container
+    st = make_ogg_flac([4096, -4096] * 120, 8000, channels=2,
+                       stereo_mode="mid-side", subframe="constant")
+    assert ogg_flac_pcm_stats(st)["rms"] == 0.125
+    # ogg_info now identifies the mapping (rate/channels/duration)
+    info = ogg_info(one)
+    assert info["format"] == "ogg-flac" and info["sample_rate"] == 8000
+    assert info["channels"] == 1
+    # CRC flip quarantines (page checksums are verified)
+    bad = bytearray(one)
+    bad[60] ^= 0xFF
+    assert ogg_flac_pcm_stats(bytes(bad)) is None
+    # continuation-flag mismatch quarantines
+    assert _ogg_packets(b"OggS" + bytes(23) + b"\x01\x01A") is None
+    # foreign Ogg codecs quarantine in this lane
+    assert ogg_flac_pcm_stats(
+        make_ogg(24000, 1000, 1, codec="vorbis")) is None
+    assert ogg_flac_pcm_stats(
+        make_ogg(24000, 1000, 1, codec="opus")) is None
+    # truncation fuzz: never a raise
+    for n in range(0, len(span), 13):
+        ogg_flac_pcm_stats(span[:n])
+
+
 def test_aiff_au_sample_decode():
     """Round-7 big-endian audio containers: AIFF (IFF chunk walk,
     80-bit extended sample rate, SIGNED PCM at 8/16/24/32) and Sun AU

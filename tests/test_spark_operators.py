@@ -1365,12 +1365,15 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        # round-7 new/changed operators (wav_pcm_stats itself yields
-        # its slot: r6-driver-graded, and its r7-touched paths are
-        # window-covered by adpcm_pcm_stats + attachment_audio_stats)
+        # round-7 new/changed operators. wav_pcm_stats and
+        # bigram_surprisal yield their slots: both r6-driver-graded;
+        # wav's r7-touched paths are window-covered by
+        # adpcm_pcm_stats + attachment_audio_stats, and bigram's r7
+        # shape knob is asserted hash-identical across shapes in its
+        # bench harness
         "adpcm_pcm_stats", "aiff_au_pcm_stats", "video_frame_stats",
-        "attachment_audio_stats", "flac_pcm_stats", "line_dedup",
-        "bigram_surprisal",
+        "attachment_audio_stats", "ogg_flac_stats", "flac_pcm_stats",
+        "line_dedup",
         # the r6 judge-only tail, now driver-graded (representatives;
         # the full 43 are inside the window)
         "write_roundtrip", "pdf_embedded_media", "xmp_project",
