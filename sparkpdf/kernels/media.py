@@ -1537,6 +1537,80 @@ def mkv_info(b: bytes) -> Optional[dict]:
     return out
 
 
+def mkv_mjpeg_frames(b: bytes):
+    """REAL Matroska demux (round 7): find the video TrackEntry whose
+    CodecID is V_MJPEG (and its TrackNumber), then decode every
+    SimpleBlock / BlockGroup>Block payload for that track in every
+    Cluster through the JPEG kernel — same per-frame contract as the
+    AVI/MP4 lanes. Laced blocks, foreign codecs and undecodable
+    frames quarantine (None)."""
+    if b[:4] != b"\x1a\x45\xdf\xa3":
+        return None
+    from .jpeg import decode_jpeg, jpeg_mean_luma
+
+    for eid, s, e in _ebml_walk(b, 0, len(b)):
+        if eid != 0x18538067:  # Segment
+            continue
+        track_no = None
+        for e2, s2, e2e in _ebml_walk(b, s, e):
+            if e2 != 0x1654AE6B:  # Tracks
+                continue
+            for e3, s3, e3e in _ebml_walk(b, s2, e2e):
+                if e3 != 0xAE:  # TrackEntry
+                    continue
+                num = None
+                codec = None
+                for e4, s4, e4e in _ebml_walk(b, s3, e3e):
+                    if e4 == 0xD7:
+                        num = int.from_bytes(b[s4:e4e], "big")
+                    elif e4 == 0x86:
+                        codec = b[s4:e4e].rstrip(b"\x00")
+                if codec == b"V_MJPEG" and num:
+                    track_no = num
+        if track_no is None:
+            return None
+        frames = []
+
+        def _block(body_s: int, body_e: int) -> bool:
+            r = _ebml_vint(b, body_s, False)  # track vint, no marker
+            if r is None:
+                return False
+            tno, j = r
+            if j + 3 > body_e:
+                return False
+            if tno != track_no:
+                return True  # another track's block: skip, not an error
+            flags = b[j + 2]
+            if flags & 0x06:
+                return False  # lacing outside the decoded subset
+            payload = b[j + 3:body_e]
+            img = decode_jpeg(payload)
+            luma = jpeg_mean_luma(payload)
+            if img is None or luma is None:
+                return False
+            frames.append({
+                "frame_idx": len(frames),
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "mean_luma": luma,
+            })
+            return True
+
+        for e2, s2, e2e in _ebml_walk(b, s, e):
+            if e2 != 0x1F43B675:  # Cluster
+                continue
+            for e3, s3, e3e in _ebml_walk(b, s2, e2e):
+                if e3 == 0xA3:  # SimpleBlock
+                    if not _block(s3, e3e):
+                        return None
+                elif e3 == 0xA0:  # BlockGroup
+                    for e4, s4, e4e in _ebml_walk(b, s3, e3e):
+                        if e4 == 0xA1 and not _block(s4, e4e):
+                            return None
+        return frames or None
+    return None
+
+
 # --- FLAC (public format spec: fLaC magic + STREAMINFO block) ----------------
 
 

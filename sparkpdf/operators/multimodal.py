@@ -1010,7 +1010,7 @@ def extract_attachment_media(pdf_raw: DataFrame) -> DataFrame:
         if (raw[:4] in (b"fLaC", b".snd", b"OggS")
                 or (raw[:4] == b"FORM" and raw[8:12] == b"AIFF")):
             return "audio"
-        if raw[4:8] == b"ftyp":
+        if raw[4:8] == b"ftyp" or raw[:4] == b"\x1a\x45\xdf\xa3":
             return "video"
         if (raw[:3] == b"\xff\xd8\xff" or raw[:4] == b"\x89PNG"
                 or raw[:4] == b"GIF8"
@@ -1111,7 +1111,11 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
     ships pixel arrays."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.media import avi_mjpeg_frames, mp4_mjpeg_frames
+        from ..kernels.media import (
+            avi_mjpeg_frames,
+            mkv_mjpeg_frames,
+            mp4_mjpeg_frames,
+        )
 
         for pdf in batches:
             out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
@@ -1123,11 +1127,13 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
                     raw = bytes(payload)
                     if raw[4:8] == b"ftyp":
                         frames = mp4_mjpeg_frames(raw)
+                    elif raw[:4] == b"\x1a\x45\xdf\xa3":
+                        frames = mkv_mjpeg_frames(raw)
                     else:
                         frames = avi_mjpeg_frames(raw)
                     if frames is None:
-                        err = ("unsupported video payload (not an AVI "
-                               "or MP4 with decodable MJPEG frames)")
+                        err = ("unsupported video payload (not an AVI/"
+                               "MP4/MKV with decodable MJPEG frames)")
                 except Exception as e:  # poison payloads quarantine
                     err = f"{type(e).__name__}: {e}"
                 for row in (frames if frames else [None]):
@@ -1148,11 +1154,12 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL MJPEG movie per doc, container
-    alternating by parity (even d -> RIFF/AVI with movi chunks +
-    idx1; odd d -> ISO-BMFF MP4 with a full stsd/stsc/stco/stsz
-    sample table, 2 samples per chunk so a short last chunk
-    exercises real sample-to-chunk resolution): nf = 1 + d%5 uniform
+    """documents -> one REAL MJPEG movie per doc, container rotating
+    by d%3 (0 -> RIFF/AVI with movi chunks + idx1; 1 -> ISO-BMFF MP4
+    with a full stsd/stsc/stco/stsz sample table, 2 samples per
+    chunk so a short last chunk exercises real sample-to-chunk
+    resolution; 2 -> Matroska with a V_MJPEG TrackEntry and one
+    SimpleBlock per frame): nf = 1 + d%5 uniform
     gray frames at value g_i = 16 + 2*((d + 37*i) % 112) — EVEN gray
     values survive the Annex-K DC quantizer exactly (DC = 8*(g-128)
     with quantizer 16 needs (g-128) even), so each decoded frame's
@@ -1168,7 +1175,11 @@ def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
         import numpy as np
 
         from ..kernels.jpeg import encode_jpeg
-        from ..testing.imagegen import make_avi, make_mp4_mjpeg
+        from ..testing.imagegen import (
+            make_avi,
+            make_mkv_mjpeg,
+            make_mp4_mjpeg,
+        )
 
         for pdf in batches:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
@@ -1183,9 +1194,11 @@ def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
                         dtype=np.uint8))
                     for i in range(nf)
                 ]
-                if d % 2:
+                if d % 3 == 1:
                     blob = make_mp4_mjpeg(w, h, frames,
                                           samples_per_chunk=2)
+                elif d % 3 == 2:
+                    blob = make_mkv_mjpeg(w, h, frames)
                 else:
                     blob = make_avi(w, h, 0, fps=25, frames=frames)
                 out["doc_id"].append(str(d))
@@ -1528,6 +1541,7 @@ def sniff_av_format(payload_col) -> "F.Column":
         .when((head4 == "FORM") & (form == "AIFF"), "aiff")
         .when(head4 == ".snd", "au")
         .when(brand == "ftyp", "mp4")
+        .when(F.hex(F.substring(payload_col, 1, 4)) == "1A45DFA3", "mkv")
         .otherwise("other")
     )
 
@@ -1540,6 +1554,7 @@ def _probe_av(payload: bytes, fmt: str):
         au_pcm_stats,
         avi_mjpeg_frames,
         flac_pcm_stats,
+        mkv_mjpeg_frames,
         mp4_mjpeg_frames,
         ogg_flac_pcm_stats,
         wav_pcm_stats,
@@ -1550,6 +1565,7 @@ def _probe_av(payload: bytes, fmt: str):
         "aiff": aiff_pcm_stats, "au": au_pcm_stats,
         "ogg": ogg_flac_pcm_stats,
         "avi": avi_mjpeg_frames, "mp4": mp4_mjpeg_frames,
+        "mkv": mkv_mjpeg_frames,
     }[fmt](payload)
 
 

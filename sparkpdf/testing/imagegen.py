@@ -361,6 +361,43 @@ def make_mkv(width: int, height: int, duration_ms: int,
     return header + segment
 
 
+def make_mkv_mjpeg(width: int, height: int, frames: list,
+                   frame_ms: int = 40) -> bytes:
+    """Real Matroska MJPEG movie: Tracks carries a video TrackEntry
+    (TrackNumber 1, TrackType 1, CodecID 'V_MJPEG', pixel dims) and a
+    Cluster holds one SimpleBlock per JPEG frame (vint track number,
+    int16 relative timestamp, keyframe flag, raw payload)."""
+    header = _ebml_el(b"\x1a\x45\xdf\xa3",
+                      _ebml_el(b"\x42\x82", b"matroska"))
+    info = _ebml_el(
+        b"\x15\x49\xa9\x66",
+        _ebml_el(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + _ebml_el(b"\x44\x89",
+                   struct.pack(">d", float(len(frames) * frame_ms))),
+    )
+    video = _ebml_el(
+        b"\xe0",
+        _ebml_el(b"\xb0", width.to_bytes(2, "big"))
+        + _ebml_el(b"\xba", height.to_bytes(2, "big")),
+    )
+    entry = (_ebml_el(b"\xd7", b"\x01")        # TrackNumber 1
+             + _ebml_el(b"\x83", b"\x01")      # TrackType video
+             + _ebml_el(b"\x86", b"V_MJPEG")   # CodecID
+             + video)
+    tracks = _ebml_el(b"\x16\x54\xae\x6b", _ebml_el(b"\xae", entry))
+    blocks = b""
+    for i, f in enumerate(frames):
+        body = (b"\x81"                          # track 1 (vint)
+                + (i * frame_ms).to_bytes(2, "big")  # rel. timestamp
+                + b"\x80"                        # flags: keyframe
+                + f)
+        blocks += _ebml_el(b"\xa3", body)        # SimpleBlock
+    cluster = _ebml_el(b"\x1f\x43\xb6\x75",
+                       _ebml_el(b"\xe7", b"\x00") + blocks)
+    segment = _ebml_el(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return header + segment
+
+
 def _gif_lzw_literals(indices, mcs: int) -> bytes:
     """GIF LZW stream that encodes every pixel as a literal code,
     tracking the decoder's table growth so the variable code width

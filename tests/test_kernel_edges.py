@@ -958,6 +958,38 @@ def test_mp4_mjpeg_sample_demux():
     assert mp4_mjpeg_frames(b"\x00\x00\x00\x08ftyp") is None
 
 
+def test_mkv_mjpeg_demux():
+    """Round-7 Matroska demux: V_MJPEG TrackEntry gate (TrackNumber
+    matched per block), Cluster/SimpleBlock walk, every payload
+    through the JPEG kernel. Foreign codecs, laced blocks, header-only
+    MKVs and truncation quarantine, never a raise."""
+    import numpy as np
+
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.kernels.media import mkv_info, mkv_mjpeg_frames
+    from sparkpdf.testing.imagegen import make_mkv, make_mkv_mjpeg
+
+    frames = [encode_jpeg(np.full((8, 16), g, dtype=np.uint8))
+              for g in (16, 100, 238)]
+    mkv = make_mkv_mjpeg(16, 8, frames)
+    assert mkv_mjpeg_frames(mkv) == [
+        {"frame_idx": i, "width": 16, "height": 8,
+         "mean_luma": float(g)} for i, g in enumerate((16, 100, 238))
+    ]
+    # still a parseable MKV header (av_info lane)
+    info = mkv_info(mkv)
+    assert info["width"] == 16 and info["format"] == "mkv"
+    # header-only corpus shape has no V_MJPEG track -> None
+    assert mkv_mjpeg_frames(make_mkv(32, 16, 200)) is None
+    # foreign codec fourcc quarantines
+    assert mkv_mjpeg_frames(
+        mkv.replace(b"V_MJPEG", b"V_VP9\x00\x00", 1)) is None
+    # truncation fuzz: never a raise
+    for n in range(0, len(mkv), 5):
+        mkv_mjpeg_frames(mkv[:n])
+    assert mkv_mjpeg_frames(b"\x1a\x45\xdf\xa3" + bytes(8)) is None
+
+
 def test_ogg_flac_decode():
     """Round-7 Ogg-FLAC (public FLAC-to-Ogg mapping): RFC 3533 page
     walk with VERIFIED CRCs, lacing reassembly incl. packets spanning
