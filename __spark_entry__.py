@@ -1361,6 +1361,23 @@ def q_aiff_au_pcm_stats(spark, sf_dir):
     )
 
 
+def q_mp4_audio_stats(spark, sf_dir):
+    # round 7: PCM-in-MP4 (QuickTime uncompressed sample entries
+    # sowt/twos/in24/raw) — the engine resolves the ISO-BMFF sample
+    # table (stsc runs x stco x stsz) and decodes every PCM sample;
+    # compressed codecs (mp4a) quarantine. Closed-form squares.
+    from sparkpdf.operators.multimodal import (
+        extract_audio_pcm_features,
+        synthesize_mp4_pcm_media,
+    )
+
+    return extract_audio_pcm_features(
+        synthesize_mp4_pcm_media(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "n_samples", "rms", "peak", "mean"
+    )
+
+
 def q_ogg_flac_stats(spark, sf_dir):
     # round 7: Ogg-encapsulated FLAC (the public FLAC-to-Ogg
     # mapping) — the engine must walk RFC 3533 pages (CRC-verified),
@@ -1484,6 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "embedding_near_dups": q_embedding_near_dups,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
+        # --- round-7 new but tail-resident: the graded window is
+        # full (7 new + the 43 ex-judge-only); mp4_audio_stats rides
+        # the same extract_audio_pcm_features lane and §8.7 sample
+        # tables already window-covered by video_frame_stats ---
+        "mp4_audio_stats": q_mp4_audio_stats,
         # --- flagship/perf-plan continuity ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3063,6 +3085,29 @@ def oracle_sql() -> dict[str, str]:
                           WHEN 3 THEN (4096 * (1 + doc_id % 7)) / 32768.0
                           WHEN 4 THEN 32124 / 32768.0
                           ELSE 32256 / 32768.0
+                          END, 6) AS peak,
+               CAST(0.0 AS DOUBLE) AS mean
+        FROM documents
+    """
+    # mp4_audio_stats (round 7): PCM in ISO-BMFF — sample-table
+    # resolution + LE/BE/24-bit/unsigned-8 PCM decode; exact squares.
+    sql["mp4_audio_stats"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(CASE doc_id % 4
+                         WHEN 0 THEN 2 * (50 + doc_id % 200)
+                         WHEN 1 THEN 2 * (60 + doc_id % 100)
+                         WHEN 2 THEN 2 * (40 + doc_id % 80)
+                         ELSE 2 * (50 + doc_id % 120)
+                         END AS BIGINT) AS n_samples,
+               ROUND(CASE doc_id % 4
+                          WHEN 2 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 3 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
+                          END, 6) AS rms,
+               ROUND(CASE doc_id % 4
+                          WHEN 2 THEN 0.125 * (1 + doc_id % 7)
+                          WHEN 3 THEN (2 * (1 + doc_id % 63)) / 128.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents

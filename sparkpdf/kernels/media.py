@@ -2216,19 +2216,15 @@ def avi_mjpeg_frames(b: bytes):
     return frames or None
 
 
-def mp4_mjpeg_frames(b: bytes):
-    """REAL ISO-BMFF sample-table demux (round 7): descend moov ->
-    trak -> mdia -> minf -> stbl, require an MJPEG visual sample
-    entry in stsd ('jpeg'/'mjpa'/'mjpb'), resolve every sample's
-    absolute offset via stsc (sample-to-chunk runs) x stco/co64
-    (chunk offsets) x stsz (sample sizes) per ISO/IEC 14496-12 §8.7,
-    then decode each sample through the JPEG kernel. Emits the same
-    per-frame contract as avi_mjpeg_frames; a torn sample table or
-    undecodable sample quarantines the payload (None)."""
+def _mp4_sample_tables(b: bytes):
+    """ISO/IEC 14496-12 §8.7 sample-table resolution, shared by the
+    MJPEG video and PCM audio lanes: for every trak, yield
+    (sample-entry fourcc, sample-entry body bytes, [(offset, size)
+    per sample in order]) with absolute offsets resolved via stsc
+    runs x stco/co64 x stsz; a trak whose chunk map does not cover
+    every declared sample yields nothing (torn table)."""
     if len(b) < 12 or b[4:8] != b"ftyp":
-        return None
-    from .jpeg import decode_jpeg, jpeg_mean_luma
-
+        return
     for typ, s, e in _iter_boxes(b, 0, len(b)):
         if typ != b"moov":
             continue
@@ -2247,16 +2243,16 @@ def mp4_mjpeg_frames(b: bytes):
                             stbl = (s5, e5)
             if stbl is None:
                 continue
-            is_mjpeg = False
+            entry_fourcc = entry_body = None
             sizes = None
             chunk_offs = None
             stsc = None
             for t6, s6, e6 in _iter_boxes(b, stbl[0], stbl[1]):
                 body = b[s6:e6]
                 if t6 == b"stsd" and len(body) >= 16:
-                    # first sample entry's fourcc sits at body[12:16]
-                    is_mjpeg = body[12:16] in (b"jpeg", b"mjpa",
-                                               b"mjpb")
+                    # first sample entry: 4-byte size + fourcc at 12
+                    entry_fourcc = body[12:16]
+                    entry_body = body[16:]
                 elif t6 == b"stsz" and len(body) >= 12:
                     fixed = int.from_bytes(body[4:8], "big")
                     cnt = int.from_bytes(body[8:12], "big")
@@ -2281,11 +2277,13 @@ def mp4_mjpeg_frames(b: bytes):
                                  int.from_bytes(
                                     body[12 + 12 * i:16 + 12 * i], "big"))
                                 for i in range(cnt)]
-            if not is_mjpeg or not sizes or not chunk_offs or not stsc:
+            if (entry_fourcc is None or not sizes or not chunk_offs
+                    or not stsc):
                 continue
             # expand stsc runs: samples-per-chunk for every chunk
-            frames = []
+            locs = []
             si = 0
+            torn = False
             for ci in range(len(chunk_offs)):
                 spc = 0
                 for fc, n_in in stsc:
@@ -2295,25 +2293,80 @@ def mp4_mjpeg_frames(b: bytes):
                 for _ in range(spc):
                     if si >= len(sizes):
                         break
-                    end_s = pos + sizes[si]
-                    if end_s > len(b):
-                        return None  # torn sample table
-                    payload = b[pos:end_s]
-                    img = decode_jpeg(payload)
-                    luma = jpeg_mean_luma(payload)
-                    if img is None or luma is None:
-                        return None
-                    frames.append({
-                        "frame_idx": si,
-                        "width": int(img.shape[1]),
-                        "height": int(img.shape[0]),
-                        "mean_luma": luma,
-                    })
-                    pos = end_s
+                    if pos + sizes[si] > len(b):
+                        torn = True
+                        break
+                    locs.append((pos, sizes[si]))
+                    pos += sizes[si]
                     si += 1
-            if si != len(sizes):
-                return None  # chunk map doesn't cover every sample
-            return frames or None
+                if torn:
+                    break
+            if torn or si != len(sizes):
+                continue  # chunk map doesn't cover every sample
+            yield entry_fourcc, entry_body, locs
+
+
+def mp4_mjpeg_frames(b: bytes):
+    """REAL ISO-BMFF MJPEG demux (round 7): require a 'jpeg'/'mjpa'/
+    'mjpb' visual sample entry, resolve every sample via the shared
+    §8.7 sample-table walk (_mp4_sample_tables), decode each through
+    the JPEG kernel. Emits the same per-frame contract as
+    avi_mjpeg_frames; a torn sample table or undecodable sample
+    quarantines the payload (None)."""
+    from .jpeg import decode_jpeg, jpeg_mean_luma
+
+    for fourcc, _entry, locs in _mp4_sample_tables(b) or ():
+        if fourcc not in (b"jpeg", b"mjpa", b"mjpb"):
+            continue
+        frames = []
+        for pos, size in locs:
+            payload = b[pos:pos + size]
+            img = decode_jpeg(payload)
+            luma = jpeg_mean_luma(payload)
+            if img is None or luma is None:
+                return None
+            frames.append({
+                "frame_idx": len(frames),
+                "width": int(img.shape[1]),
+                "height": int(img.shape[0]),
+                "mean_luma": luma,
+            })
+        return frames or None
+    return None
+
+
+def mp4_pcm_stats(b: bytes) -> Optional[dict]:
+    """REAL PCM-in-MP4 audio decode (round 7): the QuickTime/ISO
+    uncompressed audio sample entries — 'sowt' (LE 16-bit), 'twos'
+    (BE 16-bit), 'in24' (BE 24-bit), 'raw ' (unsigned 8-bit) — via
+    the SAME §8.7 sample-table walk as the MJPEG lane; all sample
+    bytes concatenate into one PCM stream and the stats use the
+    exact-int accumulation shared with the WAV/AIFF lanes.
+    Compressed audio codecs (mp4a/AAC...) quarantine (None)."""
+    import numpy as np
+
+    decode = {
+        b"sowt": ("<i2", 2, 32768.0),
+        b"twos": (">i2", 2, 32768.0),
+        b"raw ": (None, 1, 128.0),
+        b"in24": (None, 3, float(1 << 23)),
+    }
+    for fourcc, _entry, locs in _mp4_sample_tables(b) or ():
+        if fourcc not in decode:
+            continue
+        data = b"".join(b[pos:pos + size] for pos, size in locs)
+        dtype, width, full = decode[fourcc]
+        data = data[: len(data) - (len(data) % width)]
+        if fourcc == b"raw ":
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+        elif fourcc == b"in24":
+            a = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            a = a.astype(np.int64)
+            x = (a[:, 0] << 16) | (a[:, 1] << 8) | a[:, 2]
+            x = np.where(x >= 1 << 23, x - (1 << 24), x)
+        else:
+            x = np.frombuffer(data, dtype=dtype).astype(np.int64)
+        return _pcm_int_stats(x, full)
     return None
 
 

@@ -784,6 +784,7 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
             aiff_pcm_stats,
             au_pcm_stats,
             flac_pcm_stats,
+            mp4_pcm_stats,
             ogg_flac_pcm_stats,
             wav_pcm_stats,
         )
@@ -811,6 +812,8 @@ def extract_audio_pcm_features(media: DataFrame) -> DataFrame:
                         stats = aiff_pcm_stats(raw)
                     elif raw[:4] == b".snd":
                         stats = au_pcm_stats(raw)
+                    elif raw[4:8] == b"ftyp":
+                        stats = mp4_pcm_stats(raw)
                     else:
                         stats = wav_pcm_stats(raw)
                     if stats is None:
@@ -1010,7 +1013,12 @@ def extract_attachment_media(pdf_raw: DataFrame) -> DataFrame:
         if (raw[:4] in (b"fLaC", b".snd", b"OggS")
                 or (raw[:4] == b"FORM" and raw[8:12] == b"AIFF")):
             return "audio"
-        if raw[4:8] == b"ftyp" or raw[:4] == b"\x1a\x45\xdf\xa3":
+        if raw[4:8] == b"ftyp":
+            # ISO-BMFF carries either modality: route by the hdlr
+            # handler fourcc ('soun' tracks only -> audio)
+            return ("audio" if b"soun" in raw and b"vide" not in raw
+                    else "video")
+        if raw[:4] == b"\x1a\x45\xdf\xa3":
             return "video"
         if (raw[:3] == b"\xff\xd8\xff" or raw[:4] == b"\x89PNG"
                 or raw[:4] == b"GIF8"
@@ -1271,6 +1279,64 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
                     blob = make_au(rate, 1, 27, bytes([0xAA, 0x2A] * (n // 2)))
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"be-audio-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_mp4_pcm_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL PCM-in-MP4 movie per doc (doc_id % 4),
+    QuickTime uncompressed sample entries over closed-form squares
+    (k = 1 + d%7; mean exactly 0 except the raw variant's midpoint):
+      0: 'sowt' LE 16-bit, A = 4096k, n = 2*(50 + d%200)
+      1: 'twos' BE 16-bit, A = 4096k, n = 2*(60 + d%100)
+      2: 'in24' BE 24-bit STEREO L=+A/R=-A, A = 2^20*k,
+         n = 2*(40 + d%80) total samples
+      3: 'raw ' unsigned 8-bit, A = 2*(1 + d%63), n = 2*(50 + d%120)
+    The table samples hold 64 PCM frames each (2 per chunk), so the
+    engine exercises real stsc/stco/stsz resolution per §8.7."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..testing.imagegen import make_mp4_pcm
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                v = d % 4
+                k = 1 + d % 7
+                rate = 8000 + (d % 8) * 1000
+                if v == 0:
+                    n = 2 * (50 + d % 200)
+                    amp = 4096 * k
+                    blob = make_mp4_pcm(rate, 1, b"sowt", struct.pack(
+                        f"<{n}h", *([amp, -amp] * (n // 2))))
+                elif v == 1:
+                    n = 2 * (60 + d % 100)
+                    amp = 4096 * k
+                    blob = make_mp4_pcm(rate, 1, b"twos", struct.pack(
+                        f">{n}h", *([amp, -amp] * (n // 2))))
+                elif v == 2:
+                    n = 2 * (40 + d % 80)
+                    amp = (1 << 20) * k
+                    pos = amp.to_bytes(3, "big", signed=True)
+                    neg = (-amp).to_bytes(3, "big", signed=True)
+                    blob = make_mp4_pcm(rate, 2, b"in24",
+                                        (pos + neg) * (n // 2))
+                else:
+                    n = 2 * (50 + d % 120)
+                    amp = 2 * (1 + d % 63)
+                    blob = make_mp4_pcm(rate, 1, b"raw ", bytes(
+                        [128 + amp, 128 - amp] * (n // 2)))
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"mp4-pcm-{d}")
                 out["modality"].append("audio")
                 out["payload"].append(blob)
             yield pd.DataFrame(out)
@@ -1555,16 +1621,20 @@ def _probe_av(payload: bytes, fmt: str):
         avi_mjpeg_frames,
         flac_pcm_stats,
         mkv_mjpeg_frames,
-        mp4_mjpeg_frames,
         ogg_flac_pcm_stats,
         wav_pcm_stats,
     )
 
+    if fmt == "mp4":
+        # ISO-BMFF carries either modality: probe video then audio
+        from ..kernels.media import mp4_mjpeg_frames, mp4_pcm_stats
+
+        return mp4_mjpeg_frames(payload) or mp4_pcm_stats(payload)
     return {
         "wav": wav_pcm_stats, "flac": flac_pcm_stats,
         "aiff": aiff_pcm_stats, "au": au_pcm_stats,
         "ogg": ogg_flac_pcm_stats,
-        "avi": avi_mjpeg_frames, "mp4": mp4_mjpeg_frames,
+        "avi": avi_mjpeg_frames,
         "mkv": mkv_mjpeg_frames,
     }[fmt](payload)
 

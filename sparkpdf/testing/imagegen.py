@@ -258,18 +258,19 @@ def make_mp4_mjpeg(width: int, height: int, frames: list,
         if not stsc_entries or stsc_entries[-1][1] != cs:
             stsc_entries.append((ci, cs))
     dur = nf * timescale // fps
+    entry = _box(b"jpeg",
+                 bytes(6) + (1).to_bytes(2, "big")   # data ref
+                 + bytes(16)                          # pre_defined
+                 + width.to_bytes(2, "big")
+                 + height.to_bytes(2, "big")
+                 + b"\x00\x48\x00\x00" * 2            # 72 dpi
+                 + bytes(4)
+                 + (1).to_bytes(2, "big")             # frame count
+                 + bytes(32)                          # compressor
+                 + (24).to_bytes(2, "big")
+                 + (0xFFFF).to_bytes(2, "big"))
     stsd = _box(b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
-                + _box(b"jpeg",
-                       bytes(6) + (1).to_bytes(2, "big")   # data ref
-                       + bytes(16)                          # pre_defined
-                       + width.to_bytes(2, "big")
-                       + height.to_bytes(2, "big")
-                       + b"\x00\x48\x00\x00" * 2            # 72 dpi
-                       + bytes(4)
-                       + (1).to_bytes(2, "big")             # frame count
-                       + bytes(32)                          # compressor
-                       + (24).to_bytes(2, "big")
-                       + (0xFFFF).to_bytes(2, "big")))
+                + entry)
     stts = _box(b"stts", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
                 + nf.to_bytes(4, "big")
                 + (timescale // fps).to_bytes(4, "big"))
@@ -311,6 +312,92 @@ def make_mp4_mjpeg(width: int, height: int, frames: list,
         + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
         + (width << 16).to_bytes(4, "big")
         + (height << 16).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def make_mp4_pcm(sample_rate: int, channels: int, fourcc: bytes,
+                 data: bytes, frames_per_sample: int = 64,
+                 samples_per_chunk: int = 2,
+                 timescale: int = 1000) -> bytes:
+    """Real ISO-BMFF PCM audio movie (QuickTime uncompressed sample
+    entries 'sowt'/'twos'/'in24'/'raw '): ftyp + mdat + moov with a
+    'soun' handler track and a full sample table — the PCM stream is
+    split into table samples of `frames_per_sample` frames each, so
+    the demuxer exercises real stsc/stco/stsz resolution (short last
+    chunk included)."""
+    width = {b"sowt": 2, b"twos": 2, b"raw ": 1, b"in24": 3}[fourcc]
+    bpf = width * channels
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    mdat = _box(b"mdat", data)
+    base = len(ftyp) + 8
+    step = frames_per_sample * bpf
+    sizes = [min(step, len(data) - i) for i in range(0, len(data), step)]
+    nf = len(sizes)
+    spc = max(1, samples_per_chunk)
+    chunk_sizes = [min(spc, nf - i) for i in range(0, nf, spc)]
+    offsets = []
+    pos = base
+    si = 0
+    for cs in chunk_sizes:
+        offsets.append(pos)
+        for _ in range(cs):
+            pos += sizes[si]
+            si += 1
+    stsc_entries = []
+    for ci, cs in enumerate(chunk_sizes, start=1):
+        if not stsc_entries or stsc_entries[-1][1] != cs:
+            stsc_entries.append((ci, cs))
+    total_frames = len(data) // bpf
+    dur = total_frames * timescale // max(1, sample_rate)
+    entry = _box(fourcc,
+                 bytes(6) + (1).to_bytes(2, "big")   # data ref index
+                 + bytes(8)                           # version/rev/vendor
+                 + channels.to_bytes(2, "big")
+                 + (width * 8).to_bytes(2, "big")
+                 + bytes(4)                           # compression/packet
+                 + (sample_rate << 16).to_bytes(4, "big"))
+    stsd = _box(b"stsd", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+                + entry)
+    stts = _box(b"stts", b"\x00\x00\x00\x00" + (1).to_bytes(4, "big")
+                + nf.to_bytes(4, "big")
+                + max(1, frames_per_sample).to_bytes(4, "big"))
+    stsc = _box(b"stsc", b"\x00\x00\x00\x00"
+                + len(stsc_entries).to_bytes(4, "big")
+                + b"".join(fc.to_bytes(4, "big") + cs.to_bytes(4, "big")
+                           + (1).to_bytes(4, "big")
+                           for fc, cs in stsc_entries))
+    stsz = _box(b"stsz", b"\x00\x00\x00\x00" + (0).to_bytes(4, "big")
+                + nf.to_bytes(4, "big")
+                + b"".join(s.to_bytes(4, "big") for s in sizes))
+    stco = _box(b"stco", b"\x00\x00\x00\x00"
+                + len(offsets).to_bytes(4, "big")
+                + b"".join(o.to_bytes(4, "big") for o in offsets))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = _box(b"smhd", b"\x00\x00\x00\x00" + bytes(4))
+    dinf = _box(b"dinf", _box(b"dref", b"\x00\x00\x00\x00"
+                              + (1).to_bytes(4, "big")
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    minf = _box(b"minf", smhd + dinf + stbl)
+    mdhd = _box(b"mdhd", b"\x00\x00\x00\x00" + bytes(8)
+                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + b"\x55\xc4\x00\x00")
+    hdlr = _box(b"hdlr", b"\x00\x00\x00\x00" + bytes(4) + b"soun"
+                + bytes(12) + b"PCM\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+        + b"\x00\x01\x00\x00" + b"\x01\x00" + b"\x00" * 10
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + b"\x00" * 24 + (2).to_bytes(4, "big"))
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 8 + (1).to_bytes(4, "big")
+        + b"\x00" * 4 + dur.to_bytes(4, "big") + b"\x00" * 16
+        + (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+        + bytes(8))
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
     return ftyp + mdat + moov
 

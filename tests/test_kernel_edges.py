@@ -958,6 +958,41 @@ def test_mp4_mjpeg_sample_demux():
     assert mp4_mjpeg_frames(b"\x00\x00\x00\x08ftyp") is None
 
 
+def test_mp4_pcm_audio_decode():
+    """Round-7 PCM-in-MP4: the QuickTime uncompressed sample entries
+    (sowt/twos/in24/raw) through the shared ISO-BMFF sample-table
+    walk. Compressed codecs and header-only MP4s quarantine,
+    truncation never raises."""
+    import struct
+
+    from sparkpdf.kernels.media import mp4_pcm_stats
+    from sparkpdf.testing.imagegen import make_mp4, make_mp4_pcm
+
+    n = 500
+    le = struct.pack(f"<{n}h", *([8192, -8192] * (n // 2)))
+    m = make_mp4_pcm(8000, 1, b"sowt", le)
+    assert mp4_pcm_stats(m) == {
+        "n_samples": n, "rms": 0.25, "peak": 0.25, "mean": 0.0}
+    be = struct.pack(f">{n}h", *([4096, -4096] * (n // 2)))
+    assert mp4_pcm_stats(
+        make_mp4_pcm(8000, 1, b"twos", be))["rms"] == 0.125
+    amp = 1 << 20
+    pos = amp.to_bytes(3, "big", signed=True)
+    neg = (-amp).to_bytes(3, "big", signed=True)
+    s24 = mp4_pcm_stats(make_mp4_pcm(48000, 2, b"in24",
+                                     (pos + neg) * 100))
+    assert s24["rms"] == 0.125 and s24["mean"] == 0.0
+    s8 = mp4_pcm_stats(make_mp4_pcm(8000, 1, b"raw ",
+                                    bytes([192, 64] * 50)))
+    assert s8["rms"] == 0.5 and s8["mean"] == 0.0
+    # compressed codec entry and header-only movies quarantine
+    assert mp4_pcm_stats(m.replace(b"sowt", b"mp4a")) is None
+    assert mp4_pcm_stats(make_mp4(16, 8, 100)) is None
+    # truncation fuzz: never a raise
+    for k in range(0, len(m), 7):
+        mp4_pcm_stats(m[:k])
+
+
 def test_mkv_mjpeg_demux():
     """Round-7 Matroska demux: V_MJPEG TrackEntry gate (TrackNumber
     matched per block), Cluster/SimpleBlock walk, every payload
