@@ -3064,27 +3064,29 @@ def oracle_sql() -> dict[str, str]:
     # the .snd header and decodes every BE sample to match.
     sql["aiff_au_pcm_stats"] = """
         SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-               CAST(CASE doc_id % 6
+               CAST(CASE doc_id % 8
                          WHEN 0 THEN 2 * (50 + doc_id % 200)
                          WHEN 1 THEN 2 * (40 + doc_id % 120)
                          WHEN 2 THEN 2 * (30 + doc_id % 90)
+                         WHEN 6 THEN 2 * (50 + doc_id % 150)
+                         WHEN 7 THEN 2 * (40 + doc_id % 120)
                          ELSE 2 * (60 + doc_id % 100)
                          END AS BIGINT) AS n_samples,
-               ROUND(CASE doc_id % 6
-                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+               ROUND(CASE doc_id % 8
                           WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
                           WHEN 2 THEN 0.125 * (1 + doc_id % 7)
-                          WHEN 3 THEN (4096 * (1 + doc_id % 7)) / 32768.0
                           WHEN 4 THEN 32124 / 32768.0
-                          ELSE 32256 / 32768.0
+                          WHEN 5 THEN 32256 / 32768.0
+                          WHEN 7 THEN 32124 / 32768.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
                           END, 6) AS rms,
-               ROUND(CASE doc_id % 6
-                          WHEN 0 THEN (4096 * (1 + doc_id % 7)) / 32768.0
+               ROUND(CASE doc_id % 8
                           WHEN 1 THEN (2 * (1 + doc_id % 63)) / 128.0
                           WHEN 2 THEN 0.125 * (1 + doc_id % 7)
-                          WHEN 3 THEN (4096 * (1 + doc_id % 7)) / 32768.0
                           WHEN 4 THEN 32124 / 32768.0
-                          ELSE 32256 / 32768.0
+                          WHEN 5 THEN 32256 / 32768.0
+                          WHEN 7 THEN 32124 / 32768.0
+                          ELSE (4096 * (1 + doc_id % 7)) / 32768.0
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents

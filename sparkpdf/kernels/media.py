@@ -871,17 +871,22 @@ def _ieee_extended(b: bytes) -> Optional[int]:
 
 
 def aiff_pcm_stats(b: bytes) -> Optional[dict]:
-    """REAL sample decode for AIFF payloads (round 7 — the classic
-    big-endian PCM container): FORM/AIFF IFF chunk walk, COMM
-    (channels, frames, bits, 80-bit extended sample rate) + SSND
-    (offset/blockSize header then sample data). AIFF PCM is SIGNED
-    at every depth (8/16/24/32, big-endian). AIFC (compressed) and
+    """REAL sample decode for AIFF/AIFF-C payloads (round 7 — the
+    classic big-endian PCM container): FORM/AIFF|AIFC IFF chunk
+    walk, COMM (channels, frames, bits, 80-bit extended sample rate;
+    AIFC adds a compression fourcc) + SSND (offset/blockSize header
+    then sample data). AIFF PCM is SIGNED at every depth (8/16/24/32,
+    big-endian); AIFC compressions decoded: NONE (BE PCM), sowt
+    (LE 16-bit), ulaw/alaw (G.711, 8 bits). Other compressions and
     malformed chunks quarantine (None)."""
-    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] != b"AIFF":
+    if len(b) < 12 or b[:4] != b"FORM" or b[8:12] not in (b"AIFF",
+                                                          b"AIFC"):
         return None
     import numpy as np
 
+    is_aifc = b[8:12] == b"AIFC"
     bits = rate = None
+    comp = b"NONE"
     data = None
     i = 12
     while i + 8 <= len(b):
@@ -890,12 +895,29 @@ def aiff_pcm_stats(b: bytes) -> Optional[dict]:
         if cid == b"COMM" and size >= 18 and i + 26 <= len(b):
             bits = int.from_bytes(b[i + 14:i + 16], "big")
             rate = _ieee_extended(b[i + 16:i + 26])
+            if is_aifc:
+                if size < 22 or i + 30 > len(b):
+                    return None  # AIFC COMM must carry the fourcc
+                comp = b[i + 26:i + 30]
         elif cid == b"SSND" and size >= 8:
             off = int.from_bytes(b[i + 8:i + 12], "big")
             data = b[i + 16 + off:i + 8 + size]
         i += 8 + size + (size & 1)  # IFF chunks pad to even offsets
     if bits is None or data is None or rate is None:
         return None
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        table = (_ulaw_to_linear if comp.lower() == b"ulaw"
+                 else _alaw_to_linear)
+        lut = np.array([table(v) for v in range(256)], dtype=np.int64)
+        x = lut[np.frombuffer(data, dtype=np.uint8)]
+        return _pcm_int_stats(x, 32768.0)
+    if comp == b"sowt" and bits == 16:
+        x = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.int64)
+        return _pcm_int_stats(x, 32768.0)
+    if comp not in (b"NONE", b"twos"):
+        return None  # compressed AIFC outside the decoded subset
     if bits == 8:
         x = np.frombuffer(data, dtype=np.int8).astype(np.int64)
         full = 128.0

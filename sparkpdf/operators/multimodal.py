@@ -1011,7 +1011,8 @@ def extract_attachment_media(pdf_raw: DataFrame) -> DataFrame:
             if raw[8:12] == b"AVI ":
                 return "video"
         if (raw[:4] in (b"fLaC", b".snd", b"OggS")
-                or (raw[:4] == b"FORM" and raw[8:12] == b"AIFF")):
+                or (raw[:4] == b"FORM"
+                    and raw[8:12] in (b"AIFF", b"AIFC"))):
             return "audio"
         if raw[4:8] == b"ftyp":
             # ISO-BMFF carries either modality: route by the hdlr
@@ -1219,9 +1220,10 @@ def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL AIFF or Sun AU payload per doc (doc_id %
-    6) with closed-form waveforms (k = 1 + d%7; squares alternate so
-    mean is exactly 0 and every 6-dp round is exact on both engines):
+    """documents -> one REAL AIFF/AIFF-C or Sun AU payload per doc
+    (doc_id % 8) with closed-form waveforms (k = 1 + d%7; squares
+    alternate so mean is exactly 0 and every 6-dp round is exact on
+    both engines):
       0: AIFF 16-bit BE square, A = 4096k -> rms = peak = k/8,
          n = 2*(50 + d%200)
       1: AIFF 8-bit SIGNED square (AIFF is signed at every depth),
@@ -1231,9 +1233,12 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
       3: AU 16-bit BE square, A = 4096k -> k/8, n = 2*(60 + d%100)
       4: AU G.711 mu-law 0x80/0x00 -> +-32124, n = 2*(60 + d%100)
       5: AU G.711 A-law 0xAA/0x2A -> +-32256, n = 2*(60 + d%100)
+      6: AIFF-C 'sowt' (LITTLE-endian 16-bit inside the BE
+         container), A = 4096k -> k/8, n = 2*(50 + d%150)
+      7: AIFF-C 'ulaw' 0x80/0x00 -> +-32124, n = 2*(40 + d%120)
     The engine must walk IFF chunks (COMM's 80-bit extended rate,
-    SSND offset) or the .snd header and decode big-endian samples to
-    match the oracle's restated formulas."""
+    the AIFC compression fourcc, SSND offset) or the .snd header and
+    decode the samples to match the oracle's restated formulas."""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
@@ -1247,7 +1252,7 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
             out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
             for (doc_id,) in pdf.itertuples(index=False):
                 d = int(doc_id)
-                v = d % 6
+                v = d % 8
                 k = 1 + d % 7
                 rate = 8000 + (d % 8) * 1000
                 if v == 0:
@@ -1274,9 +1279,20 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
                 elif v == 4:
                     n = 2 * (60 + d % 100)
                     blob = make_au(rate, 1, 1, bytes([0x80, 0x00] * (n // 2)))
-                else:
+                elif v == 5:
                     n = 2 * (60 + d % 100)
                     blob = make_au(rate, 1, 27, bytes([0xAA, 0x2A] * (n // 2)))
+                elif v == 6:
+                    amp = 4096 * k
+                    n = 2 * (50 + d % 150)
+                    blob = make_aiff(rate, 1, 16, struct.pack(
+                        f"<{n}h", *([amp, -amp] * (n // 2))),
+                        compression=b"sowt")
+                else:
+                    n = 2 * (40 + d % 120)
+                    blob = make_aiff(rate, 1, 8,
+                                     bytes([0x80, 0x00] * (n // 2)),
+                                     compression=b"ulaw")
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"be-audio-{d}")
                 out["modality"].append("audio")

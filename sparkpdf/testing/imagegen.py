@@ -144,21 +144,27 @@ def _ieee_extended_80(rate: int) -> bytes:
 
 
 def make_aiff(sample_rate: int, channels: int, bits: int,
-              data: bytes) -> bytes:
+              data: bytes, compression: bytes | None = None) -> bytes:
     """Minimal valid AIFF: FORM/AIFF with a COMM chunk (channels,
     frames, bits, 80-bit extended rate) and an SSND chunk (offset 0,
-    block size 0) wrapping big-endian signed PCM `data`."""
+    block size 0) wrapping big-endian signed PCM `data`. With
+    `compression` (e.g. b'sowt', b'ulaw') the form becomes AIFF-C and
+    COMM grows the compression fourcc + pstring name."""
     frames = len(data) // max(1, channels * (bits // 8))
-    comm = (b"COMM" + (18).to_bytes(4, "big")
-            + channels.to_bytes(2, "big")
-            + frames.to_bytes(4, "big")
-            + bits.to_bytes(2, "big")
-            + _ieee_extended_80(sample_rate))
+    comm_body = (channels.to_bytes(2, "big")
+                 + frames.to_bytes(4, "big")
+                 + bits.to_bytes(2, "big")
+                 + _ieee_extended_80(sample_rate))
+    form = b"AIFF"
+    if compression is not None:
+        form = b"AIFC"
+        comm_body += compression + b"\x00\x00"  # empty pstring + pad
+    comm = b"COMM" + len(comm_body).to_bytes(4, "big") + comm_body
     ssnd = (b"SSND" + (8 + len(data)).to_bytes(4, "big")
             + bytes(8) + data)
     if len(data) & 1:
         ssnd += b"\x00"  # IFF chunks pad to even offsets
-    body = b"AIFF" + comm + ssnd
+    body = form + comm + ssnd
     return b"FORM" + len(body).to_bytes(4, "big") + body
 
 

@@ -1137,11 +1137,31 @@ def test_aiff_au_sample_decode():
         ">2f", float("nan"), 0.0))) is None
     assert au_pcm_stats(make_au(8000, 1, 23, bytes(8))) is None
 
+    # AIFF-C: NONE (BE), sowt (LE-in-BE-container), ulaw/alaw G.711
+    assert aiff_pcm_stats(make_aiff(
+        8000, 1, 16, struct.pack(">4h", 4096, -4096, 4096, -4096),
+        compression=b"NONE"))["rms"] == 0.125
+    assert aiff_pcm_stats(make_aiff(
+        8000, 1, 16, struct.pack("<4h", 8192, -8192, 8192, -8192),
+        compression=b"sowt"))["rms"] == 0.25
+    assert aiff_pcm_stats(make_aiff(
+        8000, 1, 8, bytes([0x80, 0x00] * 4),
+        compression=b"ulaw"))["peak"] == round(32124 / 32768, 6)
+    assert aiff_pcm_stats(make_aiff(
+        8000, 1, 8, bytes([0xAA, 0x2A] * 4),
+        compression=b"alaw"))["peak"] == round(32256 / 32768, 6)
+    # unknown AIFC compression quarantines
+    assert aiff_pcm_stats(make_aiff(
+        8000, 1, 16, bytes(8), compression=b"ima4")) is None
+
     # corruption fuzz: every truncation point, never a raise
     full = make_aiff(8000, 1, 16, struct.pack(">4h", 1, 2, 3, 4))
     for n in range(len(full)):
         aiff_pcm_stats(full[:n])
         au_pcm_stats(full[:n])
+    aifc = make_aiff(8000, 1, 16, bytes(16), compression=b"sowt")
+    for n in range(len(aifc)):
+        aiff_pcm_stats(aifc[:n])
     aufull = make_au(8000, 1, 3, bytes(10))
     for n in range(len(aufull)):
         au_pcm_stats(aufull[:n])

@@ -377,3 +377,67 @@ def test_wav_pcm_stats_corruption_fuzz(seed):
         full[int(rng.integers(0, len(full)))] ^= int(rng.integers(1, 256))
     out = wav_pcm_stats(bytes(full))
     assert out is None or set(out) == {"n_samples", "rms", "peak", "mean"}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 1200), min_size=1, max_size=8),
+    st.integers(2, 255),
+    st.integers(0, 2**32 - 1),
+)
+def test_ogg_lacing_round_trip(lengths, max_segs, seed):
+    """Property (round 7): any packet sequence — including empty
+    packets and exact 255-multiples, whose lacing must end in a 0
+    terminator — survives page packing at ANY segment budget and
+    reassembles byte-identically through the kernel's _ogg_packets
+    (CRCs verified, continuation flags enforced). The packer here is
+    an independent in-test implementation of RFC 3533, so muxer and
+    demuxer bugs cannot cancel out."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import _ogg_packets
+    from sparkpdf.testing.imagegen import _ogg_crc
+
+    rng = np.random.default_rng(seed)
+    packets = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+               for n in lengths]
+
+    out = bytearray()
+    seq = 0
+    segs: list = []
+    data = bytearray()
+    page_cont = False
+
+    def flush():
+        nonlocal segs, data, seq, page_cont
+        hdr = bytearray(
+            b"OggS" + bytes([0, 0x01 if page_cont else 0])
+            + (0).to_bytes(8, "little") + (1).to_bytes(4, "little")
+            + seq.to_bytes(4, "little") + bytes(4)
+            + bytes([len(segs)]) + bytes(segs))
+        page = bytes(hdr) + bytes(data)
+        hdr[22:26] = _ogg_crc(page).to_bytes(4, "little")
+        out.extend(bytes(hdr) + bytes(data))
+        seq += 1
+        segs, data = [], bytearray()
+
+    for pk in packets:
+        lacing = [255] * (len(pk) // 255) + [len(pk) % 255]
+        off = 0
+        for li, lv in enumerate(lacing):
+            if len(segs) >= max_segs:
+                mid = li > 0
+                flush()
+                page_cont = mid
+            segs.append(lv)
+            data += pk[off:off + lv]
+            off += lv
+    flush()
+
+    assert _ogg_packets(bytes(out)) == packets
+    # a single flipped byte anywhere must quarantine: the CRC is a
+    # linear code, so any one-byte corruption has a nonzero syndrome
+    # (structure flips fail earlier) — never silently-wrong packets
+    flip = bytearray(out)
+    flip[int(rng.integers(0, len(flip)))] ^= 0xFF
+    assert _ogg_packets(bytes(flip)) is None
