@@ -1361,6 +1361,25 @@ def q_aiff_au_pcm_stats(spark, sf_dir):
     )
 
 
+def q_video_scene_cuts(spark, sf_dir):
+    # round 7: scene-cut detection — decoded frame features feed a
+    # JVM lag window per doc (whole-stage codegen; Python ends at
+    # pixel decode). The planted gray sequence g_i = 16 + 2*((d +
+    # 37*i) % 112) makes every delta a closed form the oracle
+    # restates over a generate_series cross join.
+    from sparkpdf.operators.multimodal import (
+        detect_scene_cuts,
+        extract_video_frame_features,
+        synthesize_mjpeg_media,
+    )
+
+    frames = extract_video_frame_features(
+        synthesize_mjpeg_media(_t(spark, sf_dir, "documents")))
+    return detect_scene_cuts(frames, threshold=60.0).select(
+        "doc_id", "frame_idx", "mean_luma", "prev_luma", "delta"
+    )
+
+
 def q_mp4_audio_stats(spark, sf_dir):
     # round 7: PCM-in-MP4 (QuickTime uncompressed sample entries
     # sowt/twos/in24/raw) — the engine resolves the ISO-BMFF sample
@@ -1506,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the same extract_audio_pcm_features lane and §8.7 sample
         # tables already window-covered by video_frame_stats ---
         "mp4_audio_stats": q_mp4_audio_stats,
+        "video_scene_cuts": q_video_scene_cuts,
         # --- flagship/perf-plan continuity ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3113,6 +3133,25 @@ def oracle_sql() -> dict[str, str]:
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents
+    """
+    # video_scene_cuts (round 7): lag-window deltas over the decoded
+    # frame sequence; the planted grays make every delta closed-form.
+    sql["video_scene_cuts"] = """
+        WITH f AS (
+            SELECT d.doc_id, t.i AS frame_idx,
+                   CAST(16 + 2 * ((d.doc_id + 37 * t.i) % 112)
+                        AS DOUBLE) AS mean_luma,
+                   CAST(16 + 2 * ((d.doc_id + 37 * (t.i - 1)) % 112)
+                        AS DOUBLE) AS prev_luma
+            FROM documents d CROSS JOIN generate_series(0, 4) t(i)
+            WHERE t.i < 1 + d.doc_id % 5
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(frame_idx AS INTEGER) AS frame_idx,
+               mean_luma, prev_luma,
+               mean_luma - prev_luma AS delta
+        FROM f
+        WHERE frame_idx >= 1 AND ABS(mean_luma - prev_luma) >= 60.0
     """
     # ogg_flac_stats (round 7): Ogg-encapsulated FLAC — every page
     # CRC-verified, packets reassembled through lacing (incl.

@@ -1162,6 +1162,31 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
+def detect_scene_cuts(frames: DataFrame,
+                      threshold: float = 60.0) -> DataFrame:
+    """Scene-cut detection over decoded video frames (round 7): a
+    JVM-side lag window per (doc_id, media_ref) ordered by frame_idx
+    flags frames whose mean-luma jump from the previous frame meets
+    `threshold`. Composes with extract_video_frame_features — the
+    Python boundary ends at pixel decode; the analytics stay in
+    whole-stage codegen. Scale: the window partitions by document
+    (bounded frames per doc), so no global sort and no skew beyond
+    the longest single video."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "media_ref").orderBy("frame_idx")
+    prev = F.lag("mean_luma").over(w)
+    return (
+        frames.filter(F.col("error").isNull())
+        .withColumn("prev_luma", prev)
+        .withColumn("delta", F.col("mean_luma") - F.col("prev_luma"))
+        .filter(F.col("prev_luma").isNotNull()
+                & (F.abs(F.col("delta")) >= F.lit(threshold)))
+        .select("doc_id", "media_ref", "frame_idx", "mean_luma",
+                "prev_luma", "delta")
+    )
+
+
 def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL MJPEG movie per doc, container rotating
     by d%3 (0 -> RIFF/AVI with movi chunks + idx1; 1 -> ISO-BMFF MP4

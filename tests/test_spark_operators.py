@@ -1936,6 +1936,34 @@ def test_attachment_media_bridge(spark, docs):
     assert [r.mean_luma for r in vid] == [100.0]
 
 
+def test_detect_scene_cuts(spark):
+    """detect_scene_cuts flags lag-window luma jumps per doc/ref
+    (first frame never flags — no predecessor), stays JVM-side
+    (Window in the plan, no Python boundary past the input), and
+    respects the threshold inclusively."""
+    from pyspark.sql import Row
+
+    from sparkpdf.operators.multimodal import detect_scene_cuts
+
+    rows = [Row(doc_id="a", media_ref="m", frame_idx=i,
+                width=16, height=8, mean_luma=float(v), error=None)
+            for i, v in enumerate([10, 10, 90, 30, 29])]
+    rows.append(Row(doc_id="b", media_ref="m", frame_idx=0, width=16,
+                    height=8, mean_luma=200.0, error=None))
+    frames = spark.createDataFrame(
+        rows,
+        schema="doc_id string, media_ref string, frame_idx int, "
+               "width int, height int, mean_luma double, error string",
+    )
+    got = {(r.doc_id, r.frame_idx): r.delta
+           for r in detect_scene_cuts(frames, threshold=60.0).collect()}
+    # 10->90 flags (+80), 90->30 flags (-60, inclusive), others don't;
+    # doc b's single frame has no predecessor
+    assert got == {("a", 2): 80.0, ("a", 3): -60.0}
+    plan = detect_scene_cuts(frames)._jdf.queryExecution().toString()
+    assert "Window" in plan
+
+
 def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
     """Round-6 verdict item 5: the pixel policy pinned END-TO-END
     through jobs/media_job.py. A budget far below any format's
