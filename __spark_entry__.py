@@ -1361,6 +1361,44 @@ def q_aiff_au_pcm_stats(spark, sf_dir):
     )
 
 
+def q_audio_segment_stats(spark, sf_dir):
+    # round 7: per-segment audio features — the decoded WAV stream
+    # sliced into 64-sample windows, exact-int stats per segment. The
+    # corpus aligns loud/silent blocks to segment boundaries, so
+    # every row is closed-form over a generate_series cross join.
+    from sparkpdf.operators.multimodal import (
+        extract_audio_segments,
+        synthesize_segmented_wav_media,
+    )
+
+    return extract_audio_segments(
+        synthesize_segmented_wav_media(_t(spark, sf_dir, "documents")),
+        segment_samples=64,
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "seg_idx", "n_samples", "rms", "peak", "mean"
+    )
+
+
+def q_audio_silence_spans(spark, sf_dir):
+    # round 7: gaps-and-islands silence detection over the segment
+    # rows (seg_idx - row_number grouping, one doc-partitioned window
+    # + one partial-agg groupBy, all JVM-side). Span positions are
+    # closed-form: repeat j's silent run starts at j*(L+Q)+L.
+    from sparkpdf.operators.multimodal import (
+        detect_silence_spans,
+        extract_audio_segments,
+        synthesize_segmented_wav_media,
+    )
+
+    segs = extract_audio_segments(
+        synthesize_segmented_wav_media(_t(spark, sf_dir, "documents")),
+        segment_samples=64,
+    )
+    return detect_silence_spans(segs, rms_threshold=0.01).select(
+        "doc_id", "media_ref", "span_start", "span_end", "n_segs"
+    )
+
+
 def q_video_scene_cuts(spark, sf_dir):
     # round 7: scene-cut detection — decoded frame features feed a
     # JVM lag window per doc (whole-stage codegen; Python ends at
@@ -1526,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tables already window-covered by video_frame_stats ---
         "mp4_audio_stats": q_mp4_audio_stats,
         "video_scene_cuts": q_video_scene_cuts,
+        "audio_segment_stats": q_audio_segment_stats,
+        "audio_silence_spans": q_audio_silence_spans,
         # --- flagship/perf-plan continuity ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3133,6 +3173,50 @@ def oracle_sql() -> dict[str, str]:
                           END, 6) AS peak,
                CAST(0.0 AS DOUBLE) AS mean
         FROM documents
+    """
+    # audio_segment_stats (round 7): 64-sample windows over the
+    # decoded stream; the corpus aligns loud (square +-4096k) and
+    # silent blocks to segment boundaries. L = 2+d%3 loud then
+    # Q = 1+d%2 silent per repeat, r = 1+d%3 repeats.
+    sql["audio_segment_stats"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   1 + doc_id % 7 AS k,
+                   2 + doc_id % 3 AS l,
+                   1 + doc_id % 2 AS q,
+                   1 + doc_id % 3 AS r
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(t.i AS INTEGER) AS seg_idx,
+               CAST(64 AS BIGINT) AS n_samples,
+               ROUND(CASE WHEN (t.i % (l + q)) < l
+                          THEN (4096 * k) / 32768.0 ELSE 0.0 END, 6)
+                   AS rms,
+               ROUND(CASE WHEN (t.i % (l + q)) < l
+                          THEN (4096 * k) / 32768.0 ELSE 0.0 END, 6)
+                   AS peak,
+               CAST(0.0 AS DOUBLE) AS mean
+        FROM p CROSS JOIN generate_series(0, 17) t(i)
+        WHERE t.i < r * (l + q)
+    """
+    # audio_silence_spans (round 7): repeat j's silent island runs
+    # seg [j*(L+Q)+L, j*(L+Q)+L+Q-1], Q segments long.
+    sql["audio_silence_spans"] = """
+        WITH p AS (
+            SELECT doc_id,
+                   2 + doc_id % 3 AS l,
+                   1 + doc_id % 2 AS q,
+                   1 + doc_id % 3 AS r
+            FROM documents
+        )
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'seg-wav-' || CAST(doc_id AS VARCHAR) AS media_ref,
+               CAST(j.j * (l + q) + l AS INTEGER) AS span_start,
+               CAST(j.j * (l + q) + l + q - 1 AS INTEGER) AS span_end,
+               CAST(q AS BIGINT) AS n_segs
+        FROM p CROSS JOIN generate_series(0, 2) j(j)
+        WHERE j.j < r
     """
     # video_scene_cuts (round 7): lag-window deltas over the decoded
     # frame sequence; the planted grays make every delta closed-form.

@@ -733,22 +733,19 @@ def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
     return out
 
 
-def wav_pcm_stats(b: bytes) -> Optional[dict]:
-    """REAL sample-level decode for WAV payloads (round 6 — upgrades
-    the audio lane from header-only): linear PCM (format 1; 8-bit
-    unsigned, 16/24/32-bit signed LE), IEEE float32 (format 3),
-    G.711 A-law / mu-law (formats 6/7, decoded by the public
-    closed-form expansion above), and — round 7 — the two classic
-    compressed WAV codecs: Microsoft ADPCM (format 2) and IMA/DVI
-    ADPCM (format 17), decoded block-by-block with the public
-    integer adaptation tables. Returns
-    {n_samples, rms, peak, mean} with amplitudes normalized to
-    full scale and rounded to 6 dp; integer formats accumulate
-    sum/sum-of-squares EXACTLY (python ints via numpy int64 ->
-    object-free paths), so a synthetic corpus with closed-form
-    waveforms round-trips bit-identically through an SQL oracle.
-    Anything else (extensible fmt, exotic codecs...) returns None —
-    the quarantine lane, same contract as the other media kernels."""
+def _wav_samples(b: bytes):
+    """Decode a WAV payload to its full sample stream (round 6, shape
+    refactored round 7): linear PCM (format 1; 8-bit unsigned,
+    16/24/32-bit signed LE), IEEE float32 (format 3), G.711 A-law /
+    mu-law (formats 6/7, the public closed-form expansion above), and
+    the two classic compressed WAV codecs — Microsoft ADPCM (format
+    2) and IMA/DVI ADPCM (format 17), decoded block-by-block with the
+    public integer adaptation tables. Returns (int64 numpy array,
+    full_scale) for the integer lanes, (float64 array, None) for
+    float32, or None for anything else (extensible fmt, exotic
+    codecs — the quarantine lane). Shared by wav_pcm_stats and the
+    per-segment features; integer samples accumulate exactly
+    downstream so closed-form corpora hash-match an SQL oracle."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     import numpy as np
@@ -808,12 +805,7 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
             # NaN/Inf payload floats would flow straight through
             # np.mean into the feature row — quarantine instead
             return None
-        return {
-            "n_samples": n,
-            "rms": round(float(np.sqrt(np.mean(xf * xf))), 6),
-            "peak": round(float(np.max(np.abs(xf))), 6),
-            "mean": round(float(np.mean(xf)), 6),
-        }
+        return xf, None
     elif audio_fmt in (6, 7) and bits == 8:
         table = _alaw_to_linear if audio_fmt == 6 else _ulaw_to_linear
         lut = np.array([table(v) for v in range(256)], dtype=np.int64)
@@ -821,7 +813,59 @@ def wav_pcm_stats(b: bytes) -> Optional[dict]:
         full = 32768.0
     else:
         return None
+    if not int(x.size):
+        return None
+    return x, full
+
+
+def _float_stats(xf) -> dict:
+    import numpy as np
+
+    return {
+        "n_samples": int(xf.size),
+        "rms": round(float(np.sqrt(np.mean(xf * xf))), 6),
+        "peak": round(float(np.max(np.abs(xf))), 6),
+        "mean": round(float(np.mean(xf)), 6),
+    }
+
+
+def wav_pcm_stats(b: bytes) -> Optional[dict]:
+    """REAL sample-level decode for WAV payloads (see _wav_samples
+    for the decoded surface: PCM 8/16/24/32, IEEE float32, G.711
+    mu/A-law, IMA + Microsoft ADPCM). Returns {n_samples, rms, peak,
+    mean} normalized to full scale, 6 dp; integer lanes accumulate
+    exactly so closed-form corpora hash-match an SQL oracle.
+    Undecodable payloads return None (quarantine)."""
+    r = _wav_samples(b)
+    if r is None:
+        return None
+    x, full = r
+    if full is None:
+        return _float_stats(x)
     return _pcm_int_stats(x, full)
+
+
+def wav_pcm_segment_stats(b: bytes, segment: int):
+    """Per-segment audio features (round 7): the decoded WAV sample
+    stream sliced into fixed `segment`-sample windows (last may be
+    short), each with the same exact-int {n_samples, rms, peak, mean}
+    contract as the whole-payload stats — the substrate for windowed
+    audio analytics (silence spans, loudness segmentation) the same
+    way per-frame rows feed scene cuts. None quarantines."""
+    if segment <= 0:
+        return None
+    r = _wav_samples(b)
+    if r is None:
+        return None
+    x, full = r
+    out = []
+    for i in range(0, int(x.size), segment):
+        sl = x[i:i + segment]
+        st = (_float_stats(sl) if full is None
+              else _pcm_int_stats(sl, full))
+        st["seg_idx"] = i // segment
+        out.append(st)
+    return out or None
 
 
 def _pcm_int_stats(x, full: float) -> Optional[dict]:

@@ -1162,6 +1162,91 @@ def extract_video_frame_features(media: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_SEGMENT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("seg_idx", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+        StructField("mean", DoubleType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def extract_audio_segments(media: DataFrame,
+                           segment_samples: int = 64) -> DataFrame:
+    """Per-segment audio features (round 7): each WAV payload's
+    decoded sample stream sliced into fixed windows, one row per
+    segment with the exact-int stats contract — the audio analog of
+    per-frame video rows, feeding windowed analytics (silence spans,
+    loudness segmentation). Undecodable payloads emit a single
+    quarantine row; Arrow-batched mapInPandas, rows explode
+    kernel-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.media import wav_pcm_segment_stats
+
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SEGMENT_SCHEMA.fields}
+            for doc_id, media_ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                segs, err = None, None
+                try:
+                    segs = wav_pcm_segment_stats(bytes(payload),
+                                                 segment_samples)
+                    if segs is None:
+                        err = ("unsupported audio payload (not a "
+                               "decodable WAV)")
+                except Exception as e:  # poison payloads quarantine
+                    err = f"{type(e).__name__}: {e}"
+                for st in (segs if segs else [None]):
+                    out["doc_id"].append(str(doc_id))
+                    out["media_ref"].append(str(media_ref))
+                    out["seg_idx"].append(
+                        st["seg_idx"] if st else None)
+                    out["n_samples"].append(
+                        int(st["n_samples"]) if st else None)
+                    out["rms"].append(st["rms"] if st else None)
+                    out["peak"].append(st["peak"] if st else None)
+                    out["mean"].append(st["mean"] if st else None)
+                    out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        gen, schema=AUDIO_SEGMENT_SCHEMA
+    )
+
+
+def detect_silence_spans(segments: DataFrame,
+                         rms_threshold: float = 0.01) -> DataFrame:
+    """Silence-span detection (round 7): gaps-and-islands over the
+    per-segment rows — silent segments (rms <= threshold) group into
+    maximal consecutive runs via the classic seg_idx - row_number
+    trick, all JVM-side (one window + one partial-agg groupBy, both
+    partitioned by document, so no global sort and skew bounded by
+    the longest single recording)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id", "media_ref").orderBy("seg_idx")
+    silent = (
+        segments.filter(F.col("error").isNull()
+                        & (F.col("rms") <= F.lit(rms_threshold)))
+        .withColumn("grp", F.col("seg_idx")
+                    - F.row_number().over(w))
+    )
+    return (
+        silent.groupBy("doc_id", "media_ref", "grp")
+        .agg(F.min("seg_idx").alias("span_start"),
+             F.max("seg_idx").alias("span_end"),
+             F.count("*").alias("n_segs"))
+        .drop("grp")
+    )
+
+
 def detect_scene_cuts(frames: DataFrame,
                       threshold: float = 60.0) -> DataFrame:
     """Scene-cut detection over decoded video frames (round 7): a
@@ -1322,6 +1407,46 @@ def synthesize_bigendian_audio_media(documents: DataFrame) -> DataFrame:
                 out["media_ref"].append(f"be-audio-{d}")
                 out["modality"].append("audio")
                 out["payload"].append(blob)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_segmented_wav_media(documents: DataFrame) -> DataFrame:
+    """documents -> one 16-bit WAV per doc whose waveform alternates
+    LOUD and SILENT blocks exactly aligned to 64-sample segments:
+    r = 1 + d%3 repeats of [L = 2 + d%3 loud segments (square +-A,
+    A = 4096k, k = 1 + d%7)] + [Q = 1 + d%2 zero segments]. Every
+    segment is full, loud segments have rms = peak = k/8 / mean 0 and
+    silent ones are exactly 0 — closed forms for BOTH the
+    per-segment query and the silence-span islands."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from ..testing.imagegen import make_wav
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                k = 1 + d % 7
+                amp = 4096 * k
+                r = 1 + d % 3
+                loud_segs = 2 + d % 3
+                quiet_segs = 1 + d % 2
+                vals = ((([amp, -amp] * 32) * loud_segs
+                         + [0] * (64 * quiet_segs)) * r)
+                data = struct.pack(f"<{len(vals)}h", *vals)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"seg-wav-{d}")
+                out["modality"].append("audio")
+                out["payload"].append(
+                    make_wav(8000 + (d % 8) * 1000, 0, bits=16,
+                             data=data))
             yield pd.DataFrame(out)
 
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)

@@ -1936,6 +1936,62 @@ def test_attachment_media_bridge(spark, docs):
     assert [r.mean_luma for r in vid] == [100.0]
 
 
+def test_audio_segments_and_silence_spans(spark, docs):
+    """extract_audio_segments emits one exact-stats row per 64-sample
+    window (short final window included) and detect_silence_spans
+    groups consecutive silent segments into maximal islands —
+    boundaries never merge across loud gaps; poison payloads
+    quarantine with one row."""
+    from pyspark.sql import Row
+
+    from sparkpdf.operators.multimodal import (
+        detect_silence_spans,
+        extract_audio_segments,
+        synthesize_segmented_wav_media,
+    )
+
+    segs = extract_audio_segments(
+        synthesize_segmented_wav_media(docs.limit(6)),
+        segment_samples=64)
+    by_doc = {}
+    for r in segs.collect():
+        assert r.error is None and r.n_samples == 64
+        by_doc.setdefault(int(r.doc_id), []).append(r)
+    for d, rows in by_doc.items():
+        l, q, rep = 2 + d % 3, 1 + d % 2, 1 + d % 3
+        assert len(rows) == rep * (l + q)
+        for r in rows:
+            loud = (r.seg_idx % (l + q)) < l
+            assert (r.rms > 0) == loud and r.mean == 0.0
+    spans = detect_silence_spans(segs, rms_threshold=0.01).collect()
+    got = {}
+    for s in spans:
+        got.setdefault(int(s.doc_id), []).append(
+            (s.span_start, s.span_end, s.n_segs))
+    for d, sp in got.items():
+        l, q, rep = 2 + d % 3, 1 + d % 2, 1 + d % 3
+        expect = [(j * (l + q) + l, j * (l + q) + l + q - 1, q)
+                  for j in range(rep)]
+        assert sorted(sp) == expect
+    # a short final window reports its true sample count
+    from sparkpdf.kernels.media import wav_pcm_segment_stats
+    from sparkpdf.testing.imagegen import make_wav
+    import struct
+
+    w = make_wav(8000, 0, bits=16,
+                 data=struct.pack("<6h", 1, 2, 3, 4, 5, 6))
+    out = wav_pcm_segment_stats(w, 4)
+    assert [s["n_samples"] for s in out] == [4, 2]
+    # poison payloads quarantine with a single row
+    poison = spark.createDataFrame(
+        [Row(doc_id="p", media_ref="bad", modality="audio",
+             payload=b"not audio")],
+        schema="doc_id string, media_ref string, modality string, "
+               "payload binary")
+    bad = extract_audio_segments(poison).collect()
+    assert len(bad) == 1 and bad[0].error is not None
+
+
 def test_detect_scene_cuts(spark):
     """detect_scene_cuts flags lag-window luma jumps per doc/ref
     (first frame never flags — no predecessor), stays JVM-side
