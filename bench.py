@@ -137,6 +137,64 @@ def timed_jpeg_decode() -> dict:
     }
 
 
+def timed_av_decode() -> dict:
+    """Single-core A/V sample/frame decode throughput (round 7):
+    representative payloads per lane — vectorized WAV PCM, the
+    sequential FLAC bitstream, the IMA ADPCM state machine, and
+    MJPEG-in-AVI frames through the JPEG kernel. Best-of-3; MB/s of
+    encoded container bytes per lane (the numbers av_stats_policy
+    would measure on this corpus class)."""
+    import struct
+
+    import numpy as np
+
+    from sparkpdf.kernels.media import (
+        avi_mjpeg_frames,
+        flac_pcm_stats,
+        wav_pcm_stats,
+    )
+    from sparkpdf.kernels.jpeg import encode_jpeg
+    from sparkpdf.testing.imagegen import (
+        encode_flac,
+        ima_adpcm_block,
+        make_avi,
+        make_wav,
+        make_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(11)
+    pcm = struct.pack(
+        "<65536h", *map(int, rng.integers(-20000, 20000, 65536)))
+    wav = make_wav(44100, 0, bits=16, data=pcm)
+    flac = encode_flac(
+        list(map(int, rng.integers(-2000, 2000, 16384))), 44100,
+        block_size=4096)
+    blk = ima_adpcm_block([0], [20], bytes(
+        map(int, rng.integers(0, 256, 252))))
+    adpcm = make_wav_adpcm(44100, 1, 17, 256, 505, blk * 64)
+    frames = [encode_jpeg(np.clip(
+        128 + 60 * np.sin(np.mgrid[0:64, 0:64][1] / 7 + i), 0, 255
+    ).astype(np.uint8)) for i in range(4)]
+    avi = make_avi(64, 64, 0, frames=frames)
+    lanes = {
+        "wav_pcm": (wav, wav_pcm_stats),
+        "flac": (flac, flac_pcm_stats),
+        "adpcm": (adpcm, wav_pcm_stats),
+        "mjpeg_avi": (avi, avi_mjpeg_frames),
+    }
+    out = {}
+    for name, (blob, fn) in lanes.items():
+        assert fn(blob) is not None  # warm pass
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            fn(blob)
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(len(blob) / 1e6 / max(best, 1e-9), 2)
+    return out
+
+
 def _calib_worker(_i: int) -> str:
     import hashlib
 
@@ -286,6 +344,7 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
         "jpeg_decode": timed_jpeg_decode(),
+        "av_decode_mb_per_sec": timed_av_decode(),
         "pixel_policy": pixel_policy,
         "host_calibration": host_calibration(),
     }
