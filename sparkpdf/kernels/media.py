@@ -1729,32 +1729,41 @@ class _FlacBitR:
         self.pos = bytepos * 8
 
     def read(self, n: int) -> int:
-        b, pos = self.b, self.pos
-        if pos + n > len(b) * 8:
+        # one int.from_bytes over the covered span (round 7 — the
+        # per-byte shift loop was a measured hotspot at ~130k
+        # calls per representative frame set)
+        pos = self.pos
+        end = pos + n
+        b = self.b
+        if end > len(b) * 8:
             raise ValueError("flac: bitstream truncated")
-        out = 0
-        while n:
-            avail = 8 - (pos & 7)
-            take = avail if avail < n else n
-            out = (out << take) | (
-                (b[pos >> 3] >> (avail - take)) & ((1 << take) - 1)
-            )
-            pos += take
-            n -= take
-        self.pos = pos
-        return out
+        self.pos = end
+        hi = (end + 7) >> 3
+        chunk = int.from_bytes(b[pos >> 3:hi], "big")
+        return (chunk >> ((hi << 3) - end)) & ((1 << n) - 1)
 
     def sread(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >= 1 << (n - 1) else v
 
     def unary(self) -> int:
+        # skip whole zero bytes; locate the terminating 1 via
+        # bit_length on the current byte's remaining bits
+        b, pos = self.b, self.pos
+        nbits = len(b) * 8
         q = 0
-        while self.read(1) == 0:
-            q += 1
+        while pos < nbits:
+            rem = 8 - (pos & 7)
+            bits = b[pos >> 3] & ((1 << rem) - 1)
+            if bits:
+                lead = rem - bits.bit_length()
+                self.pos = pos + lead + 1
+                return q + lead
+            q += rem
+            pos += rem
             if q > 1 << 20:  # corrupt zero-fill: bail, don't spin
                 raise ValueError("flac: runaway unary code")
-        return q
+        raise ValueError("flac: bitstream truncated")
 
 
 def _flac_coded_number_read(b: bytes, i: int):
@@ -1776,22 +1785,47 @@ def _flac_coded_number_read(b: bytes, i: int):
     return n, i + k
 
 
+_FLAC_CRC8_TABLE = None
+_FLAC_CRC16_TABLE = None
+
+
 def _flac_crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07, table-driven (round 7 — the per-bit loop was
+    a measured hotspot: CRCs run over EVERY frame byte)."""
+    global _FLAC_CRC8_TABLE
+    if _FLAC_CRC8_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 \
+                    else (c << 1) & 0xFF
+            tbl.append(c)
+        _FLAC_CRC8_TABLE = tbl
     c = 0
+    tbl = _FLAC_CRC8_TABLE
     for byte in data:
-        c ^= byte
-        for _ in range(8):
-            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        c = tbl[c ^ byte]
     return c
 
 
 def _flac_crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005, table-driven (same hotspot class; 24% of
+    a representative decode wall before the table)."""
+    global _FLAC_CRC16_TABLE
+    if _FLAC_CRC16_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                    else (c << 1) & 0xFFFF
+            tbl.append(c)
+        _FLAC_CRC16_TABLE = tbl
     c = 0
+    tbl = _FLAC_CRC16_TABLE
     for byte in data:
-        c ^= byte << 8
-        for _ in range(8):
-            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 else \
-                (c << 1) & 0xFFFF
+        c = ((c << 8) & 0xFF00) ^ tbl[(c >> 8) ^ byte]
     return c
 
 
@@ -1824,10 +1858,40 @@ def _flac_residual(r: _FlacBitR, order: int, block_size: int):
             else:  # 0-bit escape: all-zero residuals
                 resid.extend([0] * n)
         else:
+            # fused rice loop (round 7 perf): unary + param-bit read
+            # against local buffer state — two method calls per
+            # residual were the remaining measured hotspot
+            b = r.b
+            pos = r.pos
+            nbits = len(b) * 8
+            mask = (1 << param) - 1
+            append = resid.append
             for _ in range(n):
-                q = r.unary()
-                u = (q << param) | r.read(param)
-                resid.append((u >> 1) ^ -(u & 1))
+                q = 0
+                while True:
+                    if pos >= nbits:
+                        raise ValueError("flac: bitstream truncated")
+                    rem = 8 - (pos & 7)
+                    bits = b[pos >> 3] & ((1 << rem) - 1)
+                    if bits:
+                        lead = rem - bits.bit_length()
+                        q += lead
+                        pos += lead + 1
+                        break
+                    q += rem
+                    pos += rem
+                    if q > 1 << 20:  # corrupt zero-fill
+                        raise ValueError("flac: runaway unary code")
+                end = pos + param
+                if end > nbits:
+                    raise ValueError("flac: bitstream truncated")
+                hi = (end + 7) >> 3
+                u = (q << param) | (
+                    (int.from_bytes(b[pos >> 3:hi], "big")
+                     >> ((hi << 3) - end)) & mask)
+                pos = end
+                append((u >> 1) ^ -(u & 1))
+            r.pos = pos
     return resid
 
 
