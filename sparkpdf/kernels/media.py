@@ -601,6 +601,28 @@ _IMA_STEPS = (
 )
 _IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
+# flattened (step_index * 16 + nibble) -> (signed diff, next index):
+# the inner loop is pure table lookups (round 7 perf — the shifts and
+# clamps are state-independent, so they precompute exactly)
+_IMA_DIFF = []
+_IMA_NEXT = []
+for _ix in range(89):
+    _step = _IMA_STEPS[_ix]
+    for _nib in range(16):
+        _d = _step >> 3
+        if _nib & 1:
+            _d += _step >> 2
+        if _nib & 2:
+            _d += _step >> 1
+        if _nib & 4:
+            _d += _step
+        _IMA_DIFF.append(-_d if _nib & 8 else _d)
+        _nx = _ix + _IMA_INDEX[_nib]
+        _IMA_NEXT.append(0 if _nx < 0 else (88 if _nx > 88 else _nx))
+_IMA_DIFF = tuple(_IMA_DIFF)
+_IMA_NEXT = tuple(_IMA_NEXT)
+del _ix, _step, _nib, _d, _nx
+
 # Microsoft ADPCM adaptation table + the 7 standard predictor
 # coefficient pairs (spec fixes both; the fmt-chunk copy is redundant).
 _MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
@@ -646,20 +668,19 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
         for g in range(0, len(body), 4 * channels):
             for c in range(channels):
                 p, ix = pred[c], idx[c]
+                append = chans[c].append
                 for byte in body[g + 4 * c:g + 4 * c + 4]:
-                    for nib in (byte & 0x0F, byte >> 4):
-                        step = _IMA_STEPS[ix]
-                        diff = step >> 3
-                        if nib & 1:
-                            diff += step >> 2
-                        if nib & 2:
-                            diff += step >> 1
-                        if nib & 4:
-                            diff += step
-                        p = _clamp16(p - diff if nib & 8 else p + diff)
-                        ix += _IMA_INDEX[nib]
-                        ix = 0 if ix < 0 else (88 if ix > 88 else ix)
-                        chans[c].append(p)
+                    k = (ix << 4) | (byte & 0x0F)
+                    p += _IMA_DIFF[k]
+                    p = -32768 if p < -32768 else (
+                        32767 if p > 32767 else p)
+                    append(p)
+                    k = (_IMA_NEXT[k] << 4) | (byte >> 4)
+                    p += _IMA_DIFF[k]
+                    p = -32768 if p < -32768 else (
+                        32767 if p > 32767 else p)
+                    append(p)
+                    ix = _IMA_NEXT[k]
                 pred[c], idx[c] = p, ix
         # interleave channel runs into frames
         if channels == 1:
