@@ -740,16 +740,25 @@ def _ms_adpcm_decode(data: bytes, channels: int, block_align: int):
         out.extend(s1)  # frame 1
         body = data[k + hdr:k + block_align]
         c = 0
+        adapt = _MS_ADAPT
+        append = out.append
         for byte in body:
             for nib in (byte >> 4, byte & 0x0F):
                 signed = nib - 16 if nib & 8 else nib
                 c1, c2 = coef[c]
-                predicted = _trunc_div(s1[c] * c1 + s2[c] * c2, 256)
-                smp = _clamp16(predicted + signed * delta[c])
+                q = s1[c] * c1 + s2[c] * c2
+                # C-style /256 truncates toward zero (spec); inline
+                # of _trunc_div — this loop is the measured hot path
+                smp = (q >> 8 if q >= 0 else -((-q) >> 8)) \
+                    + signed * delta[c]
+                if smp < -32768:
+                    smp = -32768
+                elif smp > 32767:
+                    smp = 32767
                 s2[c], s1[c] = s1[c], smp
-                delta[c] = max(16, _trunc_div(_MS_ADAPT[nib] * delta[c],
-                                              256))
-                out.append(smp)
+                d = (adapt[nib] * delta[c]) >> 8
+                delta[c] = 16 if d < 16 else d
+                append(smp)
                 c = (c + 1) % channels
     return out
 
