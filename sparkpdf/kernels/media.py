@@ -1,12 +1,29 @@
-"""Image header introspection — true dimensions for the media payloads
-the extractor carries (VERDICT r1 #5).
+"""Media kernels — pure Python, no codec libraries, public specs only.
 
-Pure Python, no codec libraries: dimensions live in fixed header
-structures — JPEG's SOFn segment, PNG's IHDR chunk, GIF's logical
-screen descriptor, TIFF's IFD tags 256/257. Pixel decode stays out of
-scope (the reference also hands DCT payloads through undecoded,
-reference filters.py:321-330); TIFF support matters because our own
-CCITT path (kernels/filters.py ccitt_fax_wrap) emits TIFF containers.
+Grew from round-1 header introspection (JPEG SOFn / PNG IHDR / GIF LSD
+/ TIFF IFD dimensions) into real decode across the media surface:
+
+* image pixels: PNG (all color/depth combos + Adam7), GIF (LZW +
+  animation compositing), TIFF (strips/tiles/planar/JPEG-in-TIFF),
+  plus the G4 fax codec in kernels/ccitt_g4.py and the full JPEG
+  codec in kernels/jpeg.py;
+* audio samples: WAV (PCM 8-32, float32, G.711 mu/A-law, IMA +
+  Microsoft ADPCM via precomputed adaptation tables), FLAC (native
+  frame decode, CRC-verified, and Ogg-encapsulated per the
+  FLAC-to-Ogg mapping with page CRCs verified), AIFF/AIFF-C, Sun AU,
+  and PCM-in-MP4 through the shared ISO-BMFF sample-table walk;
+* video frames: MJPEG demuxed from RIFF/AVI (movi chunks), ISO-BMFF
+  (stsd/stsc/stco/stsz resolution) and Matroska (V_MJPEG
+  SimpleBlocks), each frame through the JPEG kernel;
+* container metadata: WAV/MP4/MP3/MKV/FLAC/Ogg/AVI duration, rate
+  and dimension probes (av_info).
+
+Contract everywhere: undecodable or corrupt payloads return None —
+the operators' error-column quarantine lane — never a raise. The
+reference has no media decode at all (its only media op is DCT
+passthrough, reference filters.py:321-330); this surface is pipeline
+scope. Integer lanes accumulate stats exactly so synthetic
+closed-form corpora hash-match SQL oracles.
 """
 
 from __future__ import annotations

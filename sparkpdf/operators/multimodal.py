@@ -1,14 +1,18 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 Real Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-signatures, partitioning) with REAL header decode for every modality:
-images parse their JPEG/PNG/GIF/TIFF container structures (plus a full
-G4 fax pixel decode), audio parses WAV/RIFF chunks, video parses
-MP4/ISO-BMFF boxes (kernels/media.py — no codec library needed).
-SAMPLE decode (pixels/PCM/frames) stays out of scope: payloads with
-codecs not present in this container raise NotImplementedError inside
-the kernel and quarantine to empty features (see DECODERS; swapping in
-a real codec is a one-line change per modality).
+signatures, partitioning) with REAL decode for every modality
+(kernels/media.py + kernels/jpeg.py + kernels/ccitt_g4.py — no codec
+library needed): image PIXELS (JPEG incl. progressive/12-bit/
+lossless, PNG, GIF animation, TIFF, G4 fax), audio SAMPLES (WAV PCM/
+float/G.711/ADPCM, FLAC native + Ogg, AIFF/AIFC, AU, PCM-in-MP4 —
+per-payload stats and per-segment rows), and video FRAMES (MJPEG in
+AVI/MP4/MKV). Windowed analytics compose on top JVM-side (scene
+cuts, silence spans). Codecs outside the decoded subset quarantine
+via the error column — never a raise, never a dropped row. Decode
+cost is a MEASURED decision: pixel_stats_policy / av_stats_policy
+sample per sniffed format, time the real kernels, and gate
+decode-vs-header by throughput/budget.
 
 media table schema:
     media(doc_id STRING, media_ref STRING, modality STRING,

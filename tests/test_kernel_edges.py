@@ -863,6 +863,22 @@ def test_adpcm_sample_decode():
     assert _ms_adpcm_decode(mblk, 1, 9) == [
         -500, 1000, 1033, 856, 1033, 336]
 
+    # MS stereo: 7-byte headers per channel, nibbles alternate
+    # channels (high first) — constant streams stay per-channel
+    sblk = ms_adpcm_block([0, 0], [16, 16], [500, -500], [500, -500],
+                          bytes(4))
+    sdec = _ms_adpcm_decode(sblk, 2, 18)
+    assert sdec == [500, -500] * 6  # 2 header frames + 4 nibble frames
+    # IMA stereo alternating: each channel advances independently
+    # through its own 4-byte groups
+    salt = ima_adpcm_block([100, -100], [0, 0],
+                           bytes([0xB3] * 4) + bytes(4))
+    d2 = _ima_adpcm_decode(salt, 2, 16)
+    left = d2[0::2]
+    right = d2[1::2]
+    assert left == [100] + [104, 100] * 4  # +-4 at pinned step 7
+    assert right == [-100] * 9             # zero nibbles: constant
+
     # quarantine lanes
     assert _ima_adpcm_decode(
         ima_adpcm_block([0], [89], bytes(4)), 1, 8) is None
