@@ -319,6 +319,55 @@ def _tiff_decode_planar(b, w, h, spp, photometric, predictor, comp):
     return w, h, spp, arr.tobytes()
 
 
+def _tiff_decode_planar_tiled(b, w, h, spp, photometric, predictor,
+                              tw, th):
+    """PlanarConfiguration 2 x tiled (round 7 — closes the documented
+    quarantine corner): TileOffsets hold TilesAcross x TilesDown tiles
+    for plane 0, then plane 1... (TIFF 6.0 §15 with §14 plane-major
+    order); each tile is one 8-bit sample per pixel, the horizontal
+    predictor differences within the tile's plane rows."""
+    import numpy as _np
+
+    from .filters import lzw_decode
+
+    comp = _tiff_tag(b, 259) or 1
+    if comp not in (1, 5, 32773):
+        return None
+    offs = _tiff_tag_array(b, 324)
+    sizes = _tiff_tag_array(b, 325)
+    tiles_x = -(-w // tw)
+    tiles_y = -(-h // th)
+    per_plane = tiles_x * tiles_y
+    if not offs or not sizes or len(offs) != len(sizes) \
+            or len(offs) != spp * per_plane:
+        return None
+    expect = th * tw  # one 8-bit sample per pixel per plane
+    canvas = _np.zeros((h, w, spp), dtype=_np.uint8)
+    for i, (off, size) in enumerate(zip(offs, sizes)):
+        if off + size > len(b):
+            return None
+        p, rem = divmod(i, per_plane)
+        ty, tx = divmod(rem, tiles_x)
+        raw = b[off:off + size]
+        if comp == 5:
+            raw = lzw_decode(raw, None)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        if len(raw) < expect:
+            return None
+        tile = _np.frombuffer(raw[:expect], _np.uint8).reshape(th, tw)
+        if predictor == 2:
+            tile = _np.cumsum(
+                tile.astype(_np.uint32), axis=1).astype(_np.uint8)
+        y0, x0 = ty * th, tx * tw
+        ny, nx = min(th, h - y0), min(tw, w - x0)
+        canvas[y0:y0 + ny, x0:x0 + nx, p] = tile[:ny, :nx]
+    if photometric == 0:  # WhiteIsZero
+        canvas = 255 - canvas
+    canvas = _np.ascontiguousarray(canvas)
+    return w, h, spp, canvas.tobytes()
+
+
 def tiff_pixels(b: bytes):
     """Decode a baseline multi-strip TIFF to (width, height, channels,
     pixel_bytes) with 8-bit samples: compressions 1 (none), 5 (LZW —
@@ -367,9 +416,13 @@ def _tiff_decode(b: bytes):
         # grouped plane-major. Ignoring the tag would decode plane-0
         # bytes as interleaved RGB — a SILENT wrong answer, which is
         # why this branch (and the quarantine below for the
-        # planar+tiled / planar+JPEG corners) must exist.
-        if (tw and th) or comp == 7 or depth != 8:
+        # remaining planar+JPEG corner) must exist.
+        if comp == 7 or depth != 8:
             return None
+        if tw and th:  # planar x tiled (round 7 — corner closed)
+            return _tiff_decode_planar_tiled(
+                b, w, h, spp, photometric, predictor, tw, th
+            )
         return _tiff_decode_planar(
             b, w, h, spp, photometric, predictor, comp
         )

@@ -1228,10 +1228,13 @@ def make_animated_gif(frame_rows_list, palette, delays_cs, loop=None,
 
 
 def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
-                    compression: int = 1, predictor: int = 1) -> bytes:
+                    compression: int = 1, predictor: int = 1,
+                    planar: int = 1) -> bytes:
     """Tiled TIFF 6.0 (§15) from an (h, w[, ch]) uint8-like array:
     full tile_w x tile_h tiles (edges zero-padded), each compressed
-    independently; tags 322/323/324/325 instead of strips."""
+    independently; tags 322/323/324/325 instead of strips. `planar=2`
+    writes plane-major tile order (all of plane 0's tiles, then plane
+    1's...) with tag 284=2 — the §14 x §15 combination."""
     import numpy as np
 
     from .pdfgen import lzw_encode
@@ -1243,25 +1246,31 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
     tiles_x, tiles_y = -(-w // tile_w), -(-h // tile_h)
     padded = np.zeros((tiles_y * tile_h, tiles_x * tile_w, ch), np.uint8)
     padded[:h, :w] = arr
+    if planar == 2 and ch > 1:
+        blocks = [padded[..., p:p + 1] for p in range(ch)]
+    else:
+        planar = 1
+        blocks = [padded]
     tiles = []
-    for ty in range(tiles_y):
-        for tx in range(tiles_x):
-            t = padded[ty * tile_h:(ty + 1) * tile_h,
-                       tx * tile_w:(tx + 1) * tile_w]
-            if predictor == 2:
-                d = t.astype(np.int16)
-                d[:, 1:, :] -= t[:, :-1, :].astype(np.int16)
-                t = (d & 0xFF).astype(np.uint8)
-            raw = t.tobytes()
-            if compression == 5:
-                raw = lzw_encode(raw)
-            elif compression == 32773:
-                raw = _packbits_encode(raw)
-            elif compression == 7:
-                from ..kernels.jpeg import encode_jpeg_lossless
+    for blk_arr in blocks:
+        for ty in range(tiles_y):
+            for tx in range(tiles_x):
+                t = blk_arr[ty * tile_h:(ty + 1) * tile_h,
+                            tx * tile_w:(tx + 1) * tile_w]
+                if predictor == 2:
+                    d = t.astype(np.int16)
+                    d[:, 1:, :] -= t[:, :-1, :].astype(np.int16)
+                    t = (d & 0xFF).astype(np.uint8)
+                raw = t.tobytes()
+                if compression == 5:
+                    raw = lzw_encode(raw)
+                elif compression == 32773:
+                    raw = _packbits_encode(raw)
+                elif compression == 7:
+                    from ..kernels.jpeg import encode_jpeg_lossless
 
-                raw = encode_jpeg_lossless(np.squeeze(t))
-            tiles.append(raw)
+                    raw = encode_jpeg_lossless(np.squeeze(t))
+                tiles.append(raw)
 
     def _e(v, n):
         return int(v).to_bytes(n, "little")
@@ -1290,6 +1299,8 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
     tag(325, 4, len(tiles), [len(t) for t in tiles])
     if predictor != 1:
         tag(317, 3, 1, [predictor])
+    if planar != 1:
+        tag(284, 3, 1, [planar])
     tags.sort()
     ifd_off = pos
     ext = bytearray()

@@ -1334,12 +1334,13 @@ def test_planar_tiff_decode():
     the SAME pixels as the chunky file across compressions, multi-strip
     layouts and the per-plane predictor. Before this round the tag was
     ignored — plane-0 bytes would decode as interleaved RGB, a silent
-    wrong answer; the unsupported planar corners (tiled, JPEG strips)
-    must quarantine to None instead."""
+    wrong answer. Round 7 closes the planar x TILED corner (plane-
+    major tile order per §14 x §15); planar x JPEG still quarantines
+    to None."""
     import numpy as np
 
     from sparkpdf.kernels.media import tiff_pixels
-    from sparkpdf.testing.imagegen import make_tiff
+    from sparkpdf.testing.imagegen import make_tiff, make_tiff_tiled
 
     rng = np.random.default_rng(23)
     rgb = rng.integers(0, 256, (23, 31, 3), dtype=np.uint8)
@@ -1358,10 +1359,20 @@ def test_planar_tiff_decode():
     gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
     assert tiff_pixels(make_tiff(gray, planar=2)) == \
         tiff_pixels(make_tiff(gray))
+    # round 7: planar x tiled decodes to the chunky pixels across
+    # compressions and the per-plane-tile predictor
+    for comp in (1, 5, 32773):
+        for pred in (1, 2):
+            pt = make_tiff_tiled(rgb, 16, 16, compression=comp,
+                                 predictor=pred, planar=2)
+            assert tiff_pixels(pt) == chunky, (comp, pred)
     # truncation sweep must never raise
     full = make_tiff(rgb, compression=5, planar=2)
     for n in range(0, len(full), 17):
         tiff_pixels(full[:n])
+    ptfull = make_tiff_tiled(rgb, 16, 16, compression=5, planar=2)
+    for n in range(0, len(ptfull), 17):
+        tiff_pixels(ptfull[:n])
 
 
 def test_jpeg_in_tiff_decode():
