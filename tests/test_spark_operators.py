@@ -1990,6 +1990,29 @@ def test_audio_segments_and_silence_spans(spark, docs):
                "payload binary")
     bad = extract_audio_segments(poison).collect()
     assert len(bad) == 1 and bad[0].error is not None
+    # plan: Spark's subset rule chains the whole pass onto existing
+    # partitionings — the corpus is already hashpartitioned by
+    # doc_id, which satisfies the window's (doc, ref) clustering,
+    # whose output in turn satisfies the span aggregation's
+    # (doc, ref, grp) — so detect_silence_spans adds ZERO exchanges
+    # over its input here, and at most ONE on an unpartitioned input
+    # (asserted below). The 100 TB shape: one shuffle per silence
+    # pass, none if the segments are already doc-partitioned.
+    base = segs._jdf.queryExecution().executedPlan().toString() \
+        .count("Exchange")
+    plan = detect_silence_spans(segs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == base, plan
+    flat = spark.createDataFrame(
+        [Row(doc_id="a", media_ref="m", seg_idx=i, n_samples=64,
+             rms=0.0, peak=0.0, mean=0.0, error=None)
+         for i in range(4)],
+        schema="doc_id string, media_ref string, seg_idx int, "
+               "n_samples long, rms double, peak double, mean double, "
+               "error string")
+    flat_plan = detect_silence_spans(flat)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert flat_plan.count("Exchange hashpartitioning") == 1, flat_plan
 
 
 def test_detect_scene_cuts(spark):
