@@ -279,7 +279,9 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
 def _tiff_decode_planar(b, w, h, spp, photometric, predictor, comp):
     """PlanarConfiguration 2 strip decode (8-bit only): strips ordered
     plane 0 first (TIFF 6.0 §14), StripsPerImage strips per plane; the
-    horizontal predictor differences within each plane."""
+    horizontal predictor differences within each plane. Compression 7
+    (round 7 — closes the planar x JPEG corner) decodes each strip as
+    a per-plane grayscale JPEG block (JPEGTables splicing included)."""
     import numpy as _np
 
     from .filters import lzw_decode
@@ -301,6 +303,17 @@ def _tiff_decode_planar(b, w, h, spp, photometric, predictor, comp):
         nrows = min(rows_per_strip, h - row0)
         expect = nrows * rowbytes
         raw = b[off:off + size]
+        if comp == 7:  # per-plane grayscale JPEG strips
+            blk = _tiff_jpeg_block(b, raw)
+            if blk is None or blk.dtype != _np.uint8:
+                return None
+            blk = _np.squeeze(blk)
+            if blk.ndim != 2 or blk.shape[0] < nrows \
+                    or blk.shape[1] < w:
+                return None
+            planes += _np.ascontiguousarray(
+                blk[:nrows, :w]).tobytes()
+            continue
         if comp == 5:
             raw = lzw_decode(raw, None)
         elif comp == 32773:
@@ -414,10 +427,10 @@ def _tiff_decode(b: bytes):
     if planar == 2 and spp > 1:
         # PlanarConfiguration 2 (TIFF 6.0 §14, round 6): strips are
         # grouped plane-major. Ignoring the tag would decode plane-0
-        # bytes as interleaved RGB — a SILENT wrong answer, which is
-        # why this branch (and the quarantine below for the
-        # remaining planar+JPEG corner) must exist.
-        if comp == 7 or depth != 8:
+        # bytes as interleaved RGB — a SILENT wrong answer. Round 7
+        # closes the planar x tiled and planar x JPEG-strip corners;
+        # the planar x tiled x JPEG triple stays quarantined.
+        if depth != 8:
             return None
         if tw and th:  # planar x tiled (round 7 — corner closed)
             return _tiff_decode_planar_tiled(

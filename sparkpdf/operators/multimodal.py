@@ -420,16 +420,18 @@ def synthesize_animated_gif_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
-    """documents -> one TIFF per doc cycling SIX organizations over
-    identical luma (rounds 5-7 — the oracle formula never moves while
-    the engine exercises every decode path):
-      d%6==0 strip, uncompressed      d%6==1 strip, LZW + predictor 2
-      d%6==2 TILED 16x16, LZW         d%6==3 JPEG strips (lossless SOF3)
-      d%6==4 RGB PLANAR (tag 284=2), LZW + predictor 2, multi-strip —
+    """documents -> one TIFF per doc cycling SEVEN organizations
+    over identical luma (rounds 5-7 — the oracle formula never moves
+    while the engine exercises every decode path):
+      d%7==0 strip, uncompressed      d%7==1 strip, LZW + predictor 2
+      d%7==2 TILED 16x16, LZW         d%7==3 JPEG strips (lossless SOF3)
+      d%7==4 RGB PLANAR (tag 284=2), LZW + predictor 2, multi-strip —
              gray-valued planes (R=G=B=row value), so the 299/587/114
              luma equals the gray formula exactly (round 6)
-      d%6==5 RGB PLANAR x TILED 16x16, LZW + predictor 2 (round 7 —
+      d%7==5 RGB PLANAR x TILED 16x16, LZW + predictor 2 (round 7 —
              the §14 x §15 combination, previously a quarantine)
+      d%7==6 RGB PLANAR x JPEG strips (round 7 — §14 x compression 7,
+             per-plane grayscale SOF3 with shared JPEGTables)
     width = 24 + (d%3)*8, height = 8 + (d%2)*8, row y is the constant
     40 + ((d + y*11) % 50) * 4 -> mean_luma = avg_y(row value), exact
     (heights 8/16 keep the mean's decimals terminating)."""
@@ -454,7 +456,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                 img = np.zeros((h, w), dtype=np.uint8)
                 for y in range(h):
                     img[y, :] = 40 + ((d + y * 11) % 50) * 4
-                v = d % 6
+                v = d % 7
                 if v == 0:
                     payload = make_tiff(img)
                 elif v == 1:
@@ -469,11 +471,16 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                     payload = make_tiff(rgb, compression=5,
                                         rows_per_strip=4, predictor=2,
                                         planar=2)
-                else:
+                elif v == 5:
                     rgb = np.repeat(img[..., None], 3, axis=2)
                     payload = make_tiff_tiled(rgb, 16, 16,
                                               compression=5,
                                               predictor=2, planar=2)
+                else:
+                    rgb = np.repeat(img[..., None], 3, axis=2)
+                    payload = make_tiff_jpeg(rgb, rows_per_strip=8,
+                                             planar=2,
+                                             shared_tables=True)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"tif-{d}")
                 out["modality"].append("image")

@@ -1321,11 +1321,15 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
 
 
 def make_tiff_jpeg(pixels, rows_per_strip: int = 0,
-                   shared_tables: bool = False) -> bytes:
+                   shared_tables: bool = False,
+                   planar: int = 1) -> bytes:
     """New-style JPEG-in-TIFF (compression 7): each strip is a full
     lossless-JPEG (SOF3) stream so the round trip is exact; with
     shared_tables the DHT moves into a JPEGTables (347) abbreviated
-    stream and the strips carry no tables (TIFF-EP table sharing)."""
+    stream and the strips carry no tables (TIFF-EP table sharing).
+    `planar=2` writes plane-major strip order (tag 284=2) with each
+    strip a single-plane GRAYSCALE JPEG — the §14 x compression-7
+    combination."""
     import numpy as np
 
     from ..kernels.jpeg import encode_jpeg_lossless
@@ -1335,18 +1339,24 @@ def make_tiff_jpeg(pixels, rows_per_strip: int = 0,
         arr = arr[..., None]
     h, w, ch = arr.shape
     rps = rows_per_strip or h
+    if planar == 2 and ch > 1:
+        blocks = [arr[..., p] for p in range(ch)]
+    else:
+        planar = 1
+        blocks = [np.squeeze(arr)]
     strips = []
     tables_payload = None
-    for r0 in range(0, h, rps):
-        enc = encode_jpeg_lossless(np.squeeze(arr[r0:r0 + rps]))
-        if shared_tables:
-            i = enc.index(b"\xff\xc4")
-            ln = int.from_bytes(enc[i + 2:i + 4], "big")
-            dht = enc[i:i + 2 + ln]
-            if tables_payload is None:
-                tables_payload = b"\xff\xd8" + dht + b"\xff\xd9"
-            enc = enc[:i] + enc[i + 2 + ln:]
-        strips.append(enc)
+    for blk in blocks:
+        for r0 in range(0, h, rps):
+            enc = encode_jpeg_lossless(blk[r0:r0 + rps])
+            if shared_tables:
+                i = enc.index(b"\xff\xc4")
+                ln = int.from_bytes(enc[i + 2:i + 4], "big")
+                dht = enc[i:i + 2 + ln]
+                if tables_payload is None:
+                    tables_payload = b"\xff\xd8" + dht + b"\xff\xd9"
+                enc = enc[:i] + enc[i + 2 + ln:]
+            strips.append(enc)
 
     def _e(v, n):
         return int(v).to_bytes(n, "little")
@@ -1377,6 +1387,8 @@ def make_tiff_jpeg(pixels, rows_per_strip: int = 0,
     tag(277, 3, 1, [ch])
     tag(278, 4, 1, [rps])
     tag(279, 4, len(strips), [len(s) for s in strips])
+    if planar != 1:
+        tag(284, 3, 1, [planar])
     if tables_payload is not None:
         tag(347, 7, len(tables_payload), ("raw", tbl_off))
     tags.sort()

@@ -1366,6 +1366,17 @@ def test_planar_tiff_decode():
             pt = make_tiff_tiled(rgb, 16, 16, compression=comp,
                                  predictor=pred, planar=2)
             assert tiff_pixels(pt) == chunky, (comp, pred)
+    # round 7: planar x JPEG strips (per-plane grayscale SOF3,
+    # with and without shared JPEGTables); the planar x tiled x JPEG
+    # triple stays quarantined
+    from sparkpdf.testing.imagegen import make_tiff_jpeg
+
+    for st in (False, True):
+        pj = make_tiff_jpeg(rgb, rows_per_strip=6, planar=2,
+                            shared_tables=st)
+        assert tiff_pixels(pj) == chunky, st
+    assert tiff_pixels(make_tiff_tiled(rgb, 16, 16, compression=7,
+                                       planar=2)) is None
     # truncation sweep must never raise
     full = make_tiff(rgb, compression=5, planar=2)
     for n in range(0, len(full), 17):
