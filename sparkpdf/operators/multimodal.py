@@ -420,18 +420,21 @@ def synthesize_animated_gif_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
-    """documents -> one TIFF per doc cycling SEVEN organizations
+    """documents -> one TIFF per doc cycling EIGHT organizations
     over identical luma (rounds 5-7 — the oracle formula never moves
     while the engine exercises every decode path):
-      d%7==0 strip, uncompressed      d%7==1 strip, LZW + predictor 2
-      d%7==2 TILED 16x16, LZW         d%7==3 JPEG strips (lossless SOF3)
-      d%7==4 RGB PLANAR (tag 284=2), LZW + predictor 2, multi-strip —
+      d%8==0 strip, uncompressed      d%8==1 strip, LZW + predictor 2
+      d%8==2 TILED 16x16, LZW         d%8==3 JPEG strips (lossless SOF3)
+      d%8==4 RGB PLANAR (tag 284=2), LZW + predictor 2, multi-strip —
              gray-valued planes (R=G=B=row value), so the 299/587/114
              luma equals the gray formula exactly (round 6)
-      d%7==5 RGB PLANAR x TILED 16x16, LZW + predictor 2 (round 7 —
+      d%8==5 RGB PLANAR x TILED 16x16, LZW + predictor 2 (round 7 —
              the §14 x §15 combination, previously a quarantine)
-      d%7==6 RGB PLANAR x JPEG strips (round 7 — §14 x compression 7,
+      d%8==6 RGB PLANAR x JPEG strips (round 7 — §14 x compression 7,
              per-plane grayscale SOF3 with shared JPEGTables)
+      d%8==7 OLD-style JPEG (compression 6, round 7): one SOF3
+             interchange stream under JPEGInterchangeFormat 513/514 —
+             lossless, so the shared formula still holds
     width = 24 + (d%3)*8, height = 8 + (d%2)*8, row y is the constant
     40 + ((d + y*11) % 50) * 4 -> mean_luma = avg_y(row value), exact
     (heights 8/16 keep the mean's decimals terminating)."""
@@ -445,6 +448,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
         from ..testing.imagegen import (
             make_tiff,
             make_tiff_jpeg,
+            make_tiff_ojpeg,
             make_tiff_tiled,
         )
 
@@ -456,7 +460,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                 img = np.zeros((h, w), dtype=np.uint8)
                 for y in range(h):
                     img[y, :] = 40 + ((d + y * 11) % 50) * 4
-                v = d % 7
+                v = d % 8
                 if v == 0:
                     payload = make_tiff(img)
                 elif v == 1:
@@ -476,11 +480,13 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                     payload = make_tiff_tiled(rgb, 16, 16,
                                               compression=5,
                                               predictor=2, planar=2)
-                else:
+                elif v == 6:
                     rgb = np.repeat(img[..., None], 3, axis=2)
                     payload = make_tiff_jpeg(rgb, rows_per_strip=8,
                                              planar=2,
                                              shared_tables=True)
+                else:
+                    payload = make_tiff_ojpeg(img)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"tif-{d}")
                 out["modality"].append("image")

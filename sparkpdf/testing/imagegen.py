@@ -1320,6 +1320,91 @@ def make_tiff_tiled(pixels, tile_w: int, tile_h: int,
             + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))
 
 
+def make_tiff_ojpeg(pixels, per_strip: int = 0,
+                    lossless: bool = True,
+                    fragment: bool = False) -> bytes:
+    """OLD-style JPEG-in-TIFF (compression 6, TIFF 6.0 §22 — the form
+    TTN2 deprecated): the dominant wild shape embeds one complete
+    interchange JPEG stream located by JPEGInterchangeFormat (513) /
+    JPEGInterchangeFormatLength (514). `per_strip=N` instead writes
+    every N rows as its own full interchange stream under 273/279
+    (the other writer variant seen in the wild). `lossless` uses SOF3
+    so fixtures round-trip exactly; False uses the baseline SOF0
+    encoder (lossy — only exact for per-MCU-uniform even grays).
+    `fragment=True` emulates the broken tables-in-tags form (515-521,
+    no SOI anywhere) that decoders are expected to QUARANTINE."""
+    import numpy as np
+
+    from ..kernels.jpeg import encode_jpeg, encode_jpeg_lossless
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    enc = encode_jpeg_lossless if lossless else encode_jpeg
+    img = np.squeeze(arr)
+
+    def _e(v, n):
+        return int(v).to_bytes(n, "little")
+
+    data = bytearray()
+    pos = 8
+    tags = []
+
+    def tag(tid, typ, cnt, values):
+        tags.append((tid, typ, cnt, values))
+
+    tag(256, 4, 1, [w])
+    tag(257, 4, 1, [h])
+    tag(258, 3, ch, [8] * ch)
+    tag(259, 3, 1, [6])
+    tag(262, 3, 1, [2 if ch == 3 else 1])
+    tag(277, 3, 1, [ch])
+    if fragment:
+        # tables-only fragments at 519/520-style offsets, strips of
+        # raw entropy bytes with no SOI — undecodable without the
+        # writer's private reassembly rules; must land in quarantine
+        frag = b"\x00" * 16
+        data += frag
+        tag(273, 4, 1, [8])
+        tag(279, 4, 1, [len(frag)])
+        pos += len(frag)
+    elif per_strip:
+        strips = [enc(img[r0:r0 + per_strip])
+                  for r0 in range(0, h, per_strip)]
+        offs = []
+        for s in strips:
+            offs.append(pos)
+            data += s
+            pos += len(s)
+        tag(273, 4, len(strips), offs)
+        tag(278, 4, 1, [per_strip])
+        tag(279, 4, len(strips), [len(s) for s in strips])
+    else:
+        stream = enc(img)
+        data += stream
+        tag(513, 4, 1, [pos])
+        tag(514, 4, 1, [len(stream)])
+        pos += len(stream)
+    tags.sort()
+    ifd_off = pos
+    ext = bytearray()
+    ext_off = ifd_off + 2 + 12 * len(tags) + 4
+    entries = b""
+    for tid, typ, cnt, values in tags:
+        size = 2 if typ == 3 else 4
+        entries += _e(tid, 2) + _e(typ, 2) + _e(cnt, 4)
+        if cnt * size <= 4:
+            field = b"".join(_e(v, size) for v in values)
+            entries += field + b"\x00" * (4 - len(field))
+        else:
+            entries += _e(ext_off, 4)
+            ext += b"".join(_e(v, size) for v in values)
+            ext_off += cnt * size
+    return (b"II" + _e(42, 2) + _e(ifd_off, 4) + bytes(data)
+            + _e(len(tags), 2) + entries + _e(0, 4) + bytes(ext))
+
+
 def make_tiff_jpeg(pixels, rows_per_strip: int = 0,
                    shared_tables: bool = False,
                    planar: int = 1) -> bytes:
