@@ -1326,12 +1326,13 @@ def q_attachment_audio_stats(spark, sf_dir):
 
 
 def q_video_frame_stats(spark, sf_dir):
-    # round 7: REAL per-frame video decode — MJPEG in BOTH classic
-    # containers (RIFF/AVI movi walk; ISO-BMFF MP4 sample-table
-    # demux), alternating by doc parity, every frame decoded by the
-    # from-scratch JPEG kernel (one row per frame). The planted
-    # uniform even-gray tiles decode losslessly, so one
-    # generate_series oracle covers both demux paths.
+    # round 7: REAL per-frame video decode — MJPEG in all three
+    # classic containers (RIFF/AVI movi walk; ISO-BMFF MP4
+    # sample-table demux; Matroska SimpleBlocks) PLUS uncompressed
+    # BI_RGB DIB frames in AVI (24-bit BGR top-down/bottom-up and
+    # 8-bit palettized), rotating by d%5. The planted uniform
+    # even-gray tiles decode losslessly in every lane, so one
+    # generate_series oracle covers all demux+decode paths.
     from sparkpdf.operators.multimodal import (
         extract_video_frame_features,
         synthesize_mjpeg_media,

@@ -2471,17 +2471,102 @@ def avi_info(b: bytes) -> Optional[dict]:
     return None
 
 
+def _avi_video_format(b: bytes):
+    """BITMAPINFOHEADER of the first 'vids' stream (LIST hdrl -> LIST
+    strl -> strh/strf): {width, height (signed — negative = top-down),
+    bits, compression, palette (BGRA quads as bytes, or b"")}. None
+    when no video strl is present (header-only fixtures)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        size = int.from_bytes(b[i + 4:i + 8], "little")
+        if cid == b"LIST" and b[i + 8:i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                c2 = b[j:j + 4]
+                s2 = int.from_bytes(b[j + 4:j + 8], "little")
+                if c2 == b"LIST" and b[j + 8:j + 12] == b"strl":
+                    k = j + 12
+                    e2 = min(j + 8 + s2, end)
+                    is_vids = False
+                    while k + 8 <= e2:
+                        c3 = b[k:k + 4]
+                        s3 = int.from_bytes(b[k + 4:k + 8], "little")
+                        body = b[k + 8:k + 8 + s3]
+                        if c3 == b"strh" and len(body) >= 4:
+                            is_vids = body[:4] == b"vids"
+                        elif c3 == b"strf" and is_vids \
+                                and len(body) >= 40:
+                            return {
+                                "width": int.from_bytes(
+                                    body[4:8], "little"),
+                                "height": int.from_bytes(
+                                    body[8:12], "little",
+                                    signed=True),
+                                "bits": int.from_bytes(
+                                    body[14:16], "little"),
+                                "compression": body[16:20],
+                                "palette": bytes(body[40:]),
+                            }
+                        k += 8 + s3 + (s3 & 1)
+                j += 8 + s2 + (s2 & 1)
+            return None
+        i += 8 + size + (size & 1)
+    return None
+
+
+def _dib_frame_stats(payload: bytes, fmt: dict):
+    """Decode one uncompressed BI_RGB DIB frame (AVI '00db' chunk):
+    24-bit BGR or 8-bit palettized rows, padded to 4 bytes, bottom-up
+    for positive biHeight (top-down when negative). Returns
+    (width, height, mean_luma) with the integer-accumulation /
+    single-final-division / 6-dp luma discipline (299/587/114), or
+    None for torn/unsupported frames."""
+    import numpy as np
+
+    w = fmt["width"]
+    h = abs(fmt["height"])
+    bits = fmt["bits"]
+    if w <= 0 or h <= 0 or bits not in (8, 24):
+        return None
+    rowbytes = (w * bits + 31) // 32 * 4
+    if len(payload) < rowbytes * h:
+        return None
+    rows = np.frombuffer(
+        payload[:rowbytes * h], np.uint8).reshape(h, rowbytes)
+    if fmt["height"] > 0:
+        rows = rows[::-1]  # bottom-up storage
+    if bits == 24:
+        px = rows[:, :w * 3].reshape(h, w, 3).astype(np.int64)
+        total = int(
+            (px[..., 2] * 299 + px[..., 1] * 587
+             + px[..., 0] * 114).sum())  # BGR order
+    else:
+        pal = np.frombuffer(fmt["palette"], np.uint8)
+        if pal.size < 4 * 256:
+            return None
+        pal = pal[:4 * 256].reshape(256, 4).astype(np.int64)
+        # palette quads are BGRA
+        lut = pal[:, 2] * 299 + pal[:, 1] * 587 + pal[:, 0] * 114
+        total = int(lut[rows[:, :w]].sum())
+    return w, h, round(total / (1000.0 * w * h), 6)
+
+
 def avi_mjpeg_frames(b: bytes):
     """REAL video pixel decode (round 7 — upgrades the video lane
-    beyond container headers for the one codec our from-scratch JPEG
-    kernel already covers): walk the RIFF/AVI chunk list to LIST
-    movi, decode every '..dc'/'..db' video chunk as a JPEG, and emit
-    per-frame {frame_idx, width, height, mean_luma} (mean luma via
-    kernels/jpeg.jpeg_mean_luma — integer accumulation, single final
-    division, 6 dp; a uniform tile's mean is its exact gray value).
-    Any undecodable frame quarantines the whole payload (None) —
-    a torn MJPEG stream should land in the error column, not emit a
-    partial frame list that looks complete."""
+    beyond container headers): walk the RIFF/AVI chunk list to LIST
+    movi and decode every '..dc'/'..db' video chunk — JPEG streams
+    (SOI-led) through the from-scratch JPEG kernel, uncompressed
+    BI_RGB DIB frames (24-bit BGR / 8-bit palettized, bottom-up or
+    top-down) through _dib_frame_stats — emitting per-frame
+    {frame_idx, width, height, mean_luma} (integer accumulation,
+    single final division, 6 dp; a uniform tile's mean is its exact
+    gray value). Any undecodable frame quarantines the whole payload
+    (None) — a torn stream should land in the error column, not emit
+    a partial frame list that looks complete."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
     from .jpeg import decode_jpeg, jpeg_mean_luma
@@ -2497,6 +2582,7 @@ def avi_mjpeg_frames(b: bytes):
         i += 8 + size + (size & 1)
     if movi is None:
         return None
+    fmt = None  # parsed lazily, only when a non-JPEG chunk appears
     j, end = movi
     frames = []
     while j + 8 <= end:
@@ -2506,14 +2592,25 @@ def avi_mjpeg_frames(b: bytes):
             return None  # torn chunk
         if cid[2:4] in (b"dc", b"db"):
             payload = b[j + 8:j + 8 + size]
-            img = decode_jpeg(payload)
-            luma = jpeg_mean_luma(payload)
-            if img is None or luma is None:
-                return None
+            if payload[:2] == b"\xff\xd8":
+                img = decode_jpeg(payload)
+                luma = jpeg_mean_luma(payload)
+                if img is None or luma is None:
+                    return None
+                fw, fh = int(img.shape[1]), int(img.shape[0])
+            else:  # uncompressed DIB lane (BI_RGB)
+                if fmt is None:
+                    fmt = _avi_video_format(b)
+                if not fmt or fmt["compression"] != b"\x00\x00\x00\x00":
+                    return None
+                st = _dib_frame_stats(payload, fmt)
+                if st is None:
+                    return None
+                fw, fh, luma = st
             frames.append({
                 "frame_idx": len(frames),
-                "width": int(img.shape[1]),
-                "height": int(img.shape[0]),
+                "width": fw,
+                "height": fh,
                 "mean_luma": luma,
             })
         j += 8 + size + (size & 1)

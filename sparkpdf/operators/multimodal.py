@@ -1297,19 +1297,24 @@ def detect_scene_cuts(frames: DataFrame,
 
 
 def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL MJPEG movie per doc, container rotating
-    by d%3 (0 -> RIFF/AVI with movi chunks + idx1; 1 -> ISO-BMFF MP4
-    with a full stsd/stsc/stco/stsz sample table, 2 samples per
-    chunk so a short last chunk exercises real sample-to-chunk
+    """documents -> one REAL movie per doc, container/codec rotating
+    by d%5 (0 -> RIFF/AVI MJPEG with movi chunks + idx1; 1 -> ISO-BMFF
+    MP4 MJPEG with a full stsd/stsc/stco/stsz sample table, 2 samples
+    per chunk so a short last chunk exercises real sample-to-chunk
     resolution; 2 -> Matroska with a V_MJPEG TrackEntry and one
-    SimpleBlock per frame): nf = 1 + d%5 uniform
-    gray frames at value g_i = 16 + 2*((d + 37*i) % 112) — EVEN gray
-    values survive the Annex-K DC quantizer exactly (DC = 8*(g-128)
-    with quantizer 16 needs (g-128) even), so each decoded frame's
-    mean luma is its planted gray value bit-for-bit. Dims
-    (16 + 8*(d%4)) x (8 + 8*(d%3)) exercise non-square tiles. The
-    frame formulas are container-independent, so ONE generate_series
-    oracle covers both demux paths."""
+    SimpleBlock per frame; 3 -> AVI UNCOMPRESSED 24-bit BI_RGB DIB,
+    top-down when d is odd; 4 -> AVI UNCOMPRESSED 8-bit palettized
+    DIB over the gray-identity palette — round 7 widens the video
+    lane beyond MJPEG): nf = 1 + d%5 uniform gray frames at value
+    g_i = 16 + 2*((d + 37*i) % 112) — EVEN gray values survive the
+    Annex-K DC quantizer exactly (DC = 8*(g-128) with quantizer 16
+    needs (g-128) even), and DIB decode is lossless for any value,
+    so each decoded frame's mean luma is its planted gray value
+    bit-for-bit. Dims (16 + 8*(d%4)) x (8 + 8*(d%3)) exercise
+    non-square tiles and real DIB row padding (24-bit rows of
+    widths 24/40 are 72/120 bytes — not multiples of 4). The
+    frame formulas are container/codec-independent, so ONE
+    generate_series oracle covers every demux+decode path."""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
@@ -1331,19 +1336,28 @@ def synthesize_mjpeg_media(documents: DataFrame) -> DataFrame:
                 nf = 1 + d % 5
                 w = 16 + 8 * (d % 4)
                 h = 8 + 8 * (d % 3)
-                frames = [
-                    encode_jpeg(np.full(
-                        (h, w), 16 + 2 * ((d + 37 * i) % 112),
-                        dtype=np.uint8))
-                    for i in range(nf)
-                ]
-                if d % 3 == 1:
-                    blob = make_mp4_mjpeg(w, h, frames,
-                                          samples_per_chunk=2)
-                elif d % 3 == 2:
-                    blob = make_mkv_mjpeg(w, h, frames)
+                grays = [16 + 2 * ((d + 37 * i) % 112)
+                         for i in range(nf)]
+                lane = d % 5
+                if lane in (3, 4):  # uncompressed DIB lanes (round 7)
+                    tiles = [np.full((h, w), g, dtype=np.uint8)
+                             for g in grays]
+                    blob = make_avi(
+                        w, h, 0, fps=25, dib_frames=tiles,
+                        dib_bits=24 if lane == 3 else 8,
+                        topdown=(lane == 3 and d % 2 == 1))
                 else:
-                    blob = make_avi(w, h, 0, fps=25, frames=frames)
+                    frames = [
+                        encode_jpeg(np.full((h, w), g, dtype=np.uint8))
+                        for g in grays
+                    ]
+                    if lane == 1:
+                        blob = make_mp4_mjpeg(w, h, frames,
+                                              samples_per_chunk=2)
+                    elif lane == 2:
+                        blob = make_mkv_mjpeg(w, h, frames)
+                    else:
+                        blob = make_avi(w, h, 0, fps=25, frames=frames)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"mjpeg-{d}")
                 out["modality"].append("video")

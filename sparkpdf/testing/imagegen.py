@@ -1109,15 +1109,40 @@ def make_ogg(sample_rate: int, duration_ms: int, channels: int = 2,
 
 
 def make_avi(width: int, height: int, duration_ms: int,
-             fps: int = 25, frames: list | None = None) -> bytes:
+             fps: int = 25, frames: list | None = None,
+             dib_frames: list | None = None,
+             dib_bits: int = 24, topdown: bool = False) -> bytes:
     """Minimal RIFF/AVI: LIST hdrl with an avih main header
     (MicroSecPerFrame + TotalFrames + dims); no movi payload. With
     `frames` (a list of JPEG byte strings) it becomes a real MJPEG
     AVI: hdrl grows a LIST strl ('vids'/'MJPG' strh + a
     BITMAPINFOHEADER strf), the frames land in LIST movi as '00dc'
     chunks, and an idx1 keyframe index follows (offsets relative to
-    the 'movi' fourcc, per the AVI 1.0 spec)."""
+    the 'movi' fourcc, per the AVI 1.0 spec). `dib_frames` (a list of
+    (h, w[, 3]) uint8 arrays) instead writes UNCOMPRESSED video
+    (biCompression 0 = BI_RGB, '00db' chunks): 24-bit BGR bottom-up
+    rows padded to 4 bytes, or with dib_bits=8 palettized rows over a
+    256-entry gray-identity BGRA palette; `topdown` writes the
+    negative-biHeight top-down variant."""
+    import numpy as np
+
     usec = 1000000 // fps
+    if dib_frames is not None:
+        rowbytes = (width * dib_bits + 31) // 32 * 4
+        frames = []
+        for a in dib_frames:
+            a = np.asarray(a, dtype=np.uint8)
+            if dib_bits == 24:
+                if a.ndim == 2:
+                    a = np.repeat(a[..., None], 3, axis=2)
+                rows = a[:, :, ::-1].reshape(height, width * 3)  # BGR
+            else:  # 8-bit palettized over the gray-identity palette
+                rows = a.reshape(height, width)
+            pad = np.zeros((height, rowbytes - rows.shape[1]), np.uint8)
+            rows = np.concatenate([rows, pad], axis=1)
+            if not topdown:
+                rows = rows[::-1]  # bottom-up (positive biHeight)
+            frames.append(rows.tobytes())
     n_frames = len(frames) if frames else duration_ms * 1000 // usec
     avih = (
         usec.to_bytes(4, "little")
@@ -1135,7 +1160,8 @@ def make_avi(width: int, height: int, duration_ms: int,
     avih_chunk = b"avih" + len(avih).to_bytes(4, "little") + avih
     strl_chunk = b""
     if frames is not None:
-        strh = (b"vids" + b"MJPG"
+        handler = b"DIB " if dib_frames is not None else b"MJPG"
+        strh = (b"vids" + handler
                 + (0).to_bytes(4, "little")   # flags
                 + (0).to_bytes(4, "little")   # priority+language
                 + (0).to_bytes(4, "little")   # initial frames
@@ -1148,14 +1174,34 @@ def make_avi(width: int, height: int, duration_ms: int,
                 + (0xFFFFFFFF).to_bytes(4, "little")  # quality
                 + (0).to_bytes(4, "little")   # sample size
                 + (0).to_bytes(8, "little"))  # rcFrame
-        strf = ((40).to_bytes(4, "little")
-                + width.to_bytes(4, "little")
-                + height.to_bytes(4, "little")
-                + (1).to_bytes(2, "little")
-                + (24).to_bytes(2, "little")
-                + b"MJPG"
-                + (width * height * 3).to_bytes(4, "little")
-                + (0).to_bytes(16, "little"))
+        if dib_frames is not None:
+            bih_h = -height if topdown else height
+            palette = b""
+            n_colors = 0
+            if dib_bits == 8:
+                n_colors = 256
+                palette = b"".join(
+                    bytes((i, i, i, 0)) for i in range(256))
+            strf = ((40).to_bytes(4, "little")
+                    + width.to_bytes(4, "little")
+                    + (bih_h & 0xFFFFFFFF).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")
+                    + dib_bits.to_bytes(2, "little")
+                    + (0).to_bytes(4, "little")  # BI_RGB
+                    + (rowbytes * height).to_bytes(4, "little")
+                    + (0).to_bytes(8, "little")
+                    + n_colors.to_bytes(4, "little")
+                    + (0).to_bytes(4, "little")
+                    + palette)
+        else:
+            strf = ((40).to_bytes(4, "little")
+                    + width.to_bytes(4, "little")
+                    + height.to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")
+                    + (24).to_bytes(2, "little")
+                    + b"MJPG"
+                    + (width * height * 3).to_bytes(4, "little")
+                    + (0).to_bytes(16, "little"))
         strl = (b"strh" + len(strh).to_bytes(4, "little") + strh
                 + b"strf" + len(strf).to_bytes(4, "little") + strf)
         strl_chunk = (b"LIST" + (4 + len(strl)).to_bytes(4, "little")
@@ -1165,15 +1211,16 @@ def make_avi(width: int, height: int, duration_ms: int,
             + b"hdrl" + avih_chunk + strl_chunk)
     body = b"AVI " + hdrl
     if frames is not None:
+        ckid = b"00db" if dib_frames is not None else b"00dc"
         chunks = b""
         idx = b""
         for f in frames:
             # idx1 offsets point at the chunk fourcc, relative to
             # the 'movi' fourcc position
-            idx += (b"00dc" + (0x10).to_bytes(4, "little")
+            idx += (ckid + (0x10).to_bytes(4, "little")
                     + (4 + len(chunks)).to_bytes(4, "little")
                     + len(f).to_bytes(4, "little"))
-            chunks += b"00dc" + len(f).to_bytes(4, "little") + f
+            chunks += ckid + len(f).to_bytes(4, "little") + f
             if len(f) & 1:
                 chunks += b"\x00"
         body += (b"LIST" + (4 + len(chunks)).to_bytes(4, "little")

@@ -937,6 +937,45 @@ def test_avi_mjpeg_frame_decode():
     assert avi_mjpeg_frames(b"RIFFxxxxAVI garbage") is None
 
 
+def test_avi_dib_frame_decode():
+    """Round-7 uncompressed video: BI_RGB DIB frames in AVI decode
+    losslessly — 24-bit BGR (bottom-up AND negative-biHeight
+    top-down, with real 4-byte row padding) and 8-bit palettized over
+    the gray-identity palette; non-gray RGB uses the 299/587/114 luma;
+    torn DIB chunks quarantine; MJPEG AVIs are unaffected."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import avi_mjpeg_frames
+    from sparkpdf.testing.imagegen import make_avi
+
+    # width 24 -> 72-byte 24-bit rows, not a multiple of 4 (pad = 2)
+    tiles = [np.full((8, 24), g, dtype=np.uint8) for g in (16, 100, 238)]
+    for topdown in (False, True):
+        avi = make_avi(24, 8, 0, fps=25, dib_frames=tiles,
+                       topdown=topdown)
+        out = avi_mjpeg_frames(avi)
+        assert [f["mean_luma"] for f in out] == [16.0, 100.0, 238.0]
+        assert out[0]["width"] == 24 and out[0]["height"] == 8
+    # 8-bit palettized
+    avi8 = make_avi(24, 8, 0, fps=25, dib_frames=tiles, dib_bits=8)
+    out8 = avi_mjpeg_frames(avi8)
+    assert [f["mean_luma"] for f in out8] == [16.0, 100.0, 238.0]
+    # non-gray RGB: exact integer-accumulated 299/587/114 luma
+    rgb = np.zeros((8, 24, 3), dtype=np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 100, 50
+    expect = round((200 * 299 + 100 * 587 + 50 * 114)
+                   / 1000.0, 6)
+    avic = make_avi(24, 8, 0, fps=25, dib_frames=[rgb])
+    assert avi_mjpeg_frames(avic)[0]["mean_luma"] == expect
+    # a torn movi (truncated mid-chunk) quarantines the payload
+    avi = make_avi(24, 8, 0, fps=25, dib_frames=tiles)
+    assert avi_mjpeg_frames(avi[:len(avi) // 2]) is None
+    # truncation fuzz: never a raise
+    for n in range(0, len(avi), 7):
+        avi_mjpeg_frames(avi[:n])
+        avi_mjpeg_frames(avi8[:n])
+
+
 def test_mp4_mjpeg_sample_demux():
     """Round-7 ISO-BMFF demux: stsd 'jpeg' entry gate + real
     stsc/stco/stsz sample resolution (incl. a short last chunk),
