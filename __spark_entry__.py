@@ -344,6 +344,82 @@ def q_html_main(spark, sf_dir):
     )
 
 
+def _web_features(spark, sf_dir):
+    # shared feeder for the round-7 web-feature queries: the RICH
+    # deterministic corpus (planted links/meta/headings/tables, all
+    # doc_id formulas) through the one-DOM-pass parser; quarantine
+    # rows excluded the pdf_embedded_media way (error IS NULL)
+    from sparkpdf.operators.text import (
+        extract_web_features,
+        synthesize_web_corpus,
+    )
+
+    return extract_web_features(
+        synthesize_web_corpus(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull())
+
+
+def q_html_meta(spark, sf_dir):
+    # north rule's DOM-heuristics leg, metadata lane: html lang,
+    # rel=canonical, description/robots/og:title metas, charset —
+    # the URL-canonicalization + indexability signals a crawl
+    # pipeline keys on
+    return _web_features(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang", "canonical", "description", "robots",
+        "og_title", "charset",
+    )
+
+
+def q_html_links(spark, sf_dir):
+    # outlink extraction in document order (the crawl-graph feeder):
+    # href + anchor text + rel=nofollow + inside-boilerplate flag;
+    # explode is map-side, no shuffle anywhere
+    feats = _web_features(spark, sf_dir)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("links").alias("link_idx", "l"),
+    ).select(
+        "doc_id", "link_idx",
+        F.col("l.href").alias("href"),
+        F.col("l.anchor").alias("anchor"),
+        F.col("l.nofollow").alias("nofollow"),
+        F.col("l.boiler").alias("boiler"),
+    )
+
+
+def q_html_headings(spark, sf_dir):
+    # heading outline h1-h6 with boilerplate flag — the HTML analog
+    # of the PDF outlines operator (document structure for chunking)
+    feats = _web_features(spark, sf_dir)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("headings").alias("h_idx", "h"),
+    ).select(
+        "doc_id", "h_idx",
+        F.col("h.level").alias("level"),
+        F.col("h.text").alias("text"),
+        F.col("h.boiler").alias("boiler"),
+    )
+
+
+def q_html_tables(spark, sf_dir):
+    # <table> shape extraction (structured data in webpages): row
+    # count, max row width, row-major cell text; only d%3==0 docs
+    # plant a table, so the query also proves absent tables emit
+    # zero rows rather than NULL rows
+    feats = _web_features(spark, sf_dir)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("tables").alias("table_idx", "t"),
+    ).select(
+        "doc_id", "table_idx",
+        F.col("t.n_rows").alias("n_rows"),
+        F.col("t.n_cols").alias("n_cols"),
+        F.col("t.cells").alias("cells"),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     from sparkpdf.operators.text import chunk_documents
 
@@ -1622,6 +1698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
+        "html_meta": q_html_meta,
+        "html_links": q_html_links,
+        "html_headings": q_html_headings,
+        "html_tables": q_html_tables,
     }
 
 
@@ -1926,6 +2006,83 @@ def oracle_sql() -> dict[str, str]:
                trim(regexp_replace({_SANITIZED}, '\\s+', ' ', 'g'))
                    AS main_text
         FROM documents
+    """
+    sql["html_meta"] = """
+        SELECT doc_id,
+               CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+                    ELSE 'it' END AS lang,
+               'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS canonical,
+               'Summary of document ' || CAST(doc_id AS VARCHAR)
+                   AS description,
+               CASE WHEN doc_id % 7 = 0 THEN 'noindex,nofollow'
+                    ELSE 'index,follow' END AS robots,
+               'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+               'utf-8' AS charset
+        FROM documents
+    """
+    sql["html_links"] = """
+        SELECT d.doc_id,
+               CAST(t.i AS INTEGER) AS link_idx,
+               CASE
+                 WHEN t.i = 0 THEN '/'
+                 WHEN t.i = 1 THEN '/about'
+                 WHEN t.i = 2 THEN '/contact'
+                 WHEN t.i < 3 + d.doc_id % 4 THEN
+                     'https://example.com/ref/'
+                     || CAST(d.doc_id AS VARCHAR) || '/'
+                     || CAST(t.i - 3 AS VARCHAR)
+                 WHEN t.i = 3 + d.doc_id % 4 THEN '/a'
+                 ELSE '/b'
+               END AS href,
+               CASE
+                 WHEN t.i = 0 THEN 'Home'
+                 WHEN t.i = 1 THEN 'About'
+                 WHEN t.i = 2 THEN 'Contact'
+                 WHEN t.i < 3 + d.doc_id % 4 THEN
+                     'ref ' || CAST(d.doc_id AS VARCHAR) || '-'
+                     || CAST(t.i - 3 AS VARCHAR)
+                 WHEN t.i = 3 + d.doc_id % 4 THEN 'Read more stuff here'
+                 ELSE 'Another related article link'
+               END AS anchor,
+               CAST(CASE WHEN t.i >= 3 AND t.i < 3 + d.doc_id % 4
+                              AND (t.i - 3) % 2 = 1
+                         THEN 1 ELSE 0 END AS INTEGER) AS nofollow,
+               CAST(CASE WHEN t.i < 3 THEN 1 ELSE 0 END AS INTEGER)
+                   AS boiler
+        FROM documents d CROSS JOIN generate_series(0, 8) t(i)
+        WHERE t.i < 5 + d.doc_id % 4
+    """
+    sql["html_headings"] = """
+        SELECT d.doc_id,
+               CAST(t.i AS INTEGER) AS h_idx,
+               CAST(CASE WHEN t.i <= 1 THEN 1 ELSE 2 END AS INTEGER)
+                   AS level,
+               CASE
+                 WHEN t.i = 0 THEN 'Site Name'
+                 WHEN t.i = 1 THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                 ELSE 'Section ' || CAST(t.i - 2 AS VARCHAR)
+                      || ' of doc ' || CAST(d.doc_id AS VARCHAR)
+               END AS text,
+               CAST(CASE WHEN t.i = 0 THEN 1 ELSE 0 END AS INTEGER)
+                   AS boiler
+        FROM documents d CROSS JOIN generate_series(0, 5) t(i)
+        WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["html_tables"] = """
+        SELECT d.doc_id,
+               CAST(0 AS INTEGER) AS table_idx,
+               CAST(2 + d.doc_id % 5 AS INTEGER) AS n_rows,
+               CAST(1 + d.doc_id % 3 AS INTEGER) AS n_cols,
+               string_agg(
+                   'c' || CAST(t.i // (1 + d.doc_id % 3) AS VARCHAR)
+                   || '.' || CAST(t.i % (1 + d.doc_id % 3) AS VARCHAR),
+                   ' ' ORDER BY t.i) AS cells
+        FROM documents d CROSS JOIN generate_series(0, 17) t(i)
+        WHERE d.doc_id % 3 = 0
+          AND t.i < (2 + d.doc_id % 5) * (1 + d.doc_id % 3)
+        GROUP BY d.doc_id
     """
     sql["chunk_documents"] = """
         SELECT doc_id,

@@ -105,6 +105,166 @@ def extract_main_html(html_text: str) -> dict:
     return {"main_text": main_text, "title": title}
 
 
+class _WebFeatureParser(HTMLParser):
+    """One-pass DOM feature walk for the web-pipeline queries the
+    main-text strip doesn't cover: outlinks (every <a href>, document
+    order, with anchor text / rel=nofollow / inside-boilerplate flag),
+    page metadata (<html lang>, <title>, <link rel=canonical>,
+    <meta name=description|robots|charset>, og:title), the heading
+    outline (h1-h6 with level + boilerplate flag — the HTML analog of
+    the PDF outlines operator), and <table> shapes (n_rows, max row
+    width, cell texts in row-major order). Same tolerance contract as
+    _MainTextParser: never raises on parser-tolerable input."""
+
+    _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.boiler_depth = 0
+        self.drop_depth = 0
+        self.lang = None
+        self.canonical = None
+        self.description = None
+        self.robots = None
+        self.og_title = None
+        self.charset = None
+        self.title_depth = 0
+        self.title_parts: List[str] = []
+        self.links: List[dict] = []
+        self._anchor = None  # {href, rel, boiler, parts}
+        self.headings: List[dict] = []
+        self._heading = None  # {level, boiler, parts}
+        self.tables: List[dict] = []
+        self._table = None  # {rows: [[cell,...]], ...}
+        self._cell_parts = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag in _DROP_ENTIRELY:
+            self.drop_depth += 1
+            return
+        if tag in _BOILERPLATE:
+            self.boiler_depth += 1
+        if tag == "html" and a.get("lang"):
+            self.lang = a["lang"].strip()
+        elif tag == "title":
+            self.title_depth += 1
+        elif tag == "link":
+            if (a.get("rel") or "").strip().lower() == "canonical":
+                self.canonical = a.get("href")
+        elif tag == "meta":
+            name = (a.get("name") or a.get("property") or "").lower()
+            if name == "description":
+                self.description = a.get("content")
+            elif name == "robots":
+                self.robots = a.get("content")
+            elif name == "og:title":
+                self.og_title = a.get("content")
+            if a.get("charset"):
+                self.charset = a["charset"].lower()
+        elif tag == "a":
+            href = a.get("href")
+            if href is not None:
+                rel = (a.get("rel") or "").lower()
+                self._anchor = {
+                    "href": href,
+                    "nofollow": 1 if "nofollow" in rel.split() else 0,
+                    "boiler": 1 if self.boiler_depth else 0,
+                    "parts": [],
+                }
+        elif tag in self._HEADINGS:
+            self._heading = {
+                "level": int(tag[1]),
+                "boiler": 1 if self.boiler_depth else 0,
+                "parts": [],
+            }
+        elif tag == "table":
+            self._table = {"rows": []}
+        elif tag == "tr" and self._table is not None:
+            self._table["rows"].append([])
+        elif tag in ("td", "th") and self._table is not None:
+            if not self._table["rows"]:
+                self._table["rows"].append([])
+            self._cell_parts = []
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_ENTIRELY:
+            self.drop_depth = max(0, self.drop_depth - 1)
+            return
+        if tag in _BOILERPLATE:
+            self.boiler_depth = max(0, self.boiler_depth - 1)
+        if tag == "title":
+            self.title_depth = max(0, self.title_depth - 1)
+        elif tag == "a" and self._anchor is not None:
+            anc = self._anchor
+            self._anchor = None
+            self.links.append({
+                "href": anc["href"],
+                "anchor": " ".join("".join(anc["parts"]).split()),
+                "nofollow": anc["nofollow"],
+                "boiler": anc["boiler"],
+            })
+        elif tag in self._HEADINGS and self._heading is not None:
+            h = self._heading
+            self._heading = None
+            self.headings.append({
+                "level": h["level"],
+                "text": " ".join("".join(h["parts"]).split()),
+                "boiler": h["boiler"],
+            })
+        elif tag in ("td", "th") and self._cell_parts is not None:
+            cell = " ".join("".join(self._cell_parts).split())
+            self._cell_parts = None
+            self._table["rows"][-1].append(cell)
+        elif tag == "table" and self._table is not None:
+            rows = self._table["rows"]
+            self._table = None
+            if rows:
+                self.tables.append({
+                    "n_rows": len(rows),
+                    "n_cols": max(len(r) for r in rows),
+                    "cells": " ".join(c for r in rows for c in r),
+                })
+
+    def handle_data(self, data):
+        if self.drop_depth:
+            return
+        if self.title_depth:
+            self.title_parts.append(data)
+        if self._anchor is not None:
+            self._anchor["parts"].append(data)
+        if self._heading is not None:
+            self._heading["parts"].append(data)
+        if self._cell_parts is not None:
+            self._cell_parts.append(data)
+
+    def result(self) -> dict:
+        title = " ".join("".join(self.title_parts).split()) or None
+        return {
+            "lang": self.lang,
+            "title": title,
+            "canonical": self.canonical,
+            "description": self.description,
+            "robots": self.robots,
+            "og_title": self.og_title,
+            "charset": self.charset,
+            "links": self.links,
+            "headings": self.headings,
+            "tables": self.tables,
+        }
+
+
+def parse_webpage(html_text: str) -> dict:
+    """HTML -> {lang, title, canonical, description, robots, og_title,
+    charset, links[], headings[], tables[]} in one DOM pass. Never
+    raises on parser-tolerable input; the operator layer quarantines
+    anything else."""
+    p = _WebFeatureParser()
+    p.feed(html_text or "")
+    p.close()
+    return p.result()
+
+
 def synthesize_html(doc_id: int, text: str) -> str:
     """Deterministic page around `text` (sanitized like doc_to_pdf):
     real boilerplate (nav with links, header/footer, script/style, a
@@ -127,3 +287,66 @@ def synthesize_html(doc_id: int, text: str) -> str:
         "<footer>(c) 2024 Site Name - all rights reserved</footer>"
         "</body></html>"
     )
+
+
+def synthesize_webpage(doc_id: int, text: str) -> str:
+    """Rich deterministic page for the web-feature queries (links /
+    meta / headings / tables), leaving synthesize_html (the html_main
+    oracle's corpus) untouched. Every planted feature is a pure
+    doc_id formula so DuckDB closed-form oracles exist:
+
+      lang     = (en de fr es it)[d%5]
+      robots   = noindex,nofollow when d%7==0 else index,follow
+      canonical= https://example.com/doc/{d};  og:title = OG Doc {d}
+      headings = h1 'Site Name' (boilerplate header), h1 'Doc {d}',
+                 then 1+d%3 x h2 'Section {i} of doc {d}'
+      links    = 3 nav (boiler) + d%4 body refs
+                 (https://example.com/ref/{d}/{i}, rel=nofollow on
+                 odd i) + 2 related -> 5 + d%4 total, document order
+      table    = only when d%3==0: (2+d%5) x (1+d%3) cells 'c{r}.{c}'
+    """
+    d = int(doc_id)
+    lang = ("en", "de", "fr", "es", "it")[d % 5]
+    robots = "noindex,nofollow" if d % 7 == 0 else "index,follow"
+    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    body = _htmlmod.escape(printable)
+    parts = [
+        f'<!DOCTYPE html><html lang="{lang}"><head>',
+        '<meta charset="utf-8">',
+        f"<title>doc-{d}</title>",
+        f'<link rel="canonical" href="https://example.com/doc/{d}">',
+        f'<meta name="description" content="Summary of document {d}">',
+        f'<meta name="robots" content="{robots}">',
+        f'<meta property="og:title" content="OG Doc {d}">',
+        "<style>body{font:16px serif}</style>",
+        "<script>var tracking='pixel';</script>",
+        "</head><body>",
+        "<header><h1>Site Name</h1></header>",
+        '<nav><a href="/">Home</a> <a href="/about">About</a>'
+        ' <a href="/contact">Contact</a></nav>',
+        f"<article><h1>Doc {d}</h1><p>{body}</p>",
+    ]
+    for i in range(1 + d % 3):
+        parts.append(f"<h2>Section {i} of doc {d}</h2>")
+    for i in range(d % 4):
+        rel = ' rel="nofollow"' if i % 2 == 1 else ""
+        parts.append(
+            f'<a href="https://example.com/ref/{d}/{i}"{rel}>'
+            f"ref {d}-{i}</a>"
+        )
+    if d % 3 == 0:
+        rows = []
+        for r in range(2 + d % 5):
+            cells = "".join(
+                f"<td>c{r}.{c}</td>" for c in range(1 + d % 3)
+            )
+            rows.append(f"<tr>{cells}</tr>")
+        parts.append(f"<table>{''.join(rows)}</table>")
+    parts += [
+        "</article>",
+        '<div class="related"><a href="/a">Read more stuff here</a>'
+        ' <a href="/b">Another related article link</a></div>',
+        "<footer>(c) 2024 Site Name - all rights reserved</footer>",
+        "</body></html>",
+    ]
+    return "".join(parts)

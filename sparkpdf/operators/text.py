@@ -296,6 +296,105 @@ def extract_html_main(pages: DataFrame) -> DataFrame:
     )
 
 
+WEB_FEATURES_SCHEMA = (
+    "doc_id string, lang string, title string, canonical string, "
+    "description string, robots string, og_title string, "
+    "charset string, "
+    "links array<struct<href:string,anchor:string,nofollow:int,"
+    "boiler:int>>, "
+    "headings array<struct<level:int,text:string,boiler:int>>, "
+    "tables array<struct<n_rows:int,n_cols:int,cells:string>>, "
+    "error string"
+)
+
+
+def synthesize_web_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, html): the RICH deterministic pages
+    (kernels/html.synthesize_webpage — planted links/meta/headings/
+    tables, all doc_id formulas) for the web-feature queries; the
+    html_main oracle keeps its own unchanged synthesize_html corpus."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import synthesize_webpage
+
+        for pdf in batches:
+            out = {"doc_id": [], "html": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                out["doc_id"].append(str(doc_id))
+                out["html"].append(
+                    synthesize_webpage(int(doc_id), text or "")
+                )
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema="doc_id string, html string"
+    )
+
+
+def extract_web_features(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) -> one row per doc with the full DOM feature
+    set: page metadata scalars (lang/title/canonical/description/
+    robots/og:title/charset), outlinks, the heading outline, and
+    table shapes (kernels/html.parse_webpage, one DOM pass). Poison
+    inputs quarantine via the error column — never raises, never
+    drops rows (the extract_doc discipline).
+
+    Scale shape: ONE mapInPandas pass, no shuffle; downstream
+    link/heading/table queries explode map-side. At 10^12 docs this
+    is the crawl-graph feeder (outlinks -> anchor-text corpus +
+    URL frontier), so everything stays in the one Arrow batch walk."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import parse_webpage
+
+        cols = ("lang", "title", "canonical", "description", "robots",
+                "og_title", "charset")
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id",) + cols + ("links", "headings",
+                                         "tables", "error")}
+            for doc_id, html_text in zip(pdf["doc_id"], pdf["html"]):
+                out["doc_id"].append(str(doc_id))
+                try:
+                    res = parse_webpage(
+                        html_text if html_text is not None else ""
+                    )
+                    err = None
+                except Exception as exc:  # quarantine, never raise
+                    res = None
+                    err = f"{type(exc).__name__}: {exc}"
+                for k in cols:
+                    out[k].append(res[k] if res else None)
+                out["links"].append(
+                    [(l["href"], l["anchor"], l["nofollow"],
+                      l["boiler"]) for l in res["links"]]
+                    if res else None)
+                out["headings"].append(
+                    [(h["level"], h["text"], h["boiler"])
+                     for h in res["headings"]] if res else None)
+                out["tables"].append(
+                    [(t["n_rows"], t["n_cols"], t["cells"])
+                     for t in res["tables"]] if res else None)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(
+        gen, schema=WEB_FEATURES_SCHEMA
+    )
+
+
 def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
                             n: int = 5) -> DataFrame:
     """Benchmark decontamination: per document, how many of its

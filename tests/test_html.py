@@ -52,3 +52,77 @@ def test_fuzz_never_raises():
         s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
         out = extract_main_html(s)
         assert isinstance(out["main_text"], str)
+
+
+def test_webpage_features_roundtrip():
+    """Round-7 DOM-feature walk: every planted formula feature of
+    synthesize_webpage comes back exactly through parse_webpage —
+    metadata scalars, outlinks in document order (with nofollow +
+    boilerplate flags), the heading outline, and table shapes."""
+    from sparkpdf.kernels.html import parse_webpage, synthesize_webpage
+
+    for d in (0, 1, 6, 7, 13, 22):
+        r = parse_webpage(synthesize_webpage(d, "body text"))
+        assert r["lang"] == ("en", "de", "fr", "es", "it")[d % 5]
+        assert r["title"] == f"doc-{d}"
+        assert r["canonical"] == f"https://example.com/doc/{d}"
+        assert r["description"] == f"Summary of document {d}"
+        assert r["robots"] == (
+            "noindex,nofollow" if d % 7 == 0 else "index,follow")
+        assert r["og_title"] == f"OG Doc {d}"
+        assert r["charset"] == "utf-8"
+        # links: 3 nav (boiler) + d%4 body (nofollow on odd) + 2 related
+        links = r["links"]
+        assert len(links) == 5 + d % 4
+        assert [l["boiler"] for l in links[:3]] == [1, 1, 1]
+        for i, l in enumerate(links[3:3 + d % 4]):
+            assert l["href"] == f"https://example.com/ref/{d}/{i}"
+            assert l["anchor"] == f"ref {d}-{i}"
+            assert l["nofollow"] == (i % 2)
+            assert l["boiler"] == 0
+        assert links[-2]["href"] == "/a" and links[-1]["href"] == "/b"
+        # headings: site h1 (boiler), doc h1, then 1+d%3 sections
+        hs = r["headings"]
+        assert len(hs) == 3 + d % 3
+        assert hs[0] == {"level": 1, "text": "Site Name", "boiler": 1}
+        assert hs[1] == {"level": 1, "text": f"Doc {d}", "boiler": 0}
+        for i, h in enumerate(hs[2:]):
+            assert h == {"level": 2, "text": f"Section {i} of doc {d}",
+                         "boiler": 0}
+        # tables only when d%3==0, row-major cells
+        if d % 3 == 0:
+            (t,) = r["tables"]
+            nr, nc = 2 + d % 5, 1 + d % 3
+            assert (t["n_rows"], t["n_cols"]) == (nr, nc)
+            assert t["cells"] == " ".join(
+                f"c{rr}.{cc}" for rr in range(nr) for cc in range(nc))
+        else:
+            assert r["tables"] == []
+
+
+def test_webpage_parser_tolerance():
+    """parse_webpage on hostile input: ragged tables report max row
+    width, anchors without href are skipped, unclosed structures and
+    fuzz never raise, empty/None inputs give empty feature sets."""
+    import random
+
+    from sparkpdf.kernels.html import parse_webpage
+
+    r = parse_webpage(
+        "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td></tr></table>"
+        '<a name="no-href">skip me</a><a href="/k">keep</a>'
+        "<h3>deep <b>bold</b> head</h3><table></table>"
+    )
+    assert r["tables"] == [{"n_rows": 2, "n_cols": 2, "cells": "a b c"}]
+    assert [l["href"] for l in r["links"]] == ["/k"]
+    assert r["headings"] == [
+        {"level": 3, "text": "deep bold head", "boiler": 0}]
+    assert parse_webpage("")["links"] == []
+    assert parse_webpage(None)["headings"] == []
+    rng = random.Random(11)
+    alphabet = "<>ab/&;# \"='ptrdhl" + "\x00"
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 120)))
+        out = parse_webpage(s)
+        assert isinstance(out["links"], list)
