@@ -1255,6 +1255,38 @@ def q_tiff_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_bmp_pixel_stats(spark, sf_dir):
+    # round 7: REAL BMP decode across the three uncompressed DIB
+    # variants (24-bit bottom-up / 24-bit top-down / 8-bit over a
+    # TWISTED palette) — same raster math as the AVI '00db' video
+    # lane, under the BMP file header; one formula oracle, with the
+    # palette indirection folded in on the d%3==2 lane
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_bmp_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_bmp_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
+def q_pnm_pixel_stats(spark, sf_dir):
+    # round 7: REAL binary-netpbm decode (P5 gray 8-bit / P6 RGB /
+    # P5 16-bit big-endian at native depth — the jpeg12 discipline:
+    # 16-bit mean is exactly 257x the 8-bit formula)
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_pnm_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_pnm_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_jpeg_lossless_stats(spark, sf_dir):
     # LOSSLESS JPEG (SOF3, Annex H) pixel decode: 12-bit gray, a
     # different predictor selector per doc (1 + d%7) — decode is exact
@@ -1698,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "pnm_pixel_stats": q_pnm_pixel_stats,
         "html_meta": q_html_meta,
         "html_links": q_html_links,
         "html_headings": q_html_headings,
@@ -2006,6 +2040,38 @@ def oracle_sql() -> dict[str, str]:
                trim(regexp_replace({_SANITIZED}, '\\s+', ' ', 'g'))
                    AS main_text
         FROM documents
+    """
+    sql["bmp_pixel_stats"] = """
+        WITH rws AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height,
+                   unnest(range(0, 8 + (doc_id % 2) * 8)) AS y,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(CASE WHEN d % 3 = 2
+                          THEN (7 * (40 + ((d + y * 11) % 50) * 4)
+                                + 13) % 256
+                          ELSE 40 + ((d + y * 11) % 50) * 4 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM rws GROUP BY doc_id, width, height
+    """
+    sql["pnm_pixel_stats"] = """
+        WITH rws AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height,
+                   unnest(range(0, 8 + (doc_id % 2) * 8)) AS y,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM((40 + ((d + y * 11) % 50) * 4)
+                         * (CASE WHEN d % 3 = 2 THEN 257 ELSE 1 END))
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM rws GROUP BY doc_id, width, height
     """
     sql["html_meta"] = """
         SELECT doc_id,

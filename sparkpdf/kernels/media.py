@@ -133,12 +133,125 @@ def tiff_dims(b: bytes) -> Optional[dict]:
     return None
 
 
+def bmp_dims(b: bytes) -> Optional[dict]:
+    """Windows BMP: 'BM' BITMAPFILEHEADER + BITMAPINFOHEADER (biSize
+    >= 40). biHeight is SIGNED — negative means top-down row order;
+    dims report the absolute height."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    bisize = int.from_bytes(b[14:18], "little")
+    if bisize < 40:
+        return None  # BITMAPCOREHEADER and smaller: unsupported
+    w = int.from_bytes(b[18:22], "little")
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    if w <= 0 or h == 0:
+        return None
+    return {"format": "bmp", "width": w, "height": abs(h)}
+
+
+def bmp_mean_luma(b: bytes):
+    """REAL BMP pixel decode for uncompressed BI_RGB payloads: 24-bit
+    BGR or 8-bit palettized rows (BGRA palette quads between the info
+    header and bfOffBits), 4-byte row padding, bottom-up for positive
+    biHeight / top-down for negative — the same DIB raster the AVI
+    '00db' video lane decodes (_dib_frame_stats), here under the BMP
+    file header. Integer accumulation, one final division, 6 dp
+    (the png_mean_luma discipline). None = quarantine (compressed /
+    truncated / exotic depths)."""
+    if bmp_dims(b) is None:
+        return None
+    data_off = int.from_bytes(b[10:14], "little")
+    bisize = int.from_bytes(b[14:18], "little")
+    fmt = {
+        "width": int.from_bytes(b[18:22], "little"),
+        "height": int.from_bytes(b[22:26], "little", signed=True),
+        "bits": int.from_bytes(b[28:30], "little"),
+        "compression": b[30:34],
+        "palette": bytes(b[14 + bisize:data_off]),
+    }
+    if fmt["compression"] != b"\x00\x00\x00\x00":
+        return None  # BI_RLE*/BI_BITFIELDS: quarantine
+    if data_off >= len(b):
+        return None
+    st = _dib_frame_stats(b[data_off:], fmt)
+    return None if st is None else st[2]
+
+
+def pnm_dims(b: bytes) -> Optional[dict]:
+    """Binary netpbm (P5 graymap / P6 pixmap): whitespace-and-comment
+    tolerant header parse -> {format:'pnm', width, height} (+ the
+    parsed maxval and raster offset stashed for the decoder)."""
+    if len(b) < 2 or b[:1] != b"P" or b[1:2] not in b"56":
+        return None
+    fields = []
+    i = 2
+    while len(fields) < 3 and i < len(b):
+        c = b[i:i + 1]
+        if c == b"#":  # comment runs to end of line
+            while i < len(b) and b[i:i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(b) and b[j:j + 1].isdigit():
+                j += 1
+            fields.append(int(b[i:j]))
+            i = j
+        else:
+            return None
+    if len(fields) < 3 or i >= len(b) or not b[i:i + 1].isspace():
+        return None
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    return {"format": "pnm", "width": w, "height": h,
+            "_maxval": maxval, "_data": i + 1,
+            "_rgb": b[1:2] == b"6"}
+
+
+def pnm_mean_luma(b: bytes):
+    """REAL netpbm raster decode: P5 gray / P6 RGB, 1 byte per sample
+    at maxval < 256 else 2 bytes big-endian (the PNM spec's only two
+    encodings). Mean is over NATIVE sample values (a 16-bit graymap
+    reports its 16-bit mean — the jpeg12 discipline) with RGB reduced
+    by the exact integer 299/587/114 luma. None = truncated raster."""
+    import numpy as np
+
+    meta = pnm_dims(b)
+    if meta is None:
+        return None
+    w, h, maxval = meta["width"], meta["height"], meta["_maxval"]
+    spp = 3 if meta["_rgb"] else 1
+    bps = 2 if maxval > 255 else 1
+    need = w * h * spp * bps
+    raster = b[meta["_data"]:meta["_data"] + need]
+    if len(raster) < need:
+        return None
+    a = np.frombuffer(raster, np.uint8)
+    if bps == 2:
+        a = (a[0::2].astype(np.int64) << 8) | a[1::2]
+    else:
+        a = a.astype(np.int64)
+    if spp == 3:
+        px = a.reshape(-1, 3)
+        total = int((px[:, 0] * 299 + px[:, 1] * 587
+                     + px[:, 2] * 114).sum())
+        return round(total / (1000.0 * w * h), 6)
+    return round(int(a.sum()) / float(w * h), 6)
+
+
 def image_dims(b: bytes) -> Optional[dict]:
     """Sniff the container by magic and return
     {format, width, height}, or None for unrecognised payloads."""
     if not b:
         return None
-    return png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
+    dims = (png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
+            or bmp_dims(b) or pnm_dims(b))
+    if dims is not None:
+        # the pnm parser's private header fields stay kernel-internal
+        dims = {k: v for k, v in dims.items() if not k.startswith("_")}
+    return dims
 
 
 def _tiff_tag(b: bytes, want: int) -> Optional[int]:

@@ -70,7 +70,8 @@ FEATURE_SCHEMA = StructType(
 # every format _decode_image has a real pixel path for — the explicit
 # "decode everything" set (pixel_formats=None means "let the
 # SPARKPDF_PIXEL_STATS env knob decide", which is NOT the same thing)
-PIXEL_DECODABLE_FORMATS = frozenset({"jpeg", "png", "gif", "tiff"})
+PIXEL_DECODABLE_FORMATS = frozenset(
+    {"jpeg", "png", "gif", "tiff", "bmp", "pnm"})
 
 
 def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
@@ -142,6 +143,24 @@ def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
         from ..kernels.jpeg import jpeg_mean_luma
 
         luma = jpeg_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
+    elif meta.get("format") == "bmp":
+        # REAL DIB raster decode (round 7): 24-bit BGR / 8-bit
+        # palettized BI_RGB, bottom-up and top-down row orders —
+        # shares the AVI '00db' video lane's raster math
+        from ..kernels.media import bmp_mean_luma
+
+        luma = bmp_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
+    elif meta.get("format") == "pnm":
+        # REAL netpbm raster decode (round 7): P5 gray / P6 RGB,
+        # 8-bit and 16-bit-BE samples, native-depth mean (the
+        # jpeg12 discipline)
+        from ..kernels.media import pnm_mean_luma
+
+        luma = pnm_mean_luma(payload)
         if luma is not None:
             meta["mean_luma"] = luma
     return meta
@@ -226,6 +245,91 @@ def synthesize_image_media(documents: DataFrame) -> DataFrame:
                 payload = make_png(w, h) if d % 2 == 0 else make_jpeg(w, h)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"img-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_bmp_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL BMP per doc, rotating by d%3 across the
+    uncompressed DIB variants (0 -> 24-bit bottom-up; 1 -> 24-bit
+    TOP-DOWN, negative biHeight; 2 -> 8-bit palettized over the
+    TWISTED palette pal[i] = (7*i+13)%256 — the indirection proves the
+    decoder reads the palette, not the indices). Planted per-row gray
+    g(d,y) = 40 + ((d + y*11) % 50) * 4 at dims (24 + (d%3)*8) x
+    (8 + (d%2)*8) — the tiff corpus formulas, so the oracle is the
+    same closed form with a palette CASE on the d%3==2 lane."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..testing.imagegen import make_bmp
+
+        twisted = b"".join(
+            bytes(((7 * i + 13) % 256,) * 3 + (0,)) for i in range(256))
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), np.uint8)
+                for y in range(h):
+                    img[y, :] = 40 + ((d + y * 11) % 50) * 4
+                lane = d % 3
+                if lane == 2:
+                    payload = make_bmp(img, bits=8, palette=twisted)
+                else:
+                    payload = make_bmp(img, topdown=(lane == 1))
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"bmp-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_pnm_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL binary netpbm per doc, rotating by d%3
+    (0 -> P5 8-bit graymap; 1 -> P6 RGB pixmap with gray-valued
+    pixels — the integer 299/587/114 luma weights sum to 1000 so the
+    mean equals the planted gray exactly; 2 -> P5 16-BIT graymap at
+    maxval 65535 storing g*257, the standard 8->16 bit scaling, so
+    the native-depth mean is exactly 257x the 8-bit formula). Same
+    g(d,y)/dims formulas as the bmp corpus."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..testing.imagegen import make_pnm
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), np.uint8)
+                for y in range(h):
+                    img[y, :] = 40 + ((d + y * 11) % 50) * 4
+                lane = d % 3
+                if lane == 1:
+                    payload = make_pnm(np.repeat(img[..., None], 3, axis=2))
+                elif lane == 2:
+                    payload = make_pnm(
+                        img.astype(np.uint16) * 257, maxval=65535)
+                else:
+                    payload = make_pnm(img)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"pnm-{d}")
                 out["modality"].append("image")
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
@@ -1691,6 +1795,9 @@ def sniff_image_format(payload_col) -> "F.Column":
         .when(head4 == "89504E47", "png")
         .when(F.substring(payload_col, 1, 4).cast("string") == "GIF8", "gif")
         .when(head4.isin("49492A00", "4D4D002A"), "tiff")
+        .when(F.substring(head4, 1, 4) == "424D", "bmp")
+        .when(F.substring(payload_col, 1, 2).cast("string")
+              .isin("P5", "P6"), "pnm")
         .otherwise("other")
     )
 

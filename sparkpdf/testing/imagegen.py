@@ -50,6 +50,57 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
 
 
+def make_bmp(pixels, bits: int = 24, topdown: bool = False,
+             palette: "bytes | None" = None) -> bytes:
+    """Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):
+    `pixels` is an (h, w) gray or (h, w, 3) RGB uint8 array. bits=24
+    writes BGR rows; bits=8 writes palettized rows over `palette`
+    (256 BGRA quads; default gray-identity). Rows pad to 4 bytes and
+    store bottom-up unless `topdown` (negative biHeight)."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape[:2]
+    rowbytes = (w * bits + 31) // 32 * 4
+    if bits == 24:
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=2)
+        rows = a[:, :, ::-1].reshape(h, w * 3)  # BGR
+        pal = b""
+    else:
+        rows = a.reshape(h, w)
+        pal = palette if palette is not None else b"".join(
+            bytes((i, i, i, 0)) for i in range(256))
+    pad = np.zeros((h, rowbytes - rows.shape[1]), np.uint8)
+    rows = np.concatenate([rows, pad], axis=1)
+    if not topdown:
+        rows = rows[::-1]
+    raster = rows.tobytes()
+    bih = struct.pack(
+        "<IiihhIIiiII", 40, w, -h if topdown else h, 1, bits, 0,
+        len(raster), 2835, 2835, len(pal) // 4, 0)
+    off = 14 + 40 + len(pal)
+    bfh = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    return bfh + bih + pal + raster
+
+
+def make_pnm(pixels, maxval: int = 255) -> bytes:
+    """Binary netpbm: (h, w) -> P5 graymap, (h, w, 3) -> P6 pixmap;
+    samples are 1 byte at maxval < 256, else 2 bytes big-endian. A
+    comment line in the header exercises the tolerant parse."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    h, w = a.shape[:2]
+    kind = b"P6" if a.ndim == 3 else b"P5"
+    if maxval > 255:
+        raster = a.astype(">u2").tobytes()
+    else:
+        raster = a.astype(np.uint8).tobytes()
+    return (kind + b"\n# synthetic fixture\n"
+            + f"{w} {h}\n{maxval}\n".encode() + raster)
+
+
 def make_gif(width: int, height: int) -> bytes:
     return (
         b"GIF89a"

@@ -937,6 +937,64 @@ def test_avi_mjpeg_frame_decode():
     assert avi_mjpeg_frames(b"RIFFxxxxAVI garbage") is None
 
 
+def test_bmp_pnm_decode():
+    """Round-7 still-image DIB + netpbm codecs: BMP 24-bit (bottom-up
+    AND top-down) and 8-bit over a twisted palette (the indirection
+    proves palette reads), PNM P5-8/P6-RGB/P5-16BE at native depth
+    (16-bit mean exactly 257x the 8-bit one); non-gray RGB uses the
+    exact 299/587/114 luma; truncation quarantines, fuzz never
+    raises; image_dims sniffs both without leaking parser internals."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import (
+        bmp_dims, bmp_mean_luma, image_dims, pnm_dims, pnm_mean_luma)
+    from sparkpdf.testing.imagegen import make_bmp, make_pnm
+
+    img = np.zeros((8, 24), np.uint8)
+    for y in range(8):
+        img[y, :] = 40 + ((3 + y * 11) % 50) * 4
+    exp = round(sum(40 + ((3 + y * 11) % 50) * 4 for y in range(8)) / 8, 6)
+    for topdown in (False, True):
+        b = make_bmp(img, topdown=topdown)
+        assert bmp_dims(b) == {"format": "bmp", "width": 24, "height": 8}
+        assert bmp_mean_luma(b) == exp
+    pal = b"".join(bytes(((7 * i + 13) % 256,) * 3 + (0,))
+                   for i in range(256))
+    b8 = make_bmp(img, bits=8, palette=pal)
+    exp8 = round(sum((7 * (40 + ((3 + y * 11) % 50) * 4) + 13) % 256
+                     for y in range(8)) / 8, 6)
+    assert bmp_mean_luma(b8) == exp8
+    # top-down vs bottom-up really changes the raster: first stored
+    # row of an asymmetric image differs between the two files
+    asym = np.zeros((2, 4), np.uint8)
+    asym[0, :], asym[1, :] = 10, 200
+    off = 14 + 40
+    assert make_bmp(asym)[off] != make_bmp(asym, topdown=True)[off]
+    assert bmp_mean_luma(make_bmp(asym)) == bmp_mean_luma(
+        make_bmp(asym, topdown=True)) == 105.0
+
+    p5 = make_pnm(img)
+    assert pnm_dims(p5)["width"] == 24
+    assert pnm_mean_luma(p5) == exp
+    assert pnm_mean_luma(make_pnm(np.repeat(img[..., None], 3, 2))) == exp
+    p5w = make_pnm(img.astype(np.uint16) * 257, maxval=65535)
+    assert pnm_mean_luma(p5w) == round(exp * 257, 6)
+    # non-gray RGB: exact integer-accumulated luma on both codecs
+    c = np.zeros((2, 2, 3), np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 200, 100, 50
+    expc = round((200 * 299 + 100 * 587 + 50 * 114) / 1000.0, 6)
+    assert pnm_mean_luma(make_pnm(c)) == expc
+    assert bmp_mean_luma(make_bmp(c)) == expc
+    # sniff dispatch, private-field hygiene, quarantine, fuzz
+    assert image_dims(p5) == {"format": "pnm", "width": 24, "height": 8}
+    assert image_dims(make_bmp(img))["format"] == "bmp"
+    assert bmp_mean_luma(make_bmp(img)[:40]) is None
+    assert pnm_mean_luma(p5[:20]) is None
+    for n in range(0, len(b8), 5):
+        bmp_mean_luma(b8[:n])
+        pnm_mean_luma(p5w[:n])
+
+
 def test_avi_dib_frame_decode():
     """Round-7 uncompressed video: BI_RGB DIB frames in AVI decode
     losslessly — 24-bit BGR (bottom-up AND negative-biHeight
