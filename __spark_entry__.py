@@ -403,6 +403,15 @@ def q_html_headings(spark, sf_dir):
     )
 
 
+def q_link_host_degree(spark, sf_dir):
+    # web-graph aggregation over extracted outlinks: per-host total /
+    # nofollow in-link counts + distinct linking docs — map-side
+    # explode + host regexp, partial agg before the one host exchange
+    from sparkpdf.operators.text import link_host_degree
+
+    return link_host_degree(_web_features(spark, sf_dir))
+
+
 def q_html_tables(spark, sf_dir):
     # <table> shape extraction (structured data in webpages): row
     # count, max row width, row-major cell text; only d%3==0 docs
@@ -1736,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_headings": q_html_headings,
         "html_tables": q_html_tables,
+        "link_host_degree": q_link_host_degree,
     }
 
 
@@ -2096,7 +2106,9 @@ def oracle_sql() -> dict[str, str]:
                  WHEN t.i = 1 THEN '/about'
                  WHEN t.i = 2 THEN '/contact'
                  WHEN t.i < 3 + d.doc_id % 4 THEN
-                     'https://example.com/ref/'
+                     'https://site'
+                     || CAST((d.doc_id + t.i - 3) % 5 AS VARCHAR)
+                     || '.example.com/ref/'
                      || CAST(d.doc_id AS VARCHAR) || '/'
                      || CAST(t.i - 3 AS VARCHAR)
                  WHEN t.i = 3 + d.doc_id % 4 THEN '/a'
@@ -2135,6 +2147,21 @@ def oracle_sql() -> dict[str, str]:
                    AS boiler
         FROM documents d CROSS JOIN generate_series(0, 5) t(i)
         WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["link_host_degree"] = """
+        WITH body AS (
+            SELECT d.doc_id,
+                   'site' || CAST((d.doc_id + t.i) % 5 AS VARCHAR)
+                       || '.example.com' AS host,
+                   CAST(t.i % 2 AS INTEGER) AS nofollow
+            FROM documents d CROSS JOIN generate_series(0, 2) t(i)
+            WHERE t.i < d.doc_id % 4
+        )
+        SELECT host,
+               COUNT(*) AS n_links,
+               CAST(SUM(nofollow) AS BIGINT) AS n_nofollow,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM body GROUP BY host
     """
     sql["html_tables"] = """
         SELECT d.doc_id,

@@ -301,8 +301,10 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
       headings = h1 'Site Name' (boilerplate header), h1 'Doc {d}',
                  then 1+d%3 x h2 'Section {i} of doc {d}'
       links    = 3 nav (boiler) + d%4 body refs
-                 (https://example.com/ref/{d}/{i}, rel=nofollow on
-                 odd i) + 2 related -> 5 + d%4 total, document order
+                 (https://site{(d+i)%5}.example.com/ref/{d}/{i} —
+                 the rotating host feeds the link-graph degree
+                 oracle — rel=nofollow on odd i) + 2 related
+                 -> 5 + d%4 total, document order
       table    = only when d%3==0: (2+d%5) x (1+d%3) cells 'c{r}.{c}'
     """
     d = int(doc_id)
@@ -331,8 +333,8 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
     for i in range(d % 4):
         rel = ' rel="nofollow"' if i % 2 == 1 else ""
         parts.append(
-            f'<a href="https://example.com/ref/{d}/{i}"{rel}>'
-            f"ref {d}-{i}</a>"
+            f'<a href="https://site{(d + i) % 5}.example.com'
+            f'/ref/{d}/{i}"{rel}>ref {d}-{i}</a>'
         )
     if d % 3 == 0:
         rows = []

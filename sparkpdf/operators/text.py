@@ -395,6 +395,36 @@ def extract_web_features(pages: DataFrame) -> DataFrame:
     )
 
 
+def link_host_degree(features: DataFrame) -> DataFrame:
+    """Host-level link-graph degree from extracted outlinks: explode
+    each doc's links map-side, pull the host out of absolute hrefs
+    with a JVM-side regexp (relative links have no host and drop),
+    and aggregate per host: total in-links, nofollow in-links, and
+    the number of DISTINCT linking documents.
+
+    Scale shape (the classic crawl-graph stat at 10^12 docs): the
+    explode and host extraction are map-side; counts partial-aggregate
+    before the ONE host-keyed exchange, so a head host (a google.com)
+    arrives pre-combined per map task rather than as raw link rows —
+    the count_distinct runs as Spark's standard 2-phase partial
+    distinct. No content ever shuffles; the exchange carries
+    (host, counts, doc_id) tuples only."""
+    links = features.filter(F.col("error").isNull()).select(
+        F.col("doc_id"),
+        F.explode("links").alias("l"),
+    ).select(
+        "doc_id",
+        F.regexp_extract(F.col("l.href"), r"^https?://([^/]+)", 1)
+            .alias("host"),
+        F.col("l.nofollow").alias("nofollow"),
+    ).filter(F.col("host") != "")
+    return links.groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.sum("nofollow").cast("long").alias("n_nofollow"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
 def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
                             n: int = 5) -> DataFrame:
     """Benchmark decontamination: per document, how many of its

@@ -76,7 +76,8 @@ def test_webpage_features_roundtrip():
         assert len(links) == 5 + d % 4
         assert [l["boiler"] for l in links[:3]] == [1, 1, 1]
         for i, l in enumerate(links[3:3 + d % 4]):
-            assert l["href"] == f"https://example.com/ref/{d}/{i}"
+            assert l["href"] == (
+                f"https://site{(d + i) % 5}.example.com/ref/{d}/{i}")
             assert l["anchor"] == f"ref {d}-{i}"
             assert l["nofollow"] == (i % 2)
             assert l["boiler"] == 0

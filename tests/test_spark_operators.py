@@ -1389,6 +1389,41 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_link_host_degree(spark):
+    """Host-level link-graph degree over extracted outlinks: values
+    match hand counts (hosts from absolute hrefs only; nofollow and
+    distinct-doc tallies right), and the plan partial-aggregates
+    before every exchange (a head host arrives pre-combined, never as
+    raw link rows)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import (
+        extract_web_features, link_host_degree, synthesize_web_corpus)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=str(d), text=f"doc {d}") for d in range(8)])
+    out = link_host_degree(
+        extract_web_features(synthesize_web_corpus(docs)))
+    rows = {r.host: r for r in out.collect()}
+    # hand-count: doc d plants d%4 body links at hosts (d+i)%5
+    import collections
+    exp = collections.Counter()
+    exp_nf = collections.Counter()
+    exp_docs = collections.defaultdict(set)
+    for d in range(8):
+        for i in range(d % 4):
+            h = f"site{(d + i) % 5}.example.com"
+            exp[h] += 1
+            exp_nf[h] += i % 2
+            exp_docs[h].add(d)
+    assert {h: r.n_links for h, r in rows.items()} == dict(exp)
+    assert {h: r.n_nofollow for h, r in rows.items()} == dict(exp_nf)
+    assert {h: r.n_docs for h, r in rows.items()} == {
+        h: len(s) for h, s in exp_docs.items()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_count" in final and "partial_sum" in final, plan
+
+
 def test_remove_duplicate_lines(spark):
     """C4-style corpus-wide line dedup: duplicated lines survive only
     at their first (doc_id, pos) occurrence; unique lines untouched;
