@@ -1,0 +1,81 @@
+"""Production web-extraction job — the north rule's HTML leg as a
+resumable spark-submit surface (the PDF leg is jobs/extract_job.py).
+
+    spark-submit --py-files sparkpdf.zip jobs/web_job.py \
+        --input  /data/html_raw         (parquet: doc_id, html) \
+        --output /data/web_docs \
+        --batches 8                     (checkpoint slices)
+
+Pipeline: scan -> checkpointed per-slice extraction (ONE mapInPandas
+pass per slice: boilerplate-stripped main_text + title + metadata
+scalars + outlinks + heading outline + table shapes + n_bytes +
+error quarantine) -> host-level link-graph aggregate.
+
+Outputs under --output:
+    part=N/        the web-document table (operators/text.WEB_DOC_SCHEMA)
+    link_hosts/    per-host in-link degree (n_links, n_nofollow,
+                   n_docs) aggregated from the extracted outlinks —
+                   partial-agg before the one host exchange
+    _progress.jsonl  per-partition lineage + throughput manifest;
+                   re-running the same command resumes (completed
+                   slices skip; torn commits self-heal)
+plus ONE summary JSON line on stdout.
+
+Scale shape: HTML pages are narrowly distributed in size (no PDF-class
+whales), so the job slices by doc_id hash; a corpus known to carry
+multi-megabyte outliers can pre-apply plans/salting.py the same way
+extract_job does. The link_hosts aggregate re-reads the PERSISTED
+part=N data, never the raw corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None, spark=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--batches", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    owns_spark = spark is None
+    if owns_spark:
+        spark = SparkSession.builder.appName("sparkpdf-web").getOrCreate()
+
+    from sparkpdf.operators.text import extract_web_docs, link_host_degree
+    from sparkpdf.plans.checkpoint import CheckpointedExtraction
+
+    pages = spark.read.parquet(args.input)
+    ck = CheckpointedExtraction(args.output, n_batches=args.batches)
+    done = ck.run(pages, extract_web_docs)
+    result = ck.result(spark)
+
+    hosts = link_host_degree(result)
+    hosts_dir = args.output.rstrip("/") + "/link_hosts"
+    hosts.write.mode("overwrite").parquet(hosts_dir)
+    hosts_out = spark.read.parquet(hosts_dir)
+
+    summary = {
+        "slices_processed": done,
+        "total_docs": result.count(),
+        "errored_docs": result.filter("error IS NOT NULL").count(),
+        "total_links": result.agg(
+            F.coalesce(F.sum(F.size("links")), F.lit(0))
+        ).collect()[0][0],
+        "hosts": hosts_out.count(),
+    }
+    print(json.dumps(summary))
+    if owns_spark:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -395,6 +395,78 @@ def extract_web_features(pages: DataFrame) -> DataFrame:
     )
 
 
+WEB_DOC_SCHEMA = (
+    "doc_id string, title string, main_text string, lang string, "
+    "canonical string, description string, robots string, "
+    "og_title string, charset string, "
+    "links array<struct<href:string,anchor:string,nofollow:int,"
+    "boiler:int>>, "
+    "headings array<struct<level:int,text:string,boiler:int>>, "
+    "tables array<struct<n_rows:int,n_cols:int,cells:string>>, "
+    "n_bytes long, error string"
+)
+
+
+def extract_web_docs(pages: DataFrame) -> DataFrame:
+    """The production HTML lane (jobs/web_job.py): main-content strip
+    AND the full DOM feature set in ONE mapInPandas pass over the
+    corpus — per doc: title + boilerplate-stripped main_text
+    (extract_main_html), metadata scalars, outlinks, heading outline,
+    table shapes (parse_webpage), plus n_bytes (utf-8 size of the raw
+    page — the checkpoint manifest's lineage/throughput column) and
+    the error quarantine column (never raises, never drops).
+
+    Scale shape: one corpus read, no shuffle; the checkpoint layer
+    slices by doc_id hash and records per-partition lineage."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import extract_main_html, parse_webpage
+
+        meta_cols = ("lang", "canonical", "description", "robots",
+                     "og_title", "charset")
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "title", "main_text") + meta_cols
+                   + ("links", "headings", "tables", "n_bytes",
+                      "error")}
+            for doc_id, html_text in zip(pdf["doc_id"], pdf["html"]):
+                raw = html_text if html_text is not None else ""
+                out["doc_id"].append(str(doc_id))
+                out["n_bytes"].append(len(raw.encode("utf-8")))
+                try:
+                    main = extract_main_html(raw)
+                    feats = parse_webpage(raw)
+                    err = None
+                except Exception as exc:  # quarantine, never raise
+                    main = feats = None
+                    err = f"{type(exc).__name__}: {exc}"[:500]
+                out["title"].append(feats["title"] if feats else None)
+                out["main_text"].append(
+                    main["main_text"] if main else None)
+                for k in meta_cols:
+                    out[k].append(feats[k] if feats else None)
+                out["links"].append(
+                    [(l["href"], l["anchor"], l["nofollow"],
+                      l["boiler"]) for l in feats["links"]]
+                    if feats else None)
+                out["headings"].append(
+                    [(h["level"], h["text"], h["boiler"])
+                     for h in feats["headings"]] if feats else None)
+                out["tables"].append(
+                    [(t["n_rows"], t["n_cols"], t["cells"])
+                     for t in feats["tables"]] if feats else None)
+                out["error"].append(err)
+            yield pd.DataFrame(out)
+
+    return pages.select("doc_id", "html").mapInPandas(
+        gen, schema=WEB_DOC_SCHEMA
+    )
+
+
 def link_host_degree(features: DataFrame) -> DataFrame:
     """Host-level link-graph degree from extracted outlinks: explode
     each doc's links map-side, pull the host out of absolute hrefs
