@@ -412,6 +412,36 @@ def q_link_host_degree(spark, sf_dir):
     return link_host_degree(_web_features(spark, sf_dir))
 
 
+def q_warc_pages(spark, sf_dir):
+    # round 7: WARC source end-to-end — build a REAL archive per doc
+    # (warcinfo + request + response, odd docs in the CommonCrawl
+    # per-record-gzip layout), demux the response records
+    # (sources/warc_source.warc_pages), then prove the HTTP payload
+    # survived byte-exactly by running the DOM parser on it: og_title
+    # and lang must match their planted formulas
+    from sparkpdf.operators.text import (
+        extract_web_features,
+        synthesize_warc_corpus,
+    )
+    from sparkpdf.sources.warc_source import warc_pages
+
+    pages = warc_pages(
+        synthesize_warc_corpus(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull())
+    feats = extract_web_features(
+        pages.select(
+            F.split("doc_id", "#")[0].alias("doc_id"), "html"
+        )
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "og_title", "lang",
+    )
+    return pages.select(
+        F.split("doc_id", "#")[0].cast("long").alias("doc_id"),
+        "url", "http_status", "content_type",
+    ).join(feats, "doc_id")
+
+
 def q_html_tables(spark, sf_dir):
     # <table> shape extraction (structured data in webpages): row
     # count, max row width, row-major cell text; only d%3==0 docs
@@ -1296,6 +1326,22 @@ def q_pnm_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_tga_ico_pixel_stats(spark, sf_dir):
+    # round 7: REAL TGA decode (gray / truecolor-RLE / palettized over
+    # a twisted colormap) + ICO first-image decode (classic
+    # doubled-height DIB entry AND a PNG-compressed entry through the
+    # full PNG path) — five container/codec lanes, one formula oracle
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_tga_ico_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_tga_ico_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "width", "height", "mean_luma")
+
+
 def q_jpeg_lossless_stats(spark, sf_dir):
     # LOSSLESS JPEG (SOF3, Annex H) pixel decode: 12-bit gray, a
     # different predictor selector per doc (1 + d%7) — decode is exact
@@ -1741,11 +1787,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main": q_html_main,
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "pnm_pixel_stats": q_pnm_pixel_stats,
+        "tga_ico_pixel_stats": q_tga_ico_pixel_stats,
         "html_meta": q_html_meta,
         "html_links": q_html_links,
         "html_headings": q_html_headings,
         "html_tables": q_html_tables,
         "link_host_degree": q_link_host_degree,
+        "warc_pages": q_warc_pages,
     }
 
 
@@ -2068,6 +2116,23 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM rws GROUP BY doc_id, width, height
     """
+    sql["tga_ico_pixel_stats"] = """
+        WITH rws AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS width,
+                   CAST(8 + (doc_id % 2) * 8 AS INTEGER) AS height,
+                   unnest(range(0, 8 + (doc_id % 2) * 8)) AS y,
+                   doc_id AS d
+            FROM documents
+        )
+        SELECT doc_id, width, height,
+               ROUND(SUM(CASE WHEN d % 5 = 2
+                          THEN (7 * (40 + ((d + y * 11) % 50) * 4)
+                                + 13) % 256
+                          ELSE 40 + ((d + y * 11) % 50) * 4 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
+        FROM rws GROUP BY doc_id, width, height
+    """
     sql["pnm_pixel_stats"] = """
         WITH rws AS (
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
@@ -2147,6 +2212,19 @@ def oracle_sql() -> dict[str, str]:
                    AS boiler
         FROM documents d CROSS JOIN generate_series(0, 5) t(i)
         WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["warc_pages"] = """
+        SELECT doc_id,
+               'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                   AS url,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END
+                    AS INTEGER) AS http_status,
+               'text/html; charset=utf-8' AS content_type,
+               'OG Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+               CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                    WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
+                    ELSE 'it' END AS lang
+        FROM documents
     """
     sql["link_host_degree"] = """
         WITH body AS (

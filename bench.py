@@ -99,6 +99,60 @@ def timed_extraction(
     }
 
 
+def timed_web_extraction(
+    spark, sf_dir: str, mult: int, cpus: int, iterations: int = 3
+) -> dict:
+    """HTML-lane throughput (the north rule's other extraction leg):
+    extract_web_docs — boilerplate strip + metadata + links/headings/
+    tables in one mapInPandas pass — over a replicated synthesized web
+    corpus. Same discipline as timed_extraction: corpus persisted and
+    counted before timing, workers warmed with an untimed quarter
+    pass, best-of-N."""
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.text import (
+        extract_web_docs,
+        synthesize_web_corpus,
+    )
+
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", F.expr(f"repeat(text, {TEXT_REP})").alias("text"))
+    if mult > 1:
+        reps = spark.range(mult).select(F.col("id").alias("rep"))
+        docs = docs.crossJoin(reps).select(
+            (F.col("doc_id") * mult + F.col("rep")).alias("doc_id"),
+            "text",
+        )
+    corpus = synthesize_web_corpus(docs).repartition(cpus).persist()
+    n_docs = corpus.count()
+    n_mb = (
+        corpus.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+    ) / 1e6
+    extract_web_docs(
+        corpus.filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0)
+    ).write.format("noop").mode("overwrite").save()
+    wall = None
+    for _ in range(iterations):
+        t0 = time.time()
+        errs = extract_web_docs(corpus).agg(
+            F.sum((F.col("error").isNotNull()).cast("long")).alias("e"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        dt = time.time() - t0
+        wall = dt if wall is None else min(wall, dt)
+        assert int(errs.n) == n_docs
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "mb": round(n_mb, 1),
+        "errors": int(errs.e or 0),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_mb / wall, 2),
+    }
+
+
 def timed_jpeg_decode() -> dict:
     """Single-core JPEG pixel-decode throughput (round-3 weak item: the
     MCU loop is now LUT-Huffman + batched-numpy IDCT). Representative
@@ -317,6 +371,11 @@ def main():
     extraction = timed_extraction(spark, SF_DIR, MULT, CPUS)
     total += extraction["wall_sec"]
     per_query["bench_extraction"] = extraction["wall_sec"]
+    # HTML-lane throughput (round 7: the web_job pass — boilerplate
+    # strip + DOM features in one mapInPandas)
+    web_extraction = timed_web_extraction(spark, SF_DIR, MULT, CPUS)
+    total += web_extraction["wall_sec"]
+    per_query["bench_web_extraction"] = web_extraction["wall_sec"]
     # sampled pixel-stats decision path (r4 verdict item 4): the
     # per-format decode-vs-header choice the production job would make
     # on this corpus's image mix
@@ -343,6 +402,7 @@ def main():
         "queries": per_query,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
+        "web_extraction": web_extraction,
         "jpeg_decode": timed_jpeg_decode(),
         "av_decode_mb_per_sec": timed_av_decode(),
         "pixel_policy": pixel_policy,

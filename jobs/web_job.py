@@ -40,6 +40,13 @@ def main(argv=None, spark=None):
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument(
+        "--warc", action="store_true",
+        help="treat --input as a directory of *.warc / *.warc.gz "
+        "archives (CommonCrawl layout): demux response records, keep "
+        "status-200 text/html pages, extract as usual; demux "
+        "quarantine rows are counted in the summary",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,7 +59,18 @@ def main(argv=None, spark=None):
     from sparkpdf.operators.text import extract_web_docs, link_host_degree
     from sparkpdf.plans.checkpoint import CheckpointedExtraction
 
-    pages = spark.read.parquet(args.input)
+    n_warc_quarantined = None
+    if args.warc:
+        from sparkpdf.sources.warc_source import read_warc_dir
+
+        demuxed = read_warc_dir(spark, args.input)
+        n_warc_quarantined = demuxed.filter(
+            "error IS NOT NULL").count()
+        pages = demuxed.filter(
+            "error IS NULL AND http_status = 200 AND html IS NOT NULL"
+        ).select("doc_id", "html")
+    else:
+        pages = spark.read.parquet(args.input)
     ck = CheckpointedExtraction(args.output, n_batches=args.batches)
     done = ck.run(pages, extract_web_docs)
     result = ck.result(spark)
@@ -71,6 +89,8 @@ def main(argv=None, spark=None):
         ).collect()[0][0],
         "hosts": hosts_out.count(),
     }
+    if n_warc_quarantined is not None:
+        summary["warc_quarantined"] = n_warc_quarantined
     print(json.dumps(summary))
     if owns_spark:
         spark.stop()

@@ -241,13 +241,184 @@ def pnm_mean_luma(b: bytes):
     return round(int(a.sum()) / float(w * h), 6)
 
 
+def _tga_header(b: bytes) -> Optional[dict]:
+    """TGA has no magic — validate the 18-byte header fields instead
+    (image_type, bpp, colormap consistency) so the sniff stays safe
+    inside image_dims' or-chain. Returns the parsed header or None."""
+    if len(b) < 18:
+        return None
+    id_len, cm_type, img_type = b[0], b[1], b[2]
+    cm_first = int.from_bytes(b[3:5], "little")
+    cm_len = int.from_bytes(b[5:7], "little")
+    cm_bits = b[7]
+    w = int.from_bytes(b[12:14], "little")
+    h = int.from_bytes(b[14:16], "little")
+    bpp = b[16]
+    desc = b[17]
+    if img_type not in (1, 2, 3, 9, 10, 11) or cm_type not in (0, 1):
+        return None
+    if w <= 0 or h <= 0 or w > 0xFFFF or h > 0xFFFF:
+        return None
+    if img_type in (1, 9):  # palettized requires a colormap
+        if cm_type != 1 or cm_len == 0 or cm_bits not in (24, 32) \
+                or bpp != 8:
+            return None
+    elif cm_type != 0 or cm_len != 0:
+        return None
+    if img_type in (3, 11) and bpp != 8:
+        return None
+    if img_type in (2, 10) and bpp not in (24, 32):
+        return None
+    return {"id_len": id_len, "img_type": img_type, "cm_first": cm_first,
+            "cm_len": cm_len, "cm_bits": cm_bits, "width": w,
+            "height": h, "bpp": bpp, "topdown": bool(desc & 0x20)}
+
+
+def tga_dims(b: bytes) -> Optional[dict]:
+    """Truevision TGA: header-validated sniff -> {format, width,
+    height} (types 1/2/3 and their RLE forms 9/10/11)."""
+    hd = _tga_header(b)
+    if hd is None:
+        return None
+    return {"format": "tga", "width": hd["width"],
+            "height": hd["height"]}
+
+
+def _tga_rle_expand(data: bytes, n_px: int, psize: int):
+    """TGA RLE: packet header bit7 = run (one pixel repeated
+    count times) else raw (count literal pixels); count = low7 + 1.
+    Returns the expanded raster or None on a torn stream."""
+    out = bytearray()
+    need = n_px * psize
+    i = 0
+    while len(out) < need:
+        if i >= len(data):
+            return None
+        hdr = data[i]
+        count = (hdr & 0x7F) + 1
+        i += 1
+        if hdr & 0x80:  # run packet
+            px = data[i:i + psize]
+            if len(px) < psize:
+                return None
+            out += px * count
+            i += psize
+        else:  # raw packet
+            chunk = data[i:i + count * psize]
+            if len(chunk) < count * psize:
+                return None
+            out += chunk
+            i += count * psize
+    return bytes(out[:need])
+
+
+def tga_mean_luma(b: bytes):
+    """REAL TGA raster decode: grayscale (type 3), truecolor BGR/BGRA
+    (type 2), palettized over a BGR/BGRA colormap (type 1), plus all
+    three RLE forms (9/10/11); bottom-up by default, top-down when
+    descriptor bit 5 is set (orientation does not move the mean but
+    torn-stream handling differs). Integer accumulation, one final
+    division, 6 dp; alpha ignored for luma. None = quarantine."""
+    import numpy as np
+
+    hd = _tga_header(b)
+    if hd is None:
+        return None
+    w, h, bpp = hd["width"], hd["height"], hd["bpp"]
+    psize = bpp // 8
+    i = 18 + hd["id_len"]
+    cmap = None
+    if hd["img_type"] in (1, 9):
+        csize = hd["cm_bits"] // 8
+        cbytes = b[i:i + hd["cm_len"] * csize]
+        if len(cbytes) < hd["cm_len"] * csize:
+            return None
+        i += hd["cm_len"] * csize
+        cm = np.frombuffer(cbytes, np.uint8).reshape(-1, csize) \
+            .astype(np.int64)  # NEP50: uint8 * int wraps mod 256
+        lut = np.zeros(256, np.int64)
+        # map entries land at cm_first..cm_first+cm_len-1 (BGR order)
+        vals = cm[:, 2] * 299 + cm[:, 1] * 587 + cm[:, 0] * 114
+        hi = min(hd["cm_first"] + hd["cm_len"], 256)
+        lut[hd["cm_first"]:hi] = vals[:hi - hd["cm_first"]]
+        cmap = lut
+    if hd["img_type"] >= 9:  # RLE forms
+        raster = _tga_rle_expand(b[i:], w * h, psize)
+        if raster is None:
+            return None
+    else:
+        raster = b[i:i + w * h * psize]
+        if len(raster) < w * h * psize:
+            return None
+    a = np.frombuffer(raster, np.uint8)
+    if hd["img_type"] in (3, 11):
+        total = int(a.astype(np.int64).sum()) * 1000
+    elif cmap is not None:
+        total = int(cmap[a].sum())
+    else:
+        px = a.reshape(-1, psize).astype(np.int64)
+        total = int((px[:, 2] * 299 + px[:, 1] * 587
+                     + px[:, 0] * 114).sum())  # BGR(A)
+    return round(total / (1000.0 * w * h), 6)
+
+
+def ico_dims(b: bytes) -> Optional[dict]:
+    """Windows ICO: ICONDIR (reserved 0, type 1, count >= 1) ->
+    dims of the FIRST directory entry (0 encodes 256)."""
+    if len(b) < 22 or b[:4] != b"\x00\x00\x01\x00":
+        return None
+    count = int.from_bytes(b[4:6], "little")
+    if count == 0:
+        return None
+    w = b[6] or 256
+    h = b[7] or 256
+    return {"format": "ico", "width": w, "height": h}
+
+
+def ico_mean_luma(b: bytes):
+    """REAL ICO first-image decode: a PNG-compressed entry goes
+    through the full PNG pixel path; a classic DIB entry decodes via
+    the shared BI_RGB raster math (BITMAPINFOHEADER with DOUBLED
+    biHeight — XOR color plane first, then the 1-bit AND mask, which
+    is parsed past but excluded from luma). None = quarantine."""
+    if ico_dims(b) is None:
+        return None
+    off = int.from_bytes(b[18:22], "little")
+    size = int.from_bytes(b[14:18], "little")
+    if off + size > len(b) or size < 8:
+        return None
+    img = b[off:off + size]
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_mean_luma(img)
+    if len(img) < 40:
+        return None
+    bisize = int.from_bytes(img[0:4], "little")
+    if bisize < 40:
+        return None
+    h2 = int.from_bytes(img[8:12], "little", signed=True)
+    if h2 % 2 != 0:
+        return None  # ICO DIB height covers XOR + AND planes
+    fmt = {
+        "width": int.from_bytes(img[4:8], "little"),
+        "height": h2 // 2,  # XOR plane only; sign keeps orientation
+        "bits": int.from_bytes(img[14:16], "little"),
+        "compression": img[16:20],
+        "palette": bytes(img[bisize:bisize + 4 * 256]),
+    }
+    if fmt["compression"] != b"\x00\x00\x00\x00":
+        return None
+    pal_len = 4 * 256 if fmt["bits"] == 8 else 0
+    st = _dib_frame_stats(img[bisize + pal_len:], fmt)
+    return None if st is None else st[2]
+
+
 def image_dims(b: bytes) -> Optional[dict]:
     """Sniff the container by magic and return
     {format, width, height}, or None for unrecognised payloads."""
     if not b:
         return None
     dims = (png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
-            or bmp_dims(b) or pnm_dims(b))
+            or bmp_dims(b) or pnm_dims(b) or ico_dims(b) or tga_dims(b))
     if dims is not None:
         # the pnm parser's private header fields stay kernel-internal
         dims = {k: v for k, v in dims.items() if not k.startswith("_")}

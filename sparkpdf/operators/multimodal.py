@@ -71,7 +71,7 @@ FEATURE_SCHEMA = StructType(
 # "decode everything" set (pixel_formats=None means "let the
 # SPARKPDF_PIXEL_STATS env knob decide", which is NOT the same thing)
 PIXEL_DECODABLE_FORMATS = frozenset(
-    {"jpeg", "png", "gif", "tiff", "bmp", "pnm"})
+    {"jpeg", "png", "gif", "tiff", "bmp", "pnm", "tga", "ico"})
 
 
 def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
@@ -161,6 +161,24 @@ def _decode_image(payload: bytes, pixel_formats: "set | None" = None) -> dict:
         from ..kernels.media import pnm_mean_luma
 
         luma = pnm_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
+    elif meta.get("format") == "tga":
+        # REAL TGA raster decode (round 7): gray/truecolor/palettized
+        # + all three RLE forms, top-down and bottom-up
+        from ..kernels.media import tga_mean_luma
+
+        luma = tga_mean_luma(payload)
+        if luma is not None:
+            meta["mean_luma"] = luma
+    elif meta.get("format") == "ico":
+        # REAL ICO first-image decode (round 7): PNG-compressed
+        # entries through the full PNG path, classic entries through
+        # the shared DIB raster math (doubled-height AND mask parsed
+        # past, excluded from luma)
+        from ..kernels.media import ico_mean_luma
+
+        luma = ico_mean_luma(payload)
         if luma is not None:
             meta["mean_luma"] = luma
     return meta
@@ -330,6 +348,57 @@ def synthesize_pnm_media(documents: DataFrame) -> DataFrame:
                     payload = make_pnm(img)
                 out["doc_id"].append(str(d))
                 out["media_ref"].append(f"pnm-{d}")
+                out["modality"].append("image")
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
+def synthesize_tga_ico_media(documents: DataFrame) -> DataFrame:
+    """documents -> one REAL TGA or ICO per doc, rotating by d%5
+    (0 -> TGA grayscale type 3; 1 -> TGA truecolor type 2 with REAL
+    RLE packets, gray-valued BGR; 2 -> TGA palettized type 1 over the
+    TWISTED palette (7i+13)%256, RLE on odd docs; 3 -> ICO classic
+    DIB entry (doubled-height XOR+AND planes); 4 -> ICO with a
+    PNG-compressed entry — the full PNG pixel path inside the ICO
+    container). Same g(d,y)/dims formulas as the bmp corpus, so the
+    oracle is one closed form with the palette CASE on lane 2."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..testing.imagegen import make_ico, make_tga
+
+        twisted = b"".join(
+            bytes(((7 * i + 13) % 256,) * 3) for i in range(256))
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                w, h = 24 + (d % 3) * 8, 8 + (d % 2) * 8
+                img = np.zeros((h, w), np.uint8)
+                for y in range(h):
+                    img[y, :] = 40 + ((d + y * 11) % 50) * 4
+                lane = d % 5
+                if lane == 0:
+                    payload = make_tga(img, topdown=(d % 2 == 1))
+                elif lane == 1:
+                    payload = make_tga(
+                        np.repeat(img[..., None], 3, axis=2), rle=True)
+                elif lane == 2:
+                    payload = make_tga(img, img_type=1, palette=twisted,
+                                       rle=(d % 2 == 1))
+                elif lane == 3:
+                    payload = make_ico(img)
+                else:
+                    payload = make_ico(img, png=True)
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"tga-{d}")
                 out["modality"].append("image")
                 out["payload"].append(payload)
             yield pd.DataFrame(out)
@@ -1798,6 +1867,11 @@ def sniff_image_format(payload_col) -> "F.Column":
         .when(F.substring(head4, 1, 4) == "424D", "bmp")
         .when(F.substring(payload_col, 1, 2).cast("string")
               .isin("P5", "P6"), "pnm")
+        .when(head4 == "00000100", "ico")
+        # TGA has no magic: it needs the Python-side header-validated
+        # sniff (kernels/media._tga_header) and lands in 'other' here,
+        # i.e. the policy treats TGA corpora as header-only unless a
+        # format-specific pass opts in
         .otherwise("other")
     )
 

@@ -339,6 +339,60 @@ def synthesize_web_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_warc_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, warc_bytes): one REAL WARC archive per
+    doc — warcinfo + request + response records with the rich webpage
+    as the HTTP payload (kernels/warc.build_warc over
+    kernels/html.synthesize_webpage). Formula-planted for oracles:
+    target URI = https://example.com/doc/{d}, HTTP status = 404 when
+    d%9==0 else 200, and ODD docs use the CommonCrawl
+    per-record-gzip-member layout (even docs plain) so both file
+    forms decode in every corpus."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import synthesize_webpage
+        from ..kernels.warc import build_warc
+
+        for pdf in batches:
+            out = {"doc_id": [], "warc_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                uri = f"https://example.com/doc/{d}"
+                html = synthesize_webpage(d, text or "")
+                recs = [
+                    {"warc_type": "warcinfo",
+                     "record_id": f"<urn:warcinfo:{d}>",
+                     "body": b"software: sparkpdf-fixture\r\n"},
+                    {"warc_type": "request",
+                     "record_id": f"<urn:request:{d}>",
+                     "target_uri": uri,
+                     "body": (f"GET /doc/{d} HTTP/1.1\r\n"
+                              "Host: example.com\r\n\r\n"
+                              ).encode("latin-1")},
+                    {"warc_type": "response",
+                     "record_id": f"<urn:response:{d}>",
+                     "target_uri": uri,
+                     "http_status": 404 if d % 9 == 0 else 200,
+                     "body": html.encode("latin-1")},
+                ]
+                out["doc_id"].append(str(d))
+                out["warc_bytes"].append(
+                    build_warc(recs, gzip_members=(d % 2 == 1)))
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema="doc_id string, warc_bytes binary"
+    )
+
+
 def extract_web_features(pages: DataFrame) -> DataFrame:
     """(doc_id, html) -> one row per doc with the full DOM feature
     set: page metadata scalars (lang/title/canonical/description/

@@ -50,6 +50,113 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
 
 
+def make_png_gray(pixels) -> bytes:
+    """8-bit grayscale PNG from an (h, w) uint8 array (filter-0 rows,
+    one IDAT) — planted values decode losslessly, unlike make_png's
+    fixed gradient."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    scanlines = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_tga(pixels, img_type: int = 2, rle: bool = False,
+             topdown: bool = False,
+             palette: "bytes | None" = None) -> bytes:
+    """Truevision TGA: (h, w) gray -> type 3 (or type 1 palettized
+    when img_type=1, over `palette` = 3-byte BGR entries, default
+    gray-identity), (h, w, 3) RGB -> type 2 as BGR. `rle` writes the
+    run-length forms (9/10/11) with a run packet per homogeneous row
+    span (max 128) — real packets, not raw-only."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape[:2]
+    if a.ndim == 3:
+        img_type, bpp = 2, 24
+        raster_rows = [a[y, :, ::-1].reshape(-1) for y in range(h)]
+    elif img_type == 1:
+        bpp = 8
+        raster_rows = [a[y] for y in range(h)]
+    else:
+        img_type, bpp = 3, 8
+        raster_rows = [a[y] for y in range(h)]
+    cm = b""
+    cm_spec = struct.pack("<HHB", 0, 0, 0)
+    cm_type = 0
+    if img_type == 1:
+        cm = palette if palette is not None else b"".join(
+            bytes((i, i, i)) for i in range(256))
+        cm_type = 1
+        cm_spec = struct.pack("<HHB", 0, len(cm) // 3, 24)
+    if not topdown:
+        raster_rows = raster_rows[::-1]
+    psize = bpp // 8
+    if rle:
+        img_type += 8
+        body = bytearray()
+        for row in raster_rows:
+            px = bytes(row.tobytes())
+            i = 0
+            n = len(px) // psize
+            while i < n:
+                run = 1
+                first = px[i * psize:(i + 1) * psize]
+                while (i + run < n and run < 128
+                       and px[(i + run) * psize:(i + run + 1) * psize]
+                       == first):
+                    run += 1
+                if run > 1:
+                    body += bytes((0x80 | (run - 1),)) + first
+                else:
+                    body += b"\x00" + first
+                i += run
+        raster = bytes(body)
+    else:
+        raster = b"".join(bytes(r.tobytes()) for r in raster_rows)
+    header = (bytes((0, cm_type, img_type)) + cm_spec
+              + struct.pack("<HHHHBB", 0, 0, w, h, bpp,
+                            0x20 if topdown else 0))
+    return header + cm + raster
+
+
+def make_ico(pixels, png: bool = False) -> bytes:
+    """Windows ICO with ONE image: `png=True` embeds an 8-bit gray
+    PNG (make_png_gray); otherwise a classic DIB entry — 24-bit BGR
+    XOR plane (bottom-up, doubled biHeight) followed by an all-zero
+    (fully opaque) 1-bit AND mask, rows padded to 4 bytes."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    h, w = a.shape[:2]
+    if png:
+        img = make_png_gray(a if a.ndim == 2 else a[..., 0])
+    else:
+        if a.ndim == 2:
+            a = np.repeat(a[..., None], 3, axis=2)
+        rowbytes = (w * 24 + 31) // 32 * 4
+        rows = a[:, :, ::-1].reshape(h, w * 3)
+        pad = np.zeros((h, rowbytes - rows.shape[1]), np.uint8)
+        xor = np.concatenate([rows, pad], axis=1)[::-1].tobytes()
+        and_rowbytes = (w + 31) // 32 * 4
+        and_mask = b"\x00" * (and_rowbytes * h)
+        bih = struct.pack("<IiihhIIiiII", 40, w, 2 * h, 1, 24, 0,
+                          len(xor) + len(and_mask), 0, 0, 0, 0)
+        img = bih + xor + and_mask
+    entry = struct.pack(
+        "<BBBBHHII", w if w < 256 else 0, h if h < 256 else 0,
+        0, 0, 1, 24, len(img), 22)
+    return b"\x00\x00\x01\x00\x01\x00" + entry + img
+
+
 def make_bmp(pixels, bits: int = 24, topdown: bool = False,
              palette: "bytes | None" = None) -> bytes:
     """Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):

@@ -995,6 +995,110 @@ def test_bmp_pnm_decode():
         pnm_mean_luma(p5w[:n])
 
 
+def test_warc_roundtrip():
+    """Round-7 WARC kernel: build_warc -> parse_warc round-trips all
+    record types in both file forms (plain + CommonCrawl
+    per-record-gzip members, byte-deterministic); response records
+    surface http_status/content-type and the exact payload; torn
+    framing, truncated gzip and garbage quarantine (None), fuzz never
+    raises."""
+    from sparkpdf.kernels.warc import build_warc, parse_warc
+
+    html = "<html><body>hello</body></html>"
+    recs = [
+        {"warc_type": "warcinfo", "record_id": "<urn:x:info>",
+         "body": b"software: test\r\n"},
+        {"warc_type": "request", "record_id": "<urn:x:req>",
+         "target_uri": "https://example.com/doc/3",
+         "body": b"GET /doc/3 HTTP/1.1\r\nHost: example.com\r\n\r\n"},
+        {"warc_type": "response", "record_id": "<urn:x:resp>",
+         "target_uri": "https://example.com/doc/3",
+         "http_status": 404, "body": html.encode()},
+    ]
+    for gz in (False, True):
+        b = build_warc(recs, gzip_members=gz)
+        out = parse_warc(b)
+        assert [r["warc_type"] for r in out] == [
+            "warcinfo", "request", "response"]
+        resp = out[2]
+        assert resp["http_status"] == 404
+        assert resp["target_uri"] == "https://example.com/doc/3"
+        assert resp["http_content_type"] == "text/html; charset=utf-8"
+        assert resp["body"] == html.encode()
+        assert out[1]["http_status"] is None  # requests keep raw block
+        assert build_warc(recs, gzip_members=gz) == b  # deterministic
+    b = build_warc(recs)
+    bz = build_warc(recs, gzip_members=True)
+    assert parse_warc(b"garbage") is None
+    assert parse_warc(b"\x1f\x8bgarbage") is None
+    assert parse_warc(b[:len(b) // 2]) is None
+    for n in range(0, max(len(b), len(bz)), 11):
+        parse_warc(b[:n])
+        parse_warc(bz[:n])
+
+
+def test_tga_ico_decode():
+    """Round-7 TGA + ICO codecs: TGA gray/truecolor/palettized with
+    REAL RLE packets (types 3/2/1 and 11/10/9), top-down + bottom-up;
+    ICO classic DIB entries (doubled-height XOR+AND planes) and
+    PNG-compressed entries through the full PNG path; twisted palette
+    proves colormap reads; truncation quarantines; fuzz never raises;
+    TGA's magic-less sniff never false-positives on the other
+    formats."""
+    import numpy as np
+
+    from sparkpdf.kernels.media import (
+        ico_dims, ico_mean_luma, image_dims, png_mean_luma,
+        tga_dims, tga_mean_luma)
+    from sparkpdf.testing.imagegen import (
+        make_bmp, make_ico, make_png, make_png_gray, make_tga)
+
+    img = np.zeros((8, 24), np.uint8)
+    for y in range(8):
+        img[y, :] = 40 + ((3 + y * 11) % 50) * 4
+    exp = round(sum(40 + ((3 + y * 11) % 50) * 4
+                    for y in range(8)) / 8, 6)
+    exp8 = round(sum((7 * (40 + ((3 + y * 11) % 50) * 4) + 13) % 256
+                     for y in range(8)) / 8, 6)
+    pal = b"".join(bytes((((7 * i + 13) % 256),) * 3)
+                   for i in range(256))
+    for rle in (False, True):
+        for td in (False, True):
+            t3 = make_tga(img, rle=rle, topdown=td)
+            assert tga_dims(t3) == {
+                "format": "tga", "width": 24, "height": 8}
+            assert tga_mean_luma(t3) == exp
+        rgb = np.repeat(img[..., None], 3, axis=2)
+        assert tga_mean_luma(make_tga(rgb, rle=rle)) == exp
+        assert tga_mean_luma(
+            make_tga(img, img_type=1, rle=rle, palette=pal)) == exp8
+    c = np.zeros((2, 2, 3), np.uint8)
+    c[..., 0], c[..., 1], c[..., 2] = 200, 100, 50
+    expc = round((200 * 299 + 100 * 587 + 50 * 114) / 1000.0, 6)
+    assert tga_mean_luma(make_tga(c)) == expc
+    assert tga_mean_luma(make_tga(c, rle=True)) == expc
+
+    i_dib = make_ico(img)
+    assert ico_dims(i_dib) == {"format": "ico", "width": 24, "height": 8}
+    assert ico_mean_luma(i_dib) == exp
+    i_png = make_ico(img, png=True)
+    assert ico_mean_luma(i_png) == exp
+    assert png_mean_luma(make_png_gray(img)) == exp
+
+    # quarantine + fuzz + sniff hygiene
+    t = make_tga(img, rle=True)
+    assert tga_mean_luma(t[:30]) is None
+    assert ico_mean_luma(i_dib[:40]) is None
+    for n in range(0, max(len(t), len(i_dib), len(i_png)), 7):
+        tga_mean_luma(t[:n])
+        ico_mean_luma(i_dib[:n])
+        ico_mean_luma(i_png[:n])
+    assert image_dims(i_dib)["format"] == "ico"
+    assert image_dims(make_tga(img))["format"] == "tga"
+    assert image_dims(make_png(5, 5))["format"] == "png"
+    assert image_dims(make_bmp(img))["format"] == "bmp"
+
+
 def test_avi_dib_frame_decode():
     """Round-7 uncompressed video: BI_RGB DIB frames in AVI decode
     losslessly — 24-bit BGR (bottom-up AND negative-biHeight

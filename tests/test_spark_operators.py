@@ -2147,6 +2147,49 @@ def test_web_job_end_to_end(spark, docs, tmp_path, capsys):
         assert got[str(r.doc_id)].title == f"doc-{r.doc_id}"
 
 
+def test_web_job_warc_mode(spark, docs, tmp_path, capsys):
+    """web_job --warc: a directory of real .warc.gz archives (written
+    through the binaryFile-compatible layout) demuxes, filters to
+    status-200 HTML responses and extracts — 404 pages and torn
+    archives are excluded/counted, never crash the job."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "web_job", os.path.join(os.path.dirname(__file__),
+                                "..", "jobs", "web_job.py")
+    )
+    wj = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wj)
+
+    from sparkpdf.operators.text import synthesize_warc_corpus
+
+    warc_dir = tmp_path / "wj_warc_in"
+    warc_dir.mkdir()
+    rows = synthesize_warc_corpus(docs).collect()
+    for r in rows:
+        ext = "warc.gz" if bytes(r.warc_bytes)[:2] == b"\x1f\x8b" \
+            else "warc"
+        (warc_dir / f"doc-{r.doc_id}.{ext}").write_bytes(
+            bytes(r.warc_bytes))
+    # one poison archive: must quarantine, not crash
+    (warc_dir / "torn.warc").write_bytes(b"WARC/1.0\r\ntorn")
+
+    out_dir = str(tmp_path / "wj_warc_out")
+    rc = wj.main(["--input", str(warc_dir), "--output", out_dir,
+                  "--batches", "2", "--warc"], spark=spark)
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ids = [int(r.doc_id) for r in rows]
+    n_ok = sum(1 for d in ids if d % 9 != 0)  # 404s filtered out
+    assert summary["total_docs"] == n_ok
+    assert summary["errored_docs"] == 0
+    assert summary["warc_quarantined"] == 1
+    assert summary["total_links"] == sum(
+        5 + d % 4 for d in ids if d % 9 != 0)
+
+
 def test_media_job_budget_forces_header_only(spark, docs, tmp_path, capsys):
     """Round-6 verdict item 5: the pixel policy pinned END-TO-END
     through jobs/media_job.py. A budget far below any format's
