@@ -412,6 +412,14 @@ def q_link_host_degree(spark, sf_dir):
     return link_host_degree(_web_features(spark, sf_dir))
 
 
+def q_gopher_quality(spark, sf_dir):
+    # the Gopher filter rules (Rae et al. 2021) as one codegen pass:
+    # every signal and the conjunctive pass flag restated in SQL
+    from sparkpdf.operators.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"))
+
+
 def q_warc_pages(spark, sf_dir):
     # round 7: WARC source end-to-end — build a REAL archive per doc
     # (warcinfo + request + response, odd docs in the CommonCrawl
@@ -1794,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_tables": q_html_tables,
         "link_host_degree": q_link_host_degree,
         "warc_pages": q_warc_pages,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -2212,6 +2221,62 @@ def oracle_sql() -> dict[str, str]:
                    AS boiler
         FROM documents d CROSS JOIN generate_series(0, 5) t(i)
         WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["gopher_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   {_TOKENS} AS toks,
+                   str_split(text, chr(10)) AS lines,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                       AS n_sym
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   CASE WHEN len(toks) > 0 THEN
+                        CAST(list_sum(list_transform(toks,
+                             x -> length(x))) AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN len(toks) > 0 THEN
+                        CAST(n_sym AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN len(lines) > 0 THEN
+                        CAST(len(list_filter(lines,
+                             l -> l LIKE '- %' OR l LIKE '* %'))
+                             AS DOUBLE) / len(lines)
+                        ELSE 0.0 END AS bullet_ratio,
+                   CASE WHEN len(lines) > 0 THEN
+                        CAST(len(list_filter(lines,
+                             l -> l LIKE '%...')) AS DOUBLE)
+                             / len(lines)
+                        ELSE 0.0 END AS ellipsis_ratio,
+                   CASE WHEN len(toks) > 0 THEN
+                        CAST(len(list_filter(toks,
+                             x -> regexp_matches(x, '[a-z]')))
+                             AS DOUBLE) / len(toks)
+                        ELSE 0.0 END AS alpha_ratio,
+                   len(list_intersect(list_distinct(toks),
+                       ['the','and','of','to','a','in','is','that',
+                        'for','with'])) AS n_stopwords
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_words AS INTEGER) AS n_words,
+               ROUND(mean_word_len, 6) AS mean_word_len,
+               ROUND(symbol_ratio, 6) AS symbol_ratio,
+               ROUND(bullet_ratio, 6) AS bullet_ratio,
+               ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               CAST(n_stopwords AS INTEGER) AS n_stopwords,
+               CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                          AND mean_word_len >= 3 AND mean_word_len <= 10
+                          AND symbol_ratio < 0.1
+                          AND bullet_ratio < 0.9
+                          AND ellipsis_ratio < 0.3
+                          AND alpha_ratio >= 0.8
+                          AND n_stopwords >= 2
+                     THEN 1 ELSE 0 END AS INTEGER) AS gopher_pass
+        FROM m
     """
     sql["warc_pages"] = """
         SELECT doc_id,

@@ -68,6 +68,61 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, public) as
+    one codegen-only pass — the richer complement to quality_score for
+    pretraining-corpus curation. Per doc: word count, mean word
+    length, symbol-to-word ratio (# and ... occurrences), bullet-line
+    and ellipsis-line fractions, alphabetic-word fraction, distinct
+    English stopword count, and the conjunctive `gopher_pass` flag
+    (50 <= words <= 100k, 3 <= mean_word_len <= 10, symbol_ratio
+    < 0.1, bullet < 0.9, ellipsis < 0.3, alpha >= 0.8, stopwords
+    >= 2). No shuffle, no UDF; all regexes RE2/Java-portable."""
+    toks = _tokens("text")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_word_len = F.when(
+        n_words > 0, sum_len.cast("double") / n_words).otherwise(0.0)
+    n_sym = F.regexp_count("text", F.lit(r"#|\.\.\."))
+    symbol_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / n_words).otherwise(0.0)
+    lines = F.split("text", "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines,
+        lambda l: l.startswith("- ") | l.startswith("* ")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines).otherwise(0.0)
+    ellipsis_ratio = F.when(
+        n_lines > 0, n_ellipsis.cast("double") / n_lines).otherwise(0.0)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words).otherwise(0.0)
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    gopher_pass = (
+        (n_words >= 50) & (n_words <= 100000)
+        & (mean_word_len >= 3) & (mean_word_len <= 10)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9) & (ellipsis_ratio < 0.3)
+        & (alpha_ratio >= 0.8) & (n_stop >= 2)
+    )
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stop.alias("n_stopwords"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex count (word pieces, numbers,
     punctuation as singles) + char count."""

@@ -1389,6 +1389,36 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_gopher_quality(spark):
+    """Gopher rule edges: empty doc (all ratios 0, fail), a clean
+    50-word doc passes, bullet-heavy and symbol-heavy docs fail on
+    exactly their rule; the plan stays shuffle-free."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import gopher_quality
+
+    clean = " ".join(
+        f"the quick brown fox jumps with energy over lazy dogs"
+        for _ in range(5)
+    )  # 50 words, all alphabetic, stopwords the/with present
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    symbols = " ".join(["###"] * 60)
+    out = {r.doc_id: r for r in gopher_quality(spark.createDataFrame([
+        Row(doc_id="1", text=clean),
+        Row(doc_id="2", text=""),
+        Row(doc_id="3", text=bullets),
+        Row(doc_id="4", text=clean + " " + symbols),
+    ])).collect()}
+    assert out[1].n_words == 50 and out[1].gopher_pass == 1
+    assert out[2].n_words == 0 and out[2].gopher_pass == 0
+    assert out[2].mean_word_len == 0.0 and out[2].alpha_ratio == 0.0
+    assert out[3].bullet_ratio == 1.0 and out[3].gopher_pass == 0
+    assert out[4].symbol_ratio > 0.1 and out[4].gopher_pass == 0
+    plan = gopher_quality(spark.createDataFrame(
+        [Row(doc_id="1", text=clean)]
+    ))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0], plan
+
+
 def test_link_host_degree(spark):
     """Host-level link-graph degree over extracted outlinks: values
     match hand counts (hosts from absolute hrefs only; nofollow and
