@@ -412,6 +412,16 @@ def q_link_host_degree(spark, sf_dir):
     return link_host_degree(_web_features(spark, sf_dir))
 
 
+def q_pq_topk(spark, sf_dir):
+    # round 7: product-quantization ANN (ADC) — per-subspace Lloyd
+    # codebooks (6dp-round discipline), corpus compressed to m_sub
+    # centroid ids, scores = fixed-order sum of broadcast table
+    # lookups; the oracle replays training, encoding and ADC in SQL
+    from sparkpdf.operators.similarity import pq_topk
+
+    return pq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_gopher_quality(spark, sf_dir):
     # the Gopher filter rules (Rae et al. 2021) as one codegen pass:
     # every signal and the conjunctive pass flag restated in SQL
@@ -1803,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_host_degree": q_link_host_degree,
         "warc_pages": q_warc_pages,
         "gopher_quality": q_gopher_quality,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -2997,6 +3008,93 @@ def oracle_sql() -> dict[str, str]:
                 FROM unit CROSS JOIN {prev}
             ) WHERE rk = 1
         )""")
+    pq_ctes = [
+        f"unit AS ({_UNIT})",
+        """subs AS (
+            SELECT vec_id, r.s AS sub_id,
+                   list_slice(u, r.s * 16 + 1, r.s * 16 + 16) AS sub
+            FROM unit CROSS JOIN range(0, 4) r(s)
+        )""",
+        """pc0 AS (
+            SELECT sub_id, vec_id AS centroid_id, sub AS cvec
+            FROM subs WHERE vec_id < 8
+        )""",
+    ]
+    pq_prev = "pc0"
+    for it in range(2):
+        pq_ctes.append(f"""
+        pa{it} AS (
+            SELECT vec_id, sub_id, sub, centroid_id FROM (
+                SELECT subs.vec_id, subs.sub_id, subs.sub,
+                       {pq_prev}.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY subs.vec_id, subs.sub_id
+                           ORDER BY ROUND(list_dot_product(subs.sub,
+                                          {pq_prev}.cvec), 6) DESC,
+                                    {pq_prev}.centroid_id ASC) AS rk
+                FROM subs JOIN {pq_prev} USING (sub_id)
+            ) WHERE rk = 1
+        )""")
+        pq_ctes.append(f"""
+        pm{it} AS (
+            SELECT sub_id, centroid_id, dim,
+                   ROUND(AVG(sub[dim]), 6) AS m
+            FROM pa{it}, range(1, 17) AS r(dim)
+            GROUP BY sub_id, centroid_id, dim
+        )""")
+        pq_ctes.append(f"""
+        pc{it + 1} AS (
+            SELECT sub_id, centroid_id, list(m ORDER BY dim) AS cvec
+            FROM pm{it} GROUP BY sub_id, centroid_id
+        )""")
+        pq_prev = f"pc{it + 1}"
+    pq_ctes.append(f"""
+        codes AS (
+            SELECT vec_id, sub_id, centroid_id FROM (
+                SELECT subs.vec_id, subs.sub_id, {pq_prev}.centroid_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY subs.vec_id, subs.sub_id
+                           ORDER BY ROUND(list_dot_product(subs.sub,
+                                          {pq_prev}.cvec), 6) DESC,
+                                    {pq_prev}.centroid_id ASC) AS rk
+                FROM subs JOIN {pq_prev} USING (sub_id)
+            ) WHERE rk = 1
+        )""")
+    sql["pq_topk"] = f"""
+        WITH {','.join(pq_ctes)},
+        q AS (
+            SELECT vec_id AS query_id, sub_id, sub AS qsub
+            FROM subs WHERE vec_id < 4
+        ),
+        tab AS (
+            SELECT query_id, sub_id, centroid_id,
+                   ROUND(list_dot_product(qsub, cvec), 6) AS part
+            FROM q JOIN {pq_prev} USING (sub_id)
+        ),
+        parts AS (
+            SELECT query_id, vec_id, sub_id, part
+            FROM codes JOIN tab USING (sub_id, centroid_id)
+            WHERE query_id != vec_id
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROUND(MAX(part) FILTER (WHERE sub_id = 0)
+                         + MAX(part) FILTER (WHERE sub_id = 1)
+                         + MAX(part) FILTER (WHERE sub_id = 2)
+                         + MAX(part) FILTER (WHERE sub_id = 3), 6)
+                       AS score
+            FROM parts GROUP BY query_id, vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               score
+        FROM ranked WHERE rank <= 3
+    """
     sql["ivf_kmeans_topk"] = f"""
         WITH {','.join(km_ctes)},
         q AS (

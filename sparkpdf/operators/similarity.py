@@ -432,3 +432,145 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    dim: int = 64,
+) -> "tuple[DataFrame, DataFrame]":
+    """Product quantization (the memory-at-scale ANN compressor):
+    split each unit vector into m_sub subspaces, train an independent
+    codebook per subspace (seed = first n_centroids subvectors, then
+    n_iters Lloyd rounds: assign by dot, update by per-dim mean — the
+    kmeans_ivf discipline, every float rounded 6dp so Spark and the
+    oracle agree), and encode the corpus as m_sub small centroid ids
+    per vector. Returns (codebooks, codes): codebooks =
+    (sub_id, centroid_id, cvec) — tiny, broadcastable (m*k*dim/m
+    doubles); codes = (vec_id, sub_id, centroid_id) — the 64-dim
+    float vector compressed to m_sub bytes at 10^12 scale.
+
+    Scale shape: training assignment is a broadcast join + one
+    (vec, sub)-keyed window; the centroid update is a partial-agg
+    groupBy of cardinality m*k*subdim. The corpus never self-joins."""
+    sub_len = dim // m_sub
+    unit = with_unit_vectors(embeddings)
+    subs = unit.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("unit", s * sub_len + 1, sub_len)
+                for s in range(m_sub)
+            ])
+        ).alias("sub_id", "sub"),
+    )
+    cents = subs.filter(F.col("vec_id") < n_centroids).select(
+        "sub_id",
+        F.col("vec_id").alias("centroid_id"),
+        F.col("sub").alias("cvec"),
+    )
+
+    def assign(frame, cbooks):
+        scored = frame.join(F.broadcast(cbooks), "sub_id").select(
+            "vec_id", "sub_id", "sub", "centroid_id",
+            F.round(_dot(F.col("sub"), F.col("cvec")), 6).alias("sim"),
+        )
+        w = Window.partitionBy("vec_id", "sub_id").orderBy(
+            F.col("sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "sub_id", "sub", "centroid_id")
+        )
+
+    for _ in range(n_iters):
+        assigned = assign(subs, cents)
+        means = (
+            assigned.select(
+                "sub_id", "centroid_id",
+                F.posexplode("sub").alias("dim", "val"),
+            )
+            .groupBy("sub_id", "centroid_id", "dim")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+        )
+        cents = (
+            means.groupBy("sub_id", "centroid_id")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("dim", "m"))).alias("a"))
+            .select(
+                "sub_id", "centroid_id",
+                F.transform("a", lambda s: s["m"]).alias("cvec"),
+            )
+        )
+    codes = assign(subs, cents).select("vec_id", "sub_id", "centroid_id")
+    return cents, codes
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    n_queries: int = 4,
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, dot
+    each EXACT query subvector against every codebook entry (a tiny
+    q x m x k table, broadcast), then score each corpus vector as the
+    FIXED-ORDER sum of its m_sub table lookups — addition order is
+    pinned (sub 0..m-1) so Spark's aggregation and DuckDB's agree
+    bit-for-bit, the same determinism discipline as the kmeans
+    rounding. Rank by (score desc, neighbor asc), self excluded.
+
+    Scale shape: the corpus side touches only its codes (m_sub ints
+    per vector — the point of PQ at 100 TB); the lookup join is
+    broadcast; the per-(query, vector) reduce is a partial-agg
+    groupBy. Exact subvectors never leave the codebook training."""
+    cents, codes = pq_codes(embeddings, m_sub, n_centroids,
+                            n_iters, dim)
+    sub_len = dim // m_sub
+    unit = with_unit_vectors(embeddings)
+    qsubs = unit.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(
+            F.array(*[
+                F.slice("unit", s * sub_len + 1, sub_len)
+                for s in range(m_sub)
+            ])
+        ).alias("sub_id", "qsub"),
+    )
+    tab = qsubs.join(F.broadcast(cents), "sub_id").select(
+        "query_id", "sub_id", "centroid_id",
+        F.round(_dot(F.col("qsub"), F.col("cvec")), 6).alias("part"),
+    )
+    parts = codes.join(
+        F.broadcast(tab), ["sub_id", "centroid_id"]
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    # fixed-order reduction: one conditional agg per subspace, added
+    # 0..m-1 — never a SUM whose accumulation order the engine picks
+    per_sub = [
+        F.first(F.when(F.col("sub_id") == s, F.col("part")),
+                ignorenulls=True).alias(f"p{s}")
+        for s in range(m_sub)
+    ]
+    scored = parts.groupBy("query_id", "vec_id").agg(*per_sub)
+    score = F.col("p0")
+    for s in range(1, m_sub):
+        score = score + F.col(f"p{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

@@ -1389,6 +1389,48 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_pq_topk(spark):
+    """Product quantization: every vector compresses to exactly m_sub
+    small centroid ids; ADC scores equal the dot of the exact query
+    against the RECONSTRUCTED neighbor (codebook lookup, fixed-order
+    subspace sum); ranks are dense 1..k per query with self excluded;
+    the lookup join is broadcast (corpus codes never shuffle wide)."""
+    from sparkpdf.operators.similarity import (
+        pq_codes, pq_topk, with_unit_vectors)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    cents, codes = pq_codes(emb)
+    rows = codes.collect()
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r.vec_id, []).append((r.sub_id, r.centroid_id))
+        assert 0 <= r.centroid_id < 8
+    assert all(len(v) == 4 for v in per_vec.values())
+
+    out = pq_topk(emb)
+    res = out.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+    for q, lst in by_q.items():
+        assert sorted(x.rank for x in lst) == [1, 2, 3]
+    # ADC score == dot(exact query, reconstruction from codebooks)
+    cb = {(r.sub_id, r.centroid_id): list(r.cvec)
+          for r in cents.collect()}
+    units = {r.vec_id: list(r.unit)
+             for r in with_unit_vectors(emb).collect()}
+    r0 = res[0]
+    q = units[r0.query_id]
+    want = 0.0
+    for s, cid in sorted(per_vec[r0.neighbor_id]):
+        sub_q = q[s * 16:(s + 1) * 16]
+        want += round(sum(a * b for a, b in zip(sub_q, cb[(s, cid)])), 6)
+    assert abs(r0.score - round(want, 6)) < 1e-9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan.split("== Initial Plan ==")[0]
+
+
 def test_gopher_quality(spark):
     """Gopher rule edges: empty doc (all ratios 0, fail), a clean
     50-word doc passes, bullet-heavy and symbol-heavy docs fail on
