@@ -5,14 +5,17 @@ table, run top-k cosine queries against it, persist both.
         --embeddings /data/embeddings    (parquet: vec_id, embedding) \
         --output /data/ann \
         [--n-lists 8] [--n-iters 2] [--nprobe 1] [--k 3] [--queries 4] \
-        [--exact]
+        [--exact | --pq]
 
 Outputs under --output:
     index/    (vec_id, centroid_id, unit)  — the inverted lists; at
               cluster scale this IS the reusable index artifact:
               downstream query jobs read it and broadcast only their
-              query vectors
-    topk/     (query_id, neighbor_id, rank)
+              query vectors. With --pq: codes/ (vec_id, sub_id,
+              centroid_id — m_sub small ints per vector, the
+              memory-compressed corpus) and codebooks/ (the tiny
+              per-subspace centroid tables) instead
+    topk/     (query_id, neighbor_id, rank[, score])
 plus ONE summary JSON line on stdout.
 
 Scale shape (SURVEY §4.3): centroids broadcast; the search join fans
@@ -37,14 +40,22 @@ def main(argv=None):
     ap.add_argument("--nprobe", type=int, default=1)
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--queries", type=int, default=4)
-    ap.add_argument("--exact", action="store_true",
-                    help="brute-force baseline instead of IVF")
+    g = ap.add_mutually_exclusive_group()
+    g.add_argument("--exact", action="store_true",
+                   help="brute-force baseline instead of IVF")
+    g.add_argument("--pq", action="store_true",
+                   help="product-quantization index (codes + "
+                   "codebooks persisted) searched by asymmetric "
+                   "distance — the memory-compressed path")
+    ap.add_argument("--m-sub", type=int, default=4)
     args = ap.parse_args(argv)
 
     from sparkpdf.operators.similarity import (
         brute_force_topk,
         ivf_topk,
         kmeans_ivf_assignments,
+        pq_codes,
+        pq_topk,
     )
     from sparkpdf.session import get_spark
 
@@ -58,6 +69,24 @@ def main(argv=None):
             emb, n_queries=args.queries, k=args.k
         )
         index_rows = 0
+    elif args.pq:
+        codebooks, codes = pq_codes(
+            emb, m_sub=args.m_sub, n_centroids=args.n_lists,
+            n_iters=args.n_iters,
+        )
+        codebooks.write.mode("overwrite").parquet(
+            os.path.join(args.output, "codebooks")
+        )
+        codes.write.mode("overwrite").parquet(
+            os.path.join(args.output, "codes")
+        )
+        index_rows = spark.read.parquet(
+            os.path.join(args.output, "codes")
+        ).count()
+        topk = pq_topk(
+            emb, m_sub=args.m_sub, n_centroids=args.n_lists,
+            n_iters=args.n_iters, n_queries=args.queries, k=args.k,
+        )
     else:
         index = kmeans_ivf_assignments(
             emb, n_lists=args.n_lists, n_iters=args.n_iters
@@ -80,7 +109,7 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "mode": "exact" if args.exact else "ivf",
+                "mode": ("exact" if args.exact else "pq" if args.pq else "ivf"),
                 "index_rows": index_rows,
                 "queries": args.queries,
                 "k": args.k,
