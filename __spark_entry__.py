@@ -422,6 +422,31 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_url_canonical(spark, sf_dir):
+    # URL canonicalization (the crawl frontier/dedup key) as a pure
+    # JVM expression: six formula-planted variants cover case folding,
+    # default-port strip, fragment drop, '.'/'..' fold, duplicate
+    # -slash collapse, empty path and non-default-port preservation;
+    # the oracle states input AND expected output directly
+    from sparkpdf.operators.text import canonical_url
+
+    d = F.col("doc_id").cast("long")
+    ds = d.cast("string")
+    url = (
+        F.when(d % 6 == 0, F.concat(F.lit("HTTP://WWW.Example.COM/path/"), ds))
+        .when(d % 6 == 1, F.concat(F.lit("https://example.com:443/a/b/../c/"), ds))
+        .when(d % 6 == 2, F.concat(F.lit("http://example.com:80/./x/"), ds, F.lit("#sec"), ds))
+        .when(d % 6 == 3, F.concat(F.lit("https://Example.com/x//y/"), ds, F.lit("?q="), ds))
+        .when(d % 6 == 4, F.lit("http://EXAMPLE.com"))
+        .otherwise(F.concat(F.lit("https://example.com:8080/p/../"), ds))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        d.alias("doc_id"),
+        url.alias("url"),
+        canonical_url(url).alias("canonical"),
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     # the Gopher filter rules (Rae et al. 2021) as one codegen pass:
     # every signal and the conjunctive pass flag restated in SQL
@@ -1814,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pages": q_warc_pages,
         "gopher_quality": q_gopher_quality,
         "pq_topk": q_pq_topk,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -2232,6 +2258,39 @@ def oracle_sql() -> dict[str, str]:
                    AS boiler
         FROM documents d CROSS JOIN generate_series(0, 5) t(i)
         WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["url_canonical"] = """
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'HTTP://WWW.Example.COM/path/'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'https://example.com:443/a/b/../c/'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN 'http://example.com:80/./x/'
+                             || CAST(doc_id AS VARCHAR) || '#sec'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN 'https://Example.com/x//y/'
+                             || CAST(doc_id AS VARCHAR) || '?q='
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN 'http://EXAMPLE.com'
+                 ELSE 'https://example.com:8080/p/../'
+                      || CAST(doc_id AS VARCHAR)
+               END AS url,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'http://www.example.com/path/'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN 'https://example.com/a/c/'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN 'http://example.com/x/'
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN 'https://example.com/x/y/'
+                             || CAST(doc_id AS VARCHAR) || '?q='
+                             || CAST(doc_id AS VARCHAR)
+                 WHEN 4 THEN 'http://example.com/'
+                 ELSE 'https://example.com:8080/'
+                      || CAST(doc_id AS VARCHAR)
+               END AS canonical
+        FROM documents
     """
     sql["gopher_quality"] = f"""
         WITH t AS (

@@ -576,6 +576,52 @@ def extract_web_docs(pages: DataFrame) -> DataFrame:
     )
 
 
+def canonical_url(col) -> "F.Column":
+    """URL canonicalization as a pure JVM-side expression (the crawl
+    frontier/dedup key — RFC 3986 §6 normalizations that preserve
+    semantics): lowercase scheme and host, strip default ports
+    (:80 http / :443 https), drop the fragment, resolve '.'/'..' path
+    segments with an array fold, empty path -> '/'. The query string
+    survives untouched; non-default ports survive. No UDF — the dot
+    -segment resolution is an F.aggregate fold over the split path,
+    whole-stage-codegen friendly at 10^12 URLs."""
+    url = F.regexp_replace(col, r"#.*$", "")  # fragment never matters
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?]*)", 1))
+    host = F.when(
+        ((scheme == "http") & hostport.endswith(":80"))
+        | ((scheme == "https") & hostport.endswith(":443")),
+        F.regexp_replace(hostport, r":\d+$", ""),
+    ).otherwise(hostport)
+    rest = F.regexp_extract(url, r"^[^:]+://[^/?]*(.*)$", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"(\?.*)?$", 1)
+    segs = F.split(path, "/")
+    resolved = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, s: (
+            F.when(s == ".", acc)
+            .when(
+                s == "..",
+                F.when(F.size(acc) > 0,
+                       F.slice(acc, 1, F.size(acc) - 1)).otherwise(acc),
+            )
+            .when(s == "", acc)  # leading + duplicate slashes collapse
+            .otherwise(F.concat(acc, F.array(s)))
+        ),
+    )
+    norm_path = F.concat(F.lit("/"), F.array_join(resolved, "/"))
+    return F.when(
+        scheme == "", col  # relative/unparseable: untouched
+    ).otherwise(F.concat(scheme, F.lit("://"), host, norm_path, query))
+
+
+def url_canonicalize(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(.., url) -> + canonical column; dedup key for the frontier."""
+    return pages.withColumn("canonical", canonical_url(F.col(url_col)))
+
+
 def link_host_degree(features: DataFrame) -> DataFrame:
     """Host-level link-graph degree from extracted outlinks: explode
     each doc's links map-side, pull the host out of absolute hrefs

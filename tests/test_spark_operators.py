@@ -1389,6 +1389,30 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_canonical_url(spark):
+    """URL canonicalization edges beyond the oracle corpus: '..' past
+    root clamps at '/', relative and schemeless inputs pass through
+    untouched, query strings and unusual ports survive, fragment-only
+    differences collapse to one canonical; plan is shuffle-free."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import url_canonicalize
+
+    cases = {
+        "https://example.com/../../x": "https://example.com/x",
+        "https://a.b/p/q/r/../../s?x=1&y=2#f": "https://a.b/p/s?x=1&y=2",
+        "relative/path": "relative/path",
+        "HTTPS://H.COM:443/": "https://h.com/",
+        "http://h.com:8080/a#z": "http://h.com:8080/a",
+        "ftp://Files.Example.com:21/a/./b": "ftp://files.example.com:21/a/b",
+    }
+    df = url_canonicalize(spark.createDataFrame(
+        [Row(url=u) for u in cases]))
+    got = {r.url: r.canonical for r in df.collect()}
+    assert got == cases, got
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_pq_topk(spark):
     """Product quantization: every vector compresses to exactly m_sub
     small centroid ids; ADC scores equal the dot of the exact query
