@@ -422,6 +422,14 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_c4_clean(spark, sf_dir):
+    # the C4 cleaning rules (Raffel et al. 2020) as one codegen pass:
+    # line filter + page flags + sentence gate restated in SQL
+    from sparkpdf.operators.text import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents"))
+
+
 def q_url_canonical(spark, sf_dir):
     # URL canonicalization (the crawl frontier/dedup key) as a pure
     # JVM expression: six formula-planted variants cover case folding,
@@ -1840,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pq_topk": q_pq_topk,
         "url_canonical": q_url_canonical,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -2258,6 +2267,44 @@ def oracle_sql() -> dict[str, str]:
                    AS boiler
         FROM documents d CROSS JOIN generate_series(0, 5) t(i)
         WHERE t.i < 3 + d.doc_id % 3
+    """
+    sql["c4_clean"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   str_split(text, chr(10)) AS lines,
+                   contains(lower(text), 'lorem ipsum') AS lorem,
+                   contains(text, '{') AS brace
+            FROM documents
+        ), k AS (
+            SELECT doc_id, lines, lorem, brace,
+                   list_filter(lines, l ->
+                       regexp_matches(trim(l), '[.!?"'']$')
+                       AND len(list_filter(
+                           string_split_regex(l, ' +'),
+                           w -> w <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                   ) AS kept
+            FROM t
+        ), m AS (
+            SELECT doc_id, lines, kept, lorem, brace,
+                   list_aggregate(list_transform(kept, x -> x),
+                                  'string_agg', chr(10)) AS joined
+            FROM k
+        )
+        SELECT doc_id,
+               CAST(len(lines) AS INTEGER) AS n_lines,
+               CAST(len(kept) AS INTEGER) AS n_kept,
+               CAST(len(regexp_extract_all(
+                        COALESCE(joined, ''), '[.!?]'))
+                    AS INTEGER) AS n_sentences,
+               CAST(lorem AS INTEGER) AS has_lorem,
+               CAST(brace AS INTEGER) AS has_brace,
+               CAST(CASE WHEN NOT lorem AND NOT brace
+                          AND len(regexp_extract_all(
+                              COALESCE(joined, ''), '[.!?]')) >= 5
+                     THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
+               COALESCE(joined, '') AS clean_text
+        FROM m
     """
     sql["url_canonical"] = """
         SELECT doc_id,

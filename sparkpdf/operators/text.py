@@ -123,6 +123,41 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     )
 
 
+def c4_clean(documents: DataFrame) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, public)
+    as one codegen-only pass: keep lines that end in terminal
+    punctuation (./!/?/quote), have >= 5 words and do not mention
+    javascript; flag pages containing 'lorem ipsum' or '{'; count
+    sentences in the kept text; c4_keep = clean page with >= 5
+    sentences. Emits the cleaned text alongside the signals so the
+    pass is the actual production transform, not just a filter."""
+    lines = F.split("text", "\n")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.trim(l).rlike("[.!?\"']$")
+            & (F.size(F.filter(F.split(l, " +"),
+                               lambda w: w != F.lit(""))) >= 5)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+    clean_text = F.array_join(kept, "\n")
+    lorem = F.lower("text").contains("lorem ipsum")
+    brace = F.col("text").contains("{")
+    n_sentences = F.regexp_count(clean_text, F.lit(r"[.!?]"))
+    return documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        lorem.cast("int").alias("has_lorem"),
+        brace.cast("int").alias("has_brace"),
+        (~lorem & ~brace & (n_sentences >= 5)).cast("int")
+            .alias("c4_keep"),
+        clean_text.alias("clean_text"),
+    )
+
+
 def token_count(documents: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish regex count (word pieces, numbers,
     punctuation as singles) + char count."""

@@ -1389,6 +1389,34 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_c4_clean(spark):
+    """C4 rule edges: short lines, no-terminal-punct lines and
+    javascript lines drop; lorem-ipsum and brace pages flag and fail
+    the gate even with enough sentences; a clean 5-sentence page
+    passes; plan shuffle-free."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.text import c4_clean
+
+    good = "\n".join(
+        f"this is a perfectly fine sentence number {i}."
+        for i in range(5))
+    out = {r.doc_id: r for r in c4_clean(spark.createDataFrame([
+        Row(doc_id="1", text=good),
+        Row(doc_id="2", text="too short.\nno terminal punct here at all\n"
+            "enable javascript in your browser please now.\n" + good),
+        Row(doc_id="3", text=good + "\nlorem ipsum dolor sit amet."),
+        Row(doc_id="4", text=good + "\nfunction f() { return 1; }"),
+    ])).collect()}
+    assert out[1].n_kept == 5 and out[1].c4_keep == 1
+    assert out[2].n_kept == 5  # the three bad lines all dropped
+    assert out[2].clean_text == good
+    assert out[3].has_lorem == 1 and out[3].c4_keep == 0
+    assert out[4].has_brace == 1 and out[4].c4_keep == 0
+    df = c4_clean(spark.createDataFrame([Row(doc_id="1", text=good)]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_canonical_url(spark):
     """URL canonicalization edges beyond the oracle corpus: '..' past
     root clamps at '/', relative and schemeless inputs pass through
