@@ -422,6 +422,16 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(_t(spark, sf_dir, "embeddings"))
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    # round 7: the IVF x PQ composition — coarse k-means routing
+    # prunes to one inverted list, ADC over PQ codes scores the
+    # candidates; the oracle replays BOTH trainings + routing +
+    # encoding + ADC in one SQL
+    from sparkpdf.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"))
+
+
 def q_c4_clean(spark, sf_dir):
     # the C4 cleaning rules (Raffel et al. 2020) as one codegen pass:
     # line filter + page flags + sentence gate restated in SQL
@@ -1849,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "url_canonical": q_url_canonical,
         "c4_clean": q_c4_clean,
+        "ivfpq_topk": q_ivfpq_topk,
     }
 
 
@@ -3220,6 +3231,56 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
         )
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """
+    # IVF x PQ: reuse the coarse-kmeans CTEs (unit, af) and the PQ
+    # CTEs (subs, pc*, codes) — pq_ctes[0] is the duplicate unit
+    sql["ivfpq_topk"] = f"""
+        WITH {','.join(km_ctes + pq_ctes[1:])},
+        q AS (
+            SELECT vec_id AS query_id, u AS qu, centroid_id AS qlist
+            FROM af WHERE vec_id < 4
+        ),
+        cand AS (
+            SELECT q.query_id, af.vec_id
+            FROM q JOIN af ON q.qlist = af.centroid_id
+            WHERE af.vec_id != q.query_id
+        ),
+        qsubs AS (
+            SELECT query_id, r.s AS sub_id,
+                   list_slice(qu, r.s * 16 + 1, r.s * 16 + 16) AS qsub
+            FROM q CROSS JOIN range(0, 4) r(s)
+        ),
+        tab AS (
+            SELECT query_id, sub_id, centroid_id,
+                   ROUND(list_dot_product(qsub, cvec), 6) AS part
+            FROM qsubs JOIN {pq_prev} USING (sub_id)
+        ),
+        parts AS (
+            SELECT cand.query_id, cand.vec_id, codes.sub_id, tab.part
+            FROM cand
+            JOIN codes USING (vec_id)
+            JOIN tab ON tab.query_id = cand.query_id
+                    AND tab.sub_id = codes.sub_id
+                    AND tab.centroid_id = codes.centroid_id
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROUND(MAX(part) FILTER (WHERE sub_id = 0)
+                         + MAX(part) FILTER (WHERE sub_id = 1)
+                         + MAX(part) FILTER (WHERE sub_id = 2)
+                         + MAX(part) FILTER (WHERE sub_id = 3), 6)
+                       AS score
+            FROM parts GROUP BY query_id, vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               score
         FROM ranked WHERE rank <= 3
     """
     sql["overlay_rename"] = """

@@ -574,3 +574,84 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 2,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    n_queries: int = 4,
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF x PQ — the production large-scale ANN composition: the
+    coarse k-means quantizer routes each query to its inverted list
+    (pruning the corpus to ~1/n_lists, the ivf_kmeans shape), and the
+    candidates are scored from their PQ CODES by asymmetric distance
+    (the pq_topk shape) — so the search touches neither the full
+    corpus nor any full-precision corpus vector: routing reads list
+    ids, scoring reads m_sub ints per candidate plus the broadcast
+    q x m x k lookup table. nprobe=1 (the ivf_kmeans_topk recall
+    posture; the nprobe knob generalizes exactly as in ivf_topk).
+
+    Determinism discipline: coarse centroids and codebooks share the
+    6dp Lloyd rounding; ADC scores are fixed-order subspace sums."""
+    assigned = kmeans_ivf_assignments(embeddings, n_lists, n_iters)
+    cents, codes = pq_codes(embeddings, m_sub, n_centroids,
+                            n_iters, dim)
+    sub_len = dim // m_sub
+    queries = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("unit").alias("qunit"),
+        F.col("centroid_id").alias("qlist"),
+    )
+    # candidate set: the probed list's members (corpus touches only
+    # its (vec_id, list) pairs; queries broadcast)
+    cand = (
+        F.broadcast(queries.select("query_id", "qlist"))
+        .join(assigned.select("vec_id", "centroid_id"),
+              F.col("qlist") == F.col("centroid_id"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    qsubs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("qunit", s * sub_len + 1, sub_len)
+                for s in range(m_sub)
+            ])
+        ).alias("sub_id", "qsub"),
+    )
+    tab = qsubs.join(F.broadcast(cents), "sub_id").select(
+        "query_id", "sub_id", "centroid_id",
+        F.round(_dot(F.col("qsub"), F.col("cvec")), 6).alias("part"),
+    )
+    parts = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(tab), ["query_id", "sub_id", "centroid_id"])
+    )
+    per_sub = [
+        F.first(F.when(F.col("sub_id") == s, F.col("part")),
+                ignorenulls=True).alias(f"p{s}")
+        for s in range(m_sub)
+    ]
+    scored = parts.groupBy("query_id", "vec_id").agg(*per_sub)
+    score = F.col("p0")
+    for s in range(1, m_sub):
+        score = score + F.col(f"p{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )

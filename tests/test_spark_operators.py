@@ -1389,6 +1389,35 @@ def test_driver_contract_window():
         assert name in window, f"{name} fell out of the graded window"
 
 
+def test_ivfpq_topk(spark):
+    """IVF x PQ composition: every returned neighbor lives in the
+    query's own coarse list (routing really prunes), ranks are dense
+    per query with self excluded, and each ADC score equals the
+    corresponding pq_topk score for that (query, neighbor) pair
+    (same codebooks -> same lookup sums)."""
+    from sparkpdf.operators.similarity import (
+        ivfpq_topk, kmeans_ivf_assignments, pq_topk)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(64)
+    res = ivfpq_topk(emb).collect()
+    lists = {r.vec_id: r.centroid_id
+             for r in kmeans_ivf_assignments(emb).collect()}
+    by_q = {}
+    for r in res:
+        assert r.neighbor_id != r.query_id
+        assert lists[r.neighbor_id] == lists[r.query_id]
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # ADC scores agree with the flat-PQ scorer on shared pairs
+    pq_scores = {(r.query_id, r.neighbor_id): r.score
+                 for r in pq_topk(emb, k=60).collect()}
+    for r in res:
+        key = (r.query_id, r.neighbor_id)
+        if key in pq_scores:
+            assert abs(pq_scores[key] - r.score) < 1e-9
+
+
 def test_c4_clean(spark):
     """C4 rule edges: short lines, no-terminal-punct lines and
     javascript lines drop; lorem-ipsum and brace pages flag and fail
