@@ -4,7 +4,7 @@
         --input  /data/pdf_raw           (parquet: doc_id, pdf_bytes) \
         --output /data/curated \
         [--min-quality 0.5] [--chunk-chars 500] [--overlap 100] \
-        [--batches 16]
+        [--batches 16] [--c4] [--gopher]
 
 Stages (each output lands under --output for auditability):
   1. extract      pdf_raw -> spans (checkpointed slices: a restart
@@ -57,6 +57,17 @@ def main(argv=None):
         "below this — boilerplate/templated docs score low; 0 = off",
     )
     ap.add_argument(
+        "--gopher", action="store_true",
+        help="additionally gate on the Gopher rule set "
+        "(operators/text.gopher_quality conjunctive pass flag)",
+    )
+    ap.add_argument(
+        "--c4", action="store_true",
+        help="apply the C4 line-cleaning transform BEFORE the quality "
+        "gates (lines without terminal punctuation / <5 words / "
+        "javascript dropped; lorem-ipsum and brace pages removed)",
+    )
+    ap.add_argument(
         "--stratify-lang", default=None,
         help="deterministic per-language downsampling after dedup "
         "(round 6): 'en=250,de=500' keeps 25%% of en docs, 50%% of "
@@ -89,6 +100,15 @@ def main(argv=None):
     docs = doc_full_text(spans.filter("error IS NULL")).select(
         F.col("doc_id"), F.col("full_text").alias("text")
     )
+    if args.c4:
+        # C4 cleaning first: the gates below see the cleaned text
+        from sparkpdf.operators.text import c4_clean
+
+        cleaned = c4_clean(docs)
+        docs = cleaned.filter(F.col("c4_keep") == 1).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("clean_text").alias("text"),
+        )
     q = quality_score(docs.select(F.col("doc_id").cast("long").alias("doc_id"),
                                   "text"))
     kept = (
@@ -96,6 +116,14 @@ def main(argv=None):
         .join(q.filter(F.col("quality") >= args.min_quality), "doc_id")
         .select("doc_id", "text", "quality")
     )
+    if args.gopher:
+        from sparkpdf.operators.text import gopher_quality
+
+        g = gopher_quality(kept.select("doc_id", "text"))
+        kept = kept.join(
+            g.filter(F.col("gopher_pass") == 1).select("doc_id"),
+            "doc_id",
+        )
     n_quality = kept.count()
 
     # 2b. corpus-frequency rarity gate (optional): drops docs whose
