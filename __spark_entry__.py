@@ -403,6 +403,24 @@ def q_html_headings(spark, sf_dir):
     )
 
 
+def q_html_sections(spark, sf_dir):
+    # structure-aware chunking: the section stream (main-content
+    # heading -> following text until the next heading or the
+    # container's end) — the h1 section carries the doc text, each
+    # planted h2 its formula body; boilerplate headings never open a
+    # section and the related/footer text never leaks in
+    feats = _web_features(spark, sf_dir)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("sections").alias("sec_idx", "s"),
+    ).select(
+        "doc_id", "sec_idx",
+        F.col("s.heading").alias("heading"),
+        F.col("s.level").alias("level"),
+        F.col("s.text").alias("sec_text"),
+    )
+
+
 def q_link_host_degree(spark, sf_dir):
     # web-graph aggregation over extracted outlinks: per-host total /
     # nofollow in-link counts + distinct linking docs — map-side
@@ -1853,6 +1871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_links": q_html_links,
         "html_headings": q_html_headings,
         "html_tables": q_html_tables,
+        "html_sections": q_html_sections,
         "link_host_degree": q_link_host_degree,
         "warc_pages": q_warc_pages,
         "gopher_quality": q_gopher_quality,
@@ -2418,6 +2437,26 @@ def oracle_sql() -> dict[str, str]:
                     WHEN 2 THEN 'fr' WHEN 3 THEN 'es'
                     ELSE 'it' END AS lang
         FROM documents
+    """
+    sql["html_sections"] = f"""
+        SELECT d.doc_id,
+               CAST(t.i AS INTEGER) AS sec_idx,
+               CASE WHEN t.i = 0
+                    THEN 'Doc ' || CAST(d.doc_id AS VARCHAR)
+                    ELSE 'Section ' || CAST(t.i - 1 AS VARCHAR)
+                         || ' of doc ' || CAST(d.doc_id AS VARCHAR)
+               END AS heading,
+               CAST(CASE WHEN t.i = 0 THEN 1 ELSE 2 END AS INTEGER)
+                   AS level,
+               CASE WHEN t.i = 0
+                    THEN trim(regexp_replace({_SANITIZED},
+                              '\\s+', ' ', 'g'))
+                    ELSE 'Body of section ' || CAST(t.i - 1 AS VARCHAR)
+                         || ' in doc ' || CAST(d.doc_id AS VARCHAR)
+                         || '.'
+               END AS sec_text
+        FROM documents d CROSS JOIN generate_series(0, 3) t(i)
+        WHERE t.i < 2 + d.doc_id % 3
     """
     sql["link_host_degree"] = """
         WITH body AS (

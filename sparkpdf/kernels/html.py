@@ -134,6 +134,8 @@ class _WebFeatureParser(HTMLParser):
         self._anchor = None  # {href, rel, boiler, parts}
         self.headings: List[dict] = []
         self._heading = None  # {level, boiler, parts}
+        self.sections: List[dict] = []
+        self._section = None  # {heading, level, parts}
         self.tables: List[dict] = []
         self._table = None  # {rows: [[cell,...]], ...}
         self._cell_parts = None
@@ -173,6 +175,8 @@ class _WebFeatureParser(HTMLParser):
                     "parts": [],
                 }
         elif tag in self._HEADINGS:
+            if not self.boiler_depth:
+                self._close_section()  # a new main heading cuts here
             self._heading = {
                 "level": int(tag[1]),
                 "boiler": 1 if self.boiler_depth else 0,
@@ -193,6 +197,8 @@ class _WebFeatureParser(HTMLParser):
             return
         if tag in _BOILERPLATE:
             self.boiler_depth = max(0, self.boiler_depth - 1)
+        if tag in ("article", "main", "section", "body"):
+            self._close_section()  # sections end with their container
         if tag == "title":
             self.title_depth = max(0, self.title_depth - 1)
         elif tag == "a" and self._anchor is not None:
@@ -207,11 +213,16 @@ class _WebFeatureParser(HTMLParser):
         elif tag in self._HEADINGS and self._heading is not None:
             h = self._heading
             self._heading = None
+            text = " ".join("".join(h["parts"]).split())
             self.headings.append({
                 "level": h["level"],
-                "text": " ".join("".join(h["parts"]).split()),
+                "text": text,
                 "boiler": h["boiler"],
             })
+            if not h["boiler"]:
+                # open the section this main-content heading starts
+                self._section = {"heading": text, "level": h["level"],
+                                 "parts": []}
         elif tag in ("td", "th") and self._cell_parts is not None:
             cell = " ".join("".join(self._cell_parts).split())
             self._cell_parts = None
@@ -226,6 +237,16 @@ class _WebFeatureParser(HTMLParser):
                     "cells": " ".join(c for r in rows for c in r),
                 })
 
+    def _close_section(self):
+        if self._section is not None:
+            s = self._section
+            self._section = None
+            self.sections.append({
+                "heading": s["heading"],
+                "level": s["level"],
+                "text": " ".join("".join(s["parts"]).split()),
+            })
+
     def handle_data(self, data):
         if self.drop_depth:
             return
@@ -237,8 +258,12 @@ class _WebFeatureParser(HTMLParser):
             self._heading["parts"].append(data)
         if self._cell_parts is not None:
             self._cell_parts.append(data)
+        if (self._section is not None and self._heading is None
+                and not self.boiler_depth and not self.title_depth):
+            self._section["parts"].append(data)
 
     def result(self) -> dict:
+        self._close_section()
         title = " ".join("".join(self.title_parts).split()) or None
         return {
             "lang": self.lang,
@@ -251,6 +276,7 @@ class _WebFeatureParser(HTMLParser):
             "links": self.links,
             "headings": self.headings,
             "tables": self.tables,
+            "sections": self.sections,
         }
 
 
@@ -299,8 +325,11 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
       robots   = noindex,nofollow when d%7==0 else index,follow
       canonical= https://example.com/doc/{d};  og:title = OG Doc {d}
       headings = h1 'Site Name' (boilerplate header), h1 'Doc {d}',
-                 then 1+d%3 x h2 'Section {i} of doc {d}'
-      links    = 3 nav (boiler) + d%4 body refs
+                 then 1+d%3 x h2 'Section {i} of doc {d}', each h2
+                 followed by 'Body of section {i} in doc {d}.' (the
+                 section stream: h1 section carries the doc text)
+      links    = 3 nav (boiler) + d%4 body refs in the pre-heading
+                 article preamble
                  (https://site{(d+i)%5}.example.com/ref/{d}/{i} —
                  the rotating host feeds the link-graph degree
                  oracle — rel=nofollow on odd i) + 2 related
@@ -326,10 +355,10 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
         "<header><h1>Site Name</h1></header>",
         '<nav><a href="/">Home</a> <a href="/about">About</a>'
         ' <a href="/contact">Contact</a></nav>',
-        f"<article><h1>Doc {d}</h1><p>{body}</p>",
+        "<article>",
     ]
-    for i in range(1 + d % 3):
-        parts.append(f"<h2>Section {i} of doc {d}</h2>")
+    # links + table live in the pre-heading preamble so the SECTION
+    # stream (heading -> following text) stays a pure formula
     for i in range(d % 4):
         rel = ' rel="nofollow"' if i % 2 == 1 else ""
         parts.append(
@@ -344,6 +373,12 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
             )
             rows.append(f"<tr>{cells}</tr>")
         parts.append(f"<table>{''.join(rows)}</table>")
+    parts.append(f"<h1>Doc {d}</h1><p>{body}</p>")
+    for i in range(1 + d % 3):
+        parts.append(
+            f"<h2>Section {i} of doc {d}</h2>"
+            f"<p>Body of section {i} in doc {d}.</p>"
+        )
     parts += [
         "</article>",
         '<div class="related"><a href="/a">Read more stuff here</a>'

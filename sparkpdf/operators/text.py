@@ -394,6 +394,7 @@ WEB_FEATURES_SCHEMA = (
     "boiler:int>>, "
     "headings array<struct<level:int,text:string,boiler:int>>, "
     "tables array<struct<n_rows:int,n_cols:int,cells:string>>, "
+    "sections array<struct<heading:string,level:int,text:string>>, "
     "error string"
 )
 
@@ -508,7 +509,8 @@ def extract_web_features(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id",) + cols + ("links", "headings",
-                                         "tables", "error")}
+                                         "tables", "sections",
+                                         "error")}
             for doc_id, html_text in zip(pdf["doc_id"], pdf["html"]):
                 out["doc_id"].append(str(doc_id))
                 try:
@@ -531,6 +533,9 @@ def extract_web_features(pages: DataFrame) -> DataFrame:
                 out["tables"].append(
                     [(t["n_rows"], t["n_cols"], t["cells"])
                      for t in res["tables"]] if res else None)
+                out["sections"].append(
+                    [(s["heading"], s["level"], s["text"])
+                     for s in res["sections"]] if res else None)
                 out["error"].append(err)
             yield pd.DataFrame(out)
 

@@ -90,6 +90,18 @@ def test_webpage_features_roundtrip():
         for i, h in enumerate(hs[2:]):
             assert h == {"level": 2, "text": f"Section {i} of doc {d}",
                          "boiler": 0}
+        # sections: heading -> following text, cut at the next main
+        # heading / container end; boilerplate h1 opens nothing and
+        # the related/footer text never leaks into the last section
+        secs = r["sections"]
+        assert len(secs) == 2 + d % 3
+        assert secs[0]["heading"] == f"Doc {d}"
+        assert secs[0]["text"] == "body text"
+        for i, s in enumerate(secs[1:]):
+            assert s == {"heading": f"Section {i} of doc {d}",
+                         "level": 2,
+                         "text": f"Body of section {i} in doc {d}."}
+        assert all("Read more" not in s["text"] for s in secs)
         # tables only when d%3==0, row-major cells
         if d % 3 == 0:
             (t,) = r["tables"]
