@@ -1405,6 +1405,22 @@ def q_pnm_pixel_stats(spark, sf_dir):
     return feats.select("doc_id", "width", "height", "mean_luma")
 
 
+def q_webp_dims(spark, sf_dir):
+    # WebP header coverage: VP8 / VP8L / VP8X encode dims three
+    # different ways; header-only BY DESIGN (VP8 entropy decode is
+    # conformance-vector-blocked — the arithmetic-JPEG rationale), so
+    # pixel stats stay NULL and dims/format/digest flow
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_webp_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_webp_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "format", "width", "height")
+
+
 def q_tga_ico_pixel_stats(spark, sf_dir):
     # round 7: REAL TGA decode (gray / truecolor-RLE / palettized over
     # a twisted colormap) + ICO first-image decode (classic
@@ -1867,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_pixel_stats": q_bmp_pixel_stats,
         "pnm_pixel_stats": q_pnm_pixel_stats,
         "tga_ico_pixel_stats": q_tga_ico_pixel_stats,
+        "webp_dims": q_webp_dims,
         "html_meta": q_html_meta,
         "html_links": q_html_links,
         "html_headings": q_html_headings,
@@ -2200,6 +2217,13 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 40 + ((d + y * 11) % 50) * 4 END)
                      / CAST(COUNT(*) AS DOUBLE), 6) AS mean_luma
         FROM rws GROUP BY doc_id, width, height
+    """
+    sql["webp_dims"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'webp' AS format,
+               CAST(16 + doc_id % 32 AS INTEGER) AS width,
+               CAST(8 + doc_id % 16 AS INTEGER) AS height
+        FROM documents
     """
     sql["tga_ico_pixel_stats"] = """
         WITH rws AS (

@@ -241,6 +241,43 @@ def pnm_mean_luma(b: bytes):
     return round(int(a.sum()) / float(w * h), 6)
 
 
+def webp_dims(b: bytes) -> Optional[dict]:
+    """WebP header parse, all three container layouts: 'VP8 ' (lossy
+    — 3-byte frame tag, 9D 01 2A start code, 14-bit dims), 'VP8L'
+    (lossless — 0x2F signature, 14-bit w-1/h-1 bitfields) and 'VP8X'
+    (extended — 24-bit LE canvas w-1/h-1). Header-only on purpose:
+    VP8's boolean-arithmetic entropy decode and VP8L's
+    neighbor-distance table have no in-container conformance vectors
+    (the arithmetic-JPEG quarantine rationale), so pixel stats stay
+    quarantined and dims/format/digest flow from here."""
+    if len(b) < 30 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    fourcc = b[12:16]
+    if fourcc == b"VP8 ":
+        if b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        variant = "vp8"
+    elif fourcc == b"VP8L":
+        if b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        variant = "vp8l"
+    elif fourcc == b"VP8X":
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        variant = "vp8x"
+    else:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    return {"format": "webp", "width": w, "height": h,
+            "variant": variant}
+
+
 def _tga_header(b: bytes) -> Optional[dict]:
     """TGA has no magic — validate the 18-byte header fields instead
     (image_type, bpp, colormap consistency) so the sniff stays safe
@@ -418,7 +455,8 @@ def image_dims(b: bytes) -> Optional[dict]:
     if not b:
         return None
     dims = (png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
-            or bmp_dims(b) or pnm_dims(b) or ico_dims(b) or tga_dims(b))
+            or bmp_dims(b) or pnm_dims(b) or ico_dims(b)
+            or webp_dims(b) or tga_dims(b))
     if dims is not None:
         # the pnm parser's private header fields stay kernel-internal
         dims = {k: v for k, v in dims.items() if not k.startswith("_")}

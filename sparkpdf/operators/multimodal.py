@@ -355,6 +355,34 @@ def synthesize_pnm_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_webp_media(documents: DataFrame) -> DataFrame:
+    """documents -> one WebP per doc, layout rotating by d%3
+    (VP8 lossy header / VP8L lossless bitfields / VP8X extended
+    canvas) at formula dims width = 16 + d%32, height = 8 + d%16 —
+    each layout encodes dims differently, so one dims oracle
+    certifies all three header parsers."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_webp
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                kind = ("vp8", "vp8l", "vp8x")[d % 3]
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"webp-{d}")
+                out["modality"].append("image")
+                out["payload"].append(
+                    make_webp(16 + d % 32, 8 + d % 16, kind))
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def synthesize_tga_ico_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL TGA or ICO per doc, rotating by d%5
     (0 -> TGA grayscale type 3; 1 -> TGA truecolor type 2 with REAL
@@ -1868,6 +1896,9 @@ def sniff_image_format(payload_col) -> "F.Column":
         .when(F.substring(payload_col, 1, 2).cast("string")
               .isin("P5", "P6"), "pnm")
         .when(head4 == "00000100", "ico")
+        .when((F.substring(payload_col, 1, 4).cast("string") == "RIFF")
+              & (F.substring(payload_col, 9, 4).cast("string")
+                 == "WEBP"), "webp")
         # TGA has no magic: it needs the Python-side header-validated
         # sniff (kernels/media._tga_header) and lands in 'other' here,
         # i.e. the policy treats TGA corpora as header-only unless a

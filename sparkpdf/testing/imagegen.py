@@ -50,6 +50,30 @@ def make_jpeg(width: int, height: int) -> bytes:
     )
 
 
+def make_webp(width: int, height: int, kind: str = "vp8") -> bytes:
+    """WebP header fixtures for all three container layouts ('vp8'
+    lossy frame header with the 9D 01 2A start code, 'vp8l' lossless
+    14-bit bitfields, 'vp8x' extended 24-bit canvas); payload bytes
+    past the dims are deterministic filler (the engine's WebP support
+    is header-only by design)."""
+    if kind == "vp8":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + width.to_bytes(2, "little")
+                + height.to_bytes(2, "little") + b"\x00" * 8)
+        chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    elif kind == "vp8l":
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+        chunk = b"VP8L" + len(body).to_bytes(4, "little") + body
+    else:  # vp8x
+        body = (b"\x00\x00\x00\x00"
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        chunk = b"VP8X" + len(body).to_bytes(4, "little") + body
+    return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP" + chunk)
+
+
 def make_png_gray(pixels) -> bytes:
     """8-bit grayscale PNG from an (h, w) uint8 array (filter-0 rows,
     one IDAT) — planted values decode losslessly, unlike make_png's

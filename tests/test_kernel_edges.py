@@ -995,6 +995,31 @@ def test_bmp_pnm_decode():
         pnm_mean_luma(p5w[:n])
 
 
+def test_webp_dims():
+    """WebP header parse: all three container layouts decode their
+    differently-encoded dims; non-WebP RIFF and truncation quarantine;
+    fuzz never raises. Pixel decode is header-only by design (VP8
+    entropy decode is conformance-vector-blocked)."""
+    from sparkpdf.kernels.media import image_dims, webp_dims
+    from sparkpdf.testing.imagegen import make_webp
+
+    for kind in ("vp8", "vp8l", "vp8x"):
+        b = make_webp(47, 23, kind)
+        d = webp_dims(b)
+        assert (d["width"], d["height"], d["variant"]) == (47, 23, kind)
+        assert image_dims(b) is not None
+        assert image_dims(b)["format"] == "webp"
+        for n in range(0, len(b), 3):
+            webp_dims(b[:n])
+    # 14-bit edge dims survive the bitfields
+    big = make_webp(16383, 16383, "vp8l")
+    assert webp_dims(big)["width"] == 16383
+    assert webp_dims(b"RIFFxxxxWAVE" + b"\x00" * 30) is None
+    bad = bytearray(make_webp(8, 8, "vp8"))
+    bad[23] = 0  # broken start code
+    assert webp_dims(bytes(bad)) is None
+
+
 def test_warc_roundtrip():
     """Round-7 WARC kernel: build_warc -> parse_warc round-trips all
     record types in both file forms (plain + CommonCrawl
