@@ -458,6 +458,16 @@ def q_c4_clean(spark, sf_dir):
     return c4_clean(_t(spark, sf_dir, "documents"))
 
 
+def q_robots_rules(spark, sf_dir):
+    # RFC 9309 robots.txt gate: group selection (named group shields
+    # the agent from the '*' group), longest-match rules with allow
+    # winning ties, anchored wildcards, crawl-delay + sitemaps —
+    # every signal a pure doc_id formula
+    from sparkpdf.operators.text import extract_robots_rules
+
+    return extract_robots_rules(_t(spark, sf_dir, "documents"))
+
+
 def q_url_canonical(spark, sf_dir):
     # URL canonicalization (the crawl frontier/dedup key) as a pure
     # JVM expression: six formula-planted variants cover case folding,
@@ -1894,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "pq_topk": q_pq_topk,
         "url_canonical": q_url_canonical,
+        "robots_rules": q_robots_rules,
         "c4_clean": q_c4_clean,
         "ivfpq_topk": q_ivfpq_topk,
     }
@@ -2359,6 +2370,16 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
                COALESCE(joined, '') AS clean_text
         FROM m
+    """
+    sql["robots_rules"] = """
+        SELECT doc_id,
+               CAST(doc_id % 5 AS DOUBLE) AS crawl_delay,
+               CAST(1 + doc_id % 2 AS INTEGER) AS n_sitemaps,
+               CAST(CASE WHEN doc_id % 4 = 1 THEN 0 ELSE 1 END
+                    AS INTEGER) AS allowed_0,
+               CAST(1 AS INTEGER) AS allowed_1,
+               CAST(0 AS INTEGER) AS other_agent_tmp
+        FROM documents
     """
     sql["url_canonical"] = """
         SELECT doc_id,

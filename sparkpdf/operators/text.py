@@ -616,6 +616,53 @@ def extract_web_docs(pages: DataFrame) -> DataFrame:
     )
 
 
+def extract_robots_rules(documents: DataFrame,
+                         agent: str = "sparkbot",
+                         probe_paths: "tuple[str, ...]" = (
+                             "/sec1/page", "/tmp/x")) -> DataFrame:
+    """Per-doc robots.txt gate (kernels/robots.py, RFC 9309): parse
+    the synthesized per-doc robots.txt and emit the crawl-policy
+    signals a frontier needs — crawl delay, sitemap count, and the
+    allow/deny decision for each probe path under `agent` plus the
+    '*'-group decision an unknown agent would get. One mapInPandas
+    pass, no shuffle; at crawl scale this joins (broadcast) against
+    the per-host frontier."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    probe_cols = [f"allowed_{i}" for i in range(len(probe_paths))]
+    schema = ("doc_id long, crawl_delay double, n_sitemaps int, "
+              + ", ".join(f"{c} int" for c in probe_cols)
+              + ", other_agent_tmp int")
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.robots import (
+            crawl_delay, is_allowed, parse_robots, synthesize_robots)
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ["doc_id", "crawl_delay", "n_sitemaps"]
+                   + probe_cols + ["other_agent_tmp"]}
+            for (doc_id,) in zip(pdf["doc_id"]):
+                d = int(doc_id)
+                r = parse_robots(synthesize_robots(d))
+                out["doc_id"].append(d)
+                out["crawl_delay"].append(crawl_delay(r, agent))
+                out["n_sitemaps"].append(len(r["sitemaps"]))
+                for c, p in zip(probe_cols, probe_paths):
+                    out[c].append(int(is_allowed(r, agent, p)))
+                out["other_agent_tmp"].append(
+                    int(is_allowed(r, "otherbot", "/tmp/x")))
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema=schema
+    )
+
+
 def canonical_url(col) -> "F.Column":
     """URL canonicalization as a pure JVM-side expression (the crawl
     frontier/dedup key — RFC 3986 §6 normalizations that preserve

@@ -995,6 +995,37 @@ def test_bmp_pnm_decode():
         pnm_mean_luma(p5w[:n])
 
 
+def test_robots_rfc9309():
+    """robots.txt kernel: named-group selection shields the agent
+    from the '*' group, longest-match rules with allow winning
+    length ties, '$'-anchored wildcards, crawl-delay + sitemaps;
+    empty/garbage inputs default to allowed and never raise."""
+    from sparkpdf.kernels.robots import (
+        crawl_delay, is_allowed, parse_robots, synthesize_robots)
+
+    for d in (0, 1, 5, 7):
+        r = parse_robots(synthesize_robots(d))
+        k = d % 4
+        assert crawl_delay(r, "sparkbot/1.0") == float(d % 5)
+        assert len(r["sitemaps"]) == 1 + d % 2
+        assert is_allowed(r, "sparkbot", "/sec1/page") == (k != 1)
+        assert is_allowed(r, "sparkbot", f"/sec{k}/pub/x") is True
+        assert is_allowed(r, "sparkbot", f"/sec{k}/x") is False
+        assert is_allowed(r, "sparkbot", "/a/file.pdf") is False
+        assert is_allowed(r, "sparkbot", "/a/file.pdfx") is True
+        assert is_allowed(r, "sparkbot", "/tmp/x") is True
+        assert is_allowed(r, "otherbot", "/tmp/x") is False
+        assert is_allowed(r, "otherbot", "/anything") is True
+    assert is_allowed(parse_robots(""), "x", "/a") is True
+    assert is_allowed(parse_robots("garbage\n:::\n#c"), "x", "/a")
+    parse_robots(None)
+    # consecutive user-agent lines share one group
+    r = parse_robots(
+        "User-agent: a\nUser-agent: b\nDisallow: /x/\n")
+    assert is_allowed(r, "b", "/x/1") is False
+    assert is_allowed(r, "a", "/x/1") is False
+
+
 def test_webp_dims():
     """WebP header parse: all three container layouts decode their
     differently-encoded dims; non-WebP RIFF and truncation quarantine;
