@@ -458,6 +458,15 @@ def q_c4_clean(spark, sf_dir):
     return c4_clean(_t(spark, sf_dir, "documents"))
 
 
+def q_sitemap_entries(spark, sf_dir):
+    # sitemaps.org protocol: urlset entries (loc/lastmod/priority)
+    # AND sitemapindex children (d%5==0 docs), namespaced/mixed-case
+    # tolerant — every field a doc_id formula
+    from sparkpdf.operators.text import extract_sitemap_entries
+
+    return extract_sitemap_entries(_t(spark, sf_dir, "documents"))
+
+
 def q_robots_rules(spark, sf_dir):
     # RFC 9309 robots.txt gate: group selection (named group shields
     # the agent from the '*' group), longest-match rules with allow
@@ -1905,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "url_canonical": q_url_canonical,
         "robots_rules": q_robots_rules,
+        "sitemap_entries": q_sitemap_entries,
         "c4_clean": q_c4_clean,
         "ivfpq_topk": q_ivfpq_topk,
     }
@@ -2370,6 +2380,32 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS INTEGER) AS c4_keep,
                COALESCE(joined, '') AS clean_text
         FROM m
+    """
+    sql["sitemap_entries"] = """
+        SELECT d.doc_id,
+               CAST(t.i AS INTEGER) AS entry_idx,
+               CASE WHEN d.doc_id % 5 = 0 THEN 'sitemapindex'
+                    ELSE 'urlset' END AS kind,
+               CASE WHEN d.doc_id % 5 = 0
+                    THEN 'https://example.com/sm'
+                         || CAST(d.doc_id AS VARCHAR) || '-'
+                         || CAST(t.i AS VARCHAR) || '.xml'
+                    ELSE 'https://example.com/doc/'
+                         || CAST(d.doc_id AS VARCHAR) || '/'
+                         || CAST(t.i AS VARCHAR)
+               END AS loc,
+               CASE WHEN d.doc_id % 5 = 0 THEN '2024-02-'
+                    ELSE '2024-01-' END
+                   || lpad(CAST(1 + (d.doc_id + t.i) % 28 AS VARCHAR),
+                           2, '0') AS lastmod,
+               CASE WHEN d.doc_id % 5 = 0 THEN NULL
+                    ELSE printf('%.1f',
+                         ((d.doc_id + t.i) % 10) / 10.0)
+               END AS priority
+        FROM documents d CROSS JOIN generate_series(0, 3) t(i)
+        WHERE t.i < CASE WHEN d.doc_id % 5 = 0
+                         THEN 1 + d.doc_id % 2
+                         ELSE 1 + d.doc_id % 4 END
     """
     sql["robots_rules"] = """
         SELECT doc_id,

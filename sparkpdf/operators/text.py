@@ -663,6 +663,43 @@ def extract_robots_rules(documents: DataFrame,
     )
 
 
+def extract_sitemap_entries(documents: DataFrame) -> DataFrame:
+    """Per-doc sitemap parse (kernels/sitemap.py): one row per
+    <url>/<sitemap> entry with the container kind — the crawl
+    frontier's seed stream. One mapInPandas pass, entry explode
+    Python-side (entries per sitemap are tiny); no shuffle."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    schema = ("doc_id long, entry_idx int, kind string, loc string, "
+              "lastmod string, priority string")
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.sitemap import parse_sitemap, synthesize_sitemap
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "entry_idx", "kind",
+                                   "loc", "lastmod", "priority")}
+            for (doc_id,) in zip(pdf["doc_id"]):
+                d = int(doc_id)
+                r = parse_sitemap(synthesize_sitemap(d))
+                for i, e in enumerate(r["entries"]):
+                    out["doc_id"].append(d)
+                    out["entry_idx"].append(i)
+                    out["kind"].append(r["kind"])
+                    out["loc"].append(e.get("loc"))
+                    out["lastmod"].append(e.get("lastmod"))
+                    out["priority"].append(e.get("priority"))
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema=schema
+    )
+
+
 def canonical_url(col) -> "F.Column":
     """URL canonicalization as a pure JVM-side expression (the crawl
     frontier/dedup key — RFC 3986 §6 normalizations that preserve

@@ -995,6 +995,35 @@ def test_bmp_pnm_decode():
         pnm_mean_luma(p5w[:n])
 
 
+def test_sitemap_parse():
+    """sitemaps.org kernel: urlset + sitemapindex round-trip the
+    planted formulas; namespaced/mixed-case tags tolerated; entries
+    without loc dropped; garbage yields kind None, never raises."""
+    from sparkpdf.kernels.sitemap import parse_sitemap, synthesize_sitemap
+
+    for d in (0, 1, 3, 5, 7):
+        r = parse_sitemap(synthesize_sitemap(d))
+        if d % 5 == 0:
+            assert r["kind"] == "sitemapindex"
+            assert len(r["entries"]) == 1 + d % 2
+            assert r["entries"][0]["loc"] == \
+                f"https://example.com/sm{d}-0.xml"
+        else:
+            assert r["kind"] == "urlset"
+            assert len(r["entries"]) == 1 + d % 4
+            e = r["entries"][0]
+            assert e["loc"] == f"https://example.com/doc/{d}/0"
+            assert e["lastmod"] == f"2024-01-{1 + d % 28:02d}"
+            assert e["priority"] == f"{d % 10 / 10:.1f}"
+    assert parse_sitemap("")["kind"] is None
+    assert parse_sitemap("<html><body>no</body></html>")["entries"] == []
+    r = parse_sitemap(
+        "<NS:URLSET><ns:url><ns:loc> x </ns:loc></ns:url>"
+        "<ns:url><lastmod>2024</lastmod></ns:url></NS:URLSET>")
+    assert r["entries"] == [{"loc": "x"}]  # loc-less entry dropped
+    parse_sitemap(None)
+
+
 def test_robots_rfc9309():
     """robots.txt kernel: named-group selection shields the agent
     from the '*' group, longest-match rules with allow winning
