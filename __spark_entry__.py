@@ -502,6 +502,34 @@ def q_url_canonical(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    # recall@3 of PQ/ADC against the exact cosine baseline — the
+    # compression-quality metric as an oracle-replayable query (the
+    # ann_recall pattern over the pq scorer)
+    from sparkpdf.operators.similarity import brute_force_topk, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, n_queries=4, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = pq_topk(emb).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce("h", F.lit(0)) / 3.0, 6).alias("recall"),
+        )
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     # the Gopher filter rules (Rae et al. 2021) as one codegen pass:
     # every signal and the conjunctive pass flag restated in SQL
@@ -1917,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,
         "c4_clean": q_c4_clean,
         "ivfpq_topk": q_ivfpq_topk,
+        "pq_recall": q_pq_recall,
     }
 
 
@@ -3476,6 +3505,19 @@ def oracle_sql() -> dict[str, str]:
         "q.vec_id < 8", "q.vec_id < 4"
     ).replace("rank <= 5", "rank <= 3")
     assert "q.vec_id < 4" in _exact_k3 and "rank <= 3" in _exact_k3
+    sql["pq_recall"] = f"""
+        WITH exact AS (
+            SELECT query_id, neighbor_id FROM ({_exact_k3})
+        ), approx AS (
+            SELECT query_id, neighbor_id FROM ({sql["pq_topk"]})
+        )
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS INTEGER) AS n_hits,
+               ROUND(COUNT(a.neighbor_id) / 3.0, 6) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """
     sql["ann_recall"] = f"""
         WITH exact AS (
             SELECT query_id, neighbor_id FROM ({_exact_k3})
