@@ -2261,7 +2261,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         )
         SELECT doc_id, width, height,
-               ROUND(SUM(CASE WHEN d % 3 = 2
+               ROUND(SUM(CASE WHEN d % 4 = 2
                           THEN (7 * (40 + ((d + y * 11) % 50) * 4)
                                 + 13) % 256
                           ELSE 40 + ((d + y * 11) % 50) * 4 END)

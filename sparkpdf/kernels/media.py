@@ -169,12 +169,72 @@ def bmp_mean_luma(b: bytes):
         "compression": b[30:34],
         "palette": bytes(b[14 + bisize:data_off]),
     }
-    if fmt["compression"] != b"\x00\x00\x00\x00":
-        return None  # BI_RLE*/BI_BITFIELDS: quarantine
     if data_off >= len(b):
         return None
+    if fmt["compression"] == b"\x01\x00\x00\x00":  # BI_RLE8
+        import numpy as np
+
+        if fmt["bits"] != 8 or fmt["height"] <= 0:
+            return None  # RLE is 8-bit bottom-up only per the format
+        pal = np.frombuffer(fmt["palette"], np.uint8)
+        if pal.size < 4 * 256:
+            return None
+        idx = _bmp_rle8_decode(
+            b[data_off:], fmt["width"], fmt["height"])
+        if idx is None:
+            return None
+        pal = pal[:4 * 256].reshape(256, 4).astype(np.int64)
+        lut = pal[:, 2] * 299 + pal[:, 1] * 587 + pal[:, 0] * 114
+        total = int(lut[idx].sum())
+        return round(
+            total / (1000.0 * fmt["width"] * fmt["height"]), 6)
+    if fmt["compression"] != b"\x00\x00\x00\x00":
+        return None  # BI_RLE4/BI_BITFIELDS: quarantine
     st = _dib_frame_stats(b[data_off:], fmt)
     return None if st is None else st[2]
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 (BMP compression 1) -> row-major index raster
+    (bottom-up storage unwound to top-down). Encoded runs
+    (count, value), escape 00: 00=end-of-line, 01=end-of-bitmap,
+    02=delta(dx, dy) — skipped pixels are index 0 per the format's
+    convention — and 03..FF = absolute mode (n literals, padded to a
+    word boundary). None on torn streams or out-of-bounds writes."""
+    import numpy as np
+
+    out = np.zeros((h, w), np.uint8)
+    x, y = 0, 0  # y counts from the BOTTOM row (RLE is bottom-up)
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c:  # encoded run
+            if y >= h or x + c > w:
+                return None
+            out[h - 1 - y, x:x + c] = v
+            x += c
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > n:
+                return None
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                return None
+        else:  # absolute mode: v literal indices, word-aligned
+            if i + v > n or y >= h or x + v > w:
+                return None
+            out[h - 1 - y, x:x + v] = np.frombuffer(
+                data[i:i + v], np.uint8)
+            x += v
+            i += v + (v & 1)
+    return None  # ran out of input before end-of-bitmap
 
 
 def pnm_dims(b: bytes) -> Optional[dict]:

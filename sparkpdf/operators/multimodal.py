@@ -271,14 +271,16 @@ def synthesize_image_media(documents: DataFrame) -> DataFrame:
 
 
 def synthesize_bmp_media(documents: DataFrame) -> DataFrame:
-    """documents -> one REAL BMP per doc, rotating by d%3 across the
-    uncompressed DIB variants (0 -> 24-bit bottom-up; 1 -> 24-bit
-    TOP-DOWN, negative biHeight; 2 -> 8-bit palettized over the
-    TWISTED palette pal[i] = (7*i+13)%256 — the indirection proves the
-    decoder reads the palette, not the indices). Planted per-row gray
-    g(d,y) = 40 + ((d + y*11) % 50) * 4 at dims (24 + (d%3)*8) x
-    (8 + (d%2)*8) — the tiff corpus formulas, so the oracle is the
-    same closed form with a palette CASE on the d%3==2 lane."""
+    """documents -> one REAL BMP per doc, rotating by d%4 across the
+    DIB variants (0 -> 24-bit bottom-up; 1 -> 24-bit TOP-DOWN,
+    negative biHeight; 2 -> 8-bit palettized over the TWISTED palette
+    pal[i] = (7*i+13)%256 — the indirection proves the decoder reads
+    the palette, not the indices; 3 -> BI_RLE8 COMPRESSED 8-bit over
+    the gray-identity palette — encoded runs AND absolute-mode spans,
+    round 7). Planted per-row gray g(d,y) = 40 + ((d + y*11) % 50)*4
+    at dims (24 + (d%3)*8) x (8 + (d%2)*8) — the tiff corpus
+    formulas, so the oracle is the same closed form with a palette
+    CASE on the d%4==2 lane."""
     ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
     n_parts = documents.sparkSession.sparkContext.defaultParallelism
     schema = "doc_id string, media_ref string, modality string, payload binary"
@@ -299,9 +301,11 @@ def synthesize_bmp_media(documents: DataFrame) -> DataFrame:
                 img = np.zeros((h, w), np.uint8)
                 for y in range(h):
                     img[y, :] = 40 + ((d + y * 11) % 50) * 4
-                lane = d % 3
+                lane = d % 4
                 if lane == 2:
                     payload = make_bmp(img, bits=8, palette=twisted)
+                elif lane == 3:
+                    payload = make_bmp(img, bits=8, rle=True)
                 else:
                     payload = make_bmp(img, topdown=(lane == 1))
                 out["doc_id"].append(str(d))

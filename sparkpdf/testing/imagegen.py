@@ -182,17 +182,50 @@ def make_ico(pixels, png: bool = False) -> bytes:
 
 
 def make_bmp(pixels, bits: int = 24, topdown: bool = False,
-             palette: "bytes | None" = None) -> bytes:
-    """Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB):
-    `pixels` is an (h, w) gray or (h, w, 3) RGB uint8 array. bits=24
-    writes BGR rows; bits=8 writes palettized rows over `palette`
-    (256 BGRA quads; default gray-identity). Rows pad to 4 bytes and
-    store bottom-up unless `topdown` (negative biHeight)."""
+             palette: "bytes | None" = None,
+             rle: bool = False) -> bytes:
+    """Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER): `pixels` is
+    an (h, w) gray or (h, w, 3) RGB uint8 array. bits=24 writes BGR
+    rows; bits=8 writes palettized rows over `palette` (256 BGRA
+    quads; default gray-identity). Rows pad to 4 bytes and store
+    bottom-up unless `topdown` (negative biHeight). `rle` (8-bit,
+    bottom-up only) writes BI_RLE8: encoded runs split at 255, odd
+    bottom-up rows emit 3..255-length spans in ABSOLUTE mode (with
+    its word-alignment pad) so both packet kinds really occur,
+    end-of-line after every row, end-of-bitmap at the end."""
     import numpy as np
 
     a = np.asarray(pixels, dtype=np.uint8)
     h, w = a.shape[:2]
     rowbytes = (w * bits + 31) // 32 * 4
+    if rle:
+        assert bits == 8 and not topdown
+        pal = palette if palette is not None else b"".join(
+            bytes((i, i, i, 0)) for i in range(256))
+        stream = bytearray()
+        for r, row in enumerate(a[::-1]):  # bottom-up row order
+            x = 0
+            while x < w:
+                run = 1
+                while (x + run < w and run < 255
+                       and row[x + run] == row[x]):
+                    run += 1
+                if r % 2 == 1 and 3 <= run <= 255:
+                    stream += bytes((0, run)) + row[x:x + run].tobytes()
+                    if run & 1:
+                        stream += b"\x00"  # absolute-mode word pad
+                else:
+                    stream += bytes((run, row[x]))
+                x += run
+            stream += b"\x00\x00"  # end of line
+        stream += b"\x00\x01"  # end of bitmap
+        raster = bytes(stream)
+        bih = struct.pack(
+            "<IiihhIIiiII", 40, w, h, 1, 8, 1,
+            len(raster), 2835, 2835, 256, 0)
+        off = 14 + 40 + len(pal)
+        bfh = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        return bfh + bih + pal + raster
     if bits == 24:
         if a.ndim == 2:
             a = np.repeat(a[..., None], 3, axis=2)

@@ -973,6 +973,30 @@ def test_bmp_pnm_decode():
     assert bmp_mean_luma(make_bmp(asym)) == bmp_mean_luma(
         make_bmp(asym, topdown=True)) == 105.0
 
+    # BI_RLE8 (round 7): encoded runs + absolute-mode spans decode
+    # losslessly; >255 runs split; delta escape skips to index 0;
+    # torn streams quarantine
+    from sparkpdf.kernels.media import _bmp_rle8_decode
+
+    brle = make_bmp(img, bits=8, rle=True)
+    assert bmp_dims(brle)["width"] == 24
+    assert bmp_mean_luma(brle) == exp
+    rng = np.random.default_rng(5)
+    img2 = rng.integers(0, 256, (16, 37), dtype=np.uint8)
+    b2 = make_bmp(img2, bits=8, rle=True)
+    assert bmp_mean_luma(b2) == round(
+        int(img2.astype(np.int64).sum()) / (16 * 37), 6)
+    assert bmp_mean_luma(
+        make_bmp(np.full((2, 600), 7, np.uint8), bits=8, rle=True)
+    ) == 7.0
+    raster = _bmp_rle8_decode(
+        bytes([2, 5, 0, 2, 1, 1, 1, 9, 0, 1]), 4, 2)
+    assert raster[1, :2].tolist() == [5, 5]  # bottom row lands last
+    assert raster[0, 3] == 9 and raster[0, 2] == 0  # delta skip = 0
+    assert bmp_mean_luma(b2[:len(b2) // 2]) is None
+    for n in range(0, len(b2), 17):
+        bmp_mean_luma(b2[:n])
+
     p5 = make_pnm(img)
     assert pnm_dims(p5)["width"] == 24
     assert pnm_mean_luma(p5) == exp
