@@ -47,3 +47,54 @@ def stream_extract(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_web_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    warc: bool = False,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 64,
+) -> StreamingQuery:
+    """Continuous-arrival web ingestion: a directory receiving
+    (doc_id, html) parquet — or, with `warc`, (doc_id, warc_bytes)
+    parquet (the CommonCrawl drop-zone shape: each landed file holds
+    raw archives) — streams through the SAME one-pass extraction as
+    jobs/web_job.py (WARC demux -> status-200 text/html filter ->
+    extract_web_docs), exactly-once via Spark's streaming checkpoint.
+    Extraction is per-document pure, so no watermark or state is
+    needed; availableNow gives the cron-style drain-and-stop run."""
+    from ..operators.text import extract_web_docs
+
+    if warc:
+        from ..sources.warc_source import warc_pages
+
+        src = (
+            spark.readStream
+            .schema("doc_id string, warc_bytes binary")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_dir)
+        )
+        pages = warc_pages(src).filter(
+            "error IS NULL AND http_status = 200 AND html IS NOT NULL"
+        ).select("doc_id", "html")
+    else:
+        src = (
+            spark.readStream
+            .schema("doc_id string, html string")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(input_dir)
+        )
+        pages = src
+    docs = extract_web_docs(pages)
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

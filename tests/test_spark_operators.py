@@ -396,6 +396,42 @@ def test_streaming_ingest_exactly_once(spark, corpus, tmp_path):
     assert out.select("doc_id").distinct().count() == corpus.count()
 
 
+def test_streaming_warc_ingest_exactly_once(spark, docs, tmp_path):
+    """Continuous WARC arrival: archives land as (doc_id, warc_bytes)
+    parquet, drain with availableNow, more land, drain again — each
+    status-200 HTML response extracted exactly once through the full
+    demux -> DOM pipeline; 404 responses never appear."""
+    from sparkpdf.operators.text import synthesize_warc_corpus
+    from sparkpdf.streaming.ingest import stream_web_extract
+
+    in_dir = str(tmp_path / "win")
+    out_dir = str(tmp_path / "wout")
+    ck_dir = str(tmp_path / "wck")
+    archives = synthesize_warc_corpus(docs)
+    half_a = archives.filter(F.pmod(F.hash("doc_id"), F.lit(2)) == 0)
+    half_b = archives.filter(F.pmod(F.hash("doc_id"), F.lit(2)) == 1)
+    ids = [int(r.doc_id) for r in docs.select("doc_id").collect()]
+    expect_total = sum(1 for d in ids if d % 9 != 0)
+
+    half_a.write.mode("append").parquet(in_dir)
+    q = stream_web_extract(spark, in_dir, out_dir, ck_dir, warc=True)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out_dir).count()
+    assert 0 < n1 < expect_total
+    half_b.write.mode("append").parquet(in_dir)
+    q2 = stream_web_extract(spark, in_dir, out_dir, ck_dir, warc=True)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == expect_total
+    assert out.select("doc_id").distinct().count() == expect_total
+    assert out.filter("error IS NOT NULL").count() == 0
+    # the DOM pipeline really ran: metadata formulas survived
+    row = out.orderBy("doc_id").limit(1).collect()[0]
+    d = int(row.doc_id.split("#")[0].rsplit("/", 1)[-1]) \
+        if "/" in row.doc_id else int(row.doc_id.split("#")[0])
+    assert row.og_title == f"OG Doc {d}"
+
+
 def test_quarantine_corrupt_docs(spark, corpus):
     """Poisoned documents must not kill the partition: they surface in
     the error column, healthy docs still extract (SURVEY §4.1)."""
