@@ -5,7 +5,7 @@ table, run top-k cosine queries against it, persist both.
         --embeddings /data/embeddings    (parquet: vec_id, embedding) \
         --output /data/ann \
         [--n-lists 8] [--n-iters 2] [--nprobe 1] [--k 3] [--queries 4] \
-        [--exact | --pq]
+        [--exact | --pq | --ivfpq]
 
 Outputs under --output:
     index/    (vec_id, centroid_id, unit)  — the inverted lists; at
@@ -47,12 +47,17 @@ def main(argv=None):
                    help="product-quantization index (codes + "
                    "codebooks persisted) searched by asymmetric "
                    "distance — the memory-compressed path")
+    g.add_argument("--ivfpq", action="store_true",
+                   help="IVF routing x PQ scoring: inverted lists "
+                   "prune the corpus, ADC over codes scores the "
+                   "candidates — the production large-scale shape")
     ap.add_argument("--m-sub", type=int, default=4)
     args = ap.parse_args(argv)
 
     from sparkpdf.operators.similarity import (
         brute_force_topk,
         ivf_topk,
+        ivfpq_topk,
         kmeans_ivf_assignments,
         pq_codes,
         pq_topk,
@@ -87,6 +92,26 @@ def main(argv=None):
             emb, m_sub=args.m_sub, n_centroids=args.n_lists,
             n_iters=args.n_iters, n_queries=args.queries, k=args.k,
         )
+    elif args.ivfpq:
+        index = kmeans_ivf_assignments(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters
+        ).select("vec_id", "centroid_id")
+        codebooks, codes = pq_codes(
+            emb, m_sub=args.m_sub, n_centroids=args.n_lists,
+            n_iters=args.n_iters,
+        )
+        for name, df in (("index", index), ("codebooks", codebooks),
+                         ("codes", codes)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(args.output, name))
+        index_rows = spark.read.parquet(
+            os.path.join(args.output, "codes")
+        ).count()
+        topk = ivfpq_topk(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters,
+            m_sub=args.m_sub, n_centroids=args.n_lists,
+            n_queries=args.queries, k=args.k,
+        )
     else:
         index = kmeans_ivf_assignments(
             emb, n_lists=args.n_lists, n_iters=args.n_iters
@@ -109,7 +134,7 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "mode": ("exact" if args.exact else "pq" if args.pq else "ivf"),
+                "mode": ("exact" if args.exact else "pq" if args.pq else "ivfpq" if args.ivfpq else "ivf"),
                 "index_rows": index_rows,
                 "queries": args.queries,
                 "k": args.k,

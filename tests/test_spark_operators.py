@@ -1548,6 +1548,28 @@ def test_pq_topk(spark):
     assert "BroadcastExchange" in plan.split("== Initial Plan ==")[0]
 
 
+def test_web_lane_plan_shape(spark, docs):
+    """The one-pass web pipeline adds ZERO exchanges beyond the
+    corpus synthesizer's own repartition: synth -> extract_web_docs
+    (and the warc demux chain) are pure mapInPandas stages, so at
+    10^12 docs the lane rides the scan partitioning end to end."""
+    from sparkpdf.operators.text import (
+        extract_web_docs, synthesize_warc_corpus, synthesize_web_corpus)
+    from sparkpdf.sources.warc_source import warc_pages
+
+    plan = extract_web_docs(
+        synthesize_web_corpus(docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan  # the synth repartition
+
+    plan2 = warc_pages(
+        synthesize_warc_corpus(docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("Exchange") == 1, plan2
+
+
 def test_gopher_quality(spark):
     """Gopher rule edges: empty doc (all ratios 0, fail), a clean
     50-word doc passes, bullet-heavy and symbol-heavy docs fail on
