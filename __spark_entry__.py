@@ -1797,23 +1797,72 @@ def q_stratified_sample(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the round driver grades the FIRST 50 entries
     # (CORRECTNESS_rN); scripts/check_oracle.py covers all of them
-    # locally. Round-7 rotation (r6 verdict item 2): the window leads
-    # with the round-7-changed operators (new FLAC decode, the
-    # audio-dispatch-touched wav lane, slim-join line_dedup,
-    # shape-knobbed bigram_surprisal), then ALL 43 queries that were
-    # judge-only in r6 (the longest-since-driver-graded tail:
-    # write_roundtrip, pdf_embedded_media, xmp_project, the deep
-    # jpeg codec stats, the substring/cluster family...), then 3
-    # flagship representatives for continuity. The demoted tail is
-    # the r6 driver-certified set — unchanged code, still
-    # check_oracle-verified at both scales every round.
+    # locally. Round-8 rotation (r7 verdict item 1): the window leads
+    # with the 23 round-7 queries that were never driver-graded in any
+    # round (the whole web/ANN/image/AV third-sweep surface — judge-
+    # verified green in r7, now driver-certified), then round-8 new
+    # operators, then fills to 50 with the longest-since-driver-graded
+    # set (last graded r6: the flagships and the r6-certified block).
+    # The freshly-r7-graded block demotes to the tail — unchanged
+    # code, still check_oracle-verified at both scales every round.
     return {
-        # --- round-7 changed/new operators ---
-        # (wav_pcm_stats was driver-graded in r6; its r7-touched code
-        # paths are exercised inside the window by adpcm_pcm_stats —
-        # same fmt-chunk parse — and attachment_audio_stats — same
-        # sample decode end-to-end — so it yields its slot to keep
-        # the full 43-query ex-judge-only block driver-graded)
+        # --- never driver-graded before r8 (judge-only in r7): 23 ---
+        "html_meta": q_html_meta,
+        "html_links": q_html_links,
+        "html_headings": q_html_headings,
+        "html_tables": q_html_tables,
+        "html_sections": q_html_sections,
+        "link_host_degree": q_link_host_degree,
+        "warc_pages": q_warc_pages,
+        "gopher_quality": q_gopher_quality,
+        "url_canonical": q_url_canonical,
+        "robots_rules": q_robots_rules,
+        "sitemap_entries": q_sitemap_entries,
+        "c4_clean": q_c4_clean,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "pq_recall": q_pq_recall,
+        "webp_dims": q_webp_dims,
+        "bmp_pixel_stats": q_bmp_pixel_stats,
+        "pnm_pixel_stats": q_pnm_pixel_stats,
+        "tga_ico_pixel_stats": q_tga_ico_pixel_stats,
+        "mp4_audio_stats": q_mp4_audio_stats,
+        "video_scene_cuts": q_video_scene_cuts,
+        "audio_segment_stats": q_audio_segment_stats,
+        "audio_silence_spans": q_audio_silence_spans,
+        # --- round-8 new operators (inserted here as added) ---
+        # --- longest-since-driver-graded fill (last graded r6) ---
+        "extract_spans": q_extract_spans,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "wav_pcm_stats": q_wav_pcm_stats,
+        "bigram_surprisal": q_bigram_surprisal,
+        "token_rarity": q_token_rarity,
+        "tiff_pixel_stats": q_tiff_pixel_stats,
+        "stratified_sample": q_stratified_sample,
+        "obj_join": q_obj_join,
+        "font_join": q_font_join,
+        "events_window": q_events_window,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "docinfo_project": q_docinfo_project,
+        "remove_text": q_remove_text,
+        "remove_images": q_remove_images,
+        "merge_docs": q_merge_docs,
+        "split_docs": q_split_docs,
+        "page_count": q_page_count,
+        "media_catalog": q_media_catalog,
+        "form_fields": q_form_fields,
+        "named_dests": q_named_dests,
+        "outlines": q_outlines,
+        "overlay_pages": q_overlay_pages,
+        "link_annotations": q_link_annotations,
+        "extract_stats": q_extract_stats,
+        # --- demoted tail: the r7-graded window (freshest driver
+        # certification, CORRECTNESS_r07 50/50 green) + remaining
+        # r6-certified queries; all still check_oracle-verified at
+        # both scales every round ---
         "adpcm_pcm_stats": q_adpcm_pcm_stats,
         "aiff_au_pcm_stats": q_aiff_au_pcm_stats,
         "video_frame_stats": q_video_frame_stats,
@@ -1821,7 +1870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ogg_flac_stats": q_ogg_flac_stats,
         "flac_pcm_stats": q_flac_pcm_stats,
         "line_dedup": q_line_dedup,
-        # --- longest-since-driver-graded: judge-only in r6 (43) ---
         "write_roundtrip": q_write_roundtrip,
         "pdf_embedded_media": q_pdf_embedded_media,
         "sessionize": q_sessionize,
@@ -1865,46 +1913,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "embedding_near_dups": q_embedding_near_dups,
         "jpeg_pixel_stats": q_jpeg_pixel_stats,
-        # --- round-7 new but tail-resident: the graded window is
-        # full (7 new + the 43 ex-judge-only); mp4_audio_stats rides
-        # the same extract_audio_pcm_features lane and §8.7 sample
-        # tables already window-covered by video_frame_stats ---
-        "mp4_audio_stats": q_mp4_audio_stats,
-        "video_scene_cuts": q_video_scene_cuts,
-        "audio_segment_stats": q_audio_segment_stats,
-        "audio_silence_spans": q_audio_silence_spans,
-        # --- flagship/perf-plan continuity ---
-        "extract_spans": q_extract_spans,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # --- demoted tail (driver-graded r6; still check_oracle-
-        # verified at both scales every round; bigram_surprisal's r7
-        # change is a shape knob whose two plans are asserted
-        # hash-identical in scripts/token_shuffle_bench.py) ---
-        "wav_pcm_stats": q_wav_pcm_stats,
-        "bigram_surprisal": q_bigram_surprisal,
-        "token_rarity": q_token_rarity,
-        "tiff_pixel_stats": q_tiff_pixel_stats,
-        "stratified_sample": q_stratified_sample,
-        "obj_join": q_obj_join,
-        "font_join": q_font_join,
-        "events_window": q_events_window,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_exact": q_dedup_exact,
-        "dedup_simhash": q_dedup_simhash,
-        "docinfo_project": q_docinfo_project,
-        "remove_text": q_remove_text,
-        "remove_images": q_remove_images,
-        "merge_docs": q_merge_docs,
-        "split_docs": q_split_docs,
-        "page_count": q_page_count,
-        "media_catalog": q_media_catalog,
-        "form_fields": q_form_fields,
-        "named_dests": q_named_dests,
-        "outlines": q_outlines,
-        "overlay_pages": q_overlay_pages,
-        "link_annotations": q_link_annotations,
-        "extract_stats": q_extract_stats,
         "pageno_join": q_pageno_join,
         "text_agg": q_text_agg,
         "page_range_filter": q_page_range_filter,
@@ -1927,25 +1935,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
-        "bmp_pixel_stats": q_bmp_pixel_stats,
-        "pnm_pixel_stats": q_pnm_pixel_stats,
-        "tga_ico_pixel_stats": q_tga_ico_pixel_stats,
-        "webp_dims": q_webp_dims,
-        "html_meta": q_html_meta,
-        "html_links": q_html_links,
-        "html_headings": q_html_headings,
-        "html_tables": q_html_tables,
-        "html_sections": q_html_sections,
-        "link_host_degree": q_link_host_degree,
-        "warc_pages": q_warc_pages,
-        "gopher_quality": q_gopher_quality,
-        "pq_topk": q_pq_topk,
-        "url_canonical": q_url_canonical,
-        "robots_rules": q_robots_rules,
-        "sitemap_entries": q_sitemap_entries,
-        "c4_clean": q_c4_clean,
-        "ivfpq_topk": q_ivfpq_topk,
-        "pq_recall": q_pq_recall,
     }
 
 

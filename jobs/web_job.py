@@ -84,7 +84,10 @@ def main(argv=None, spark=None):
         "slices_processed": done,
         "total_docs": result.count(),
         "errored_docs": result.filter("error IS NOT NULL").count(),
-        "total_links": result.agg(
+        # filter quarantined rows first: under legacy sizeOfNull
+        # configs size(NULL) is -1 and would silently subtract from
+        # the stat — filtering makes it config-independent
+        "total_links": result.filter("error IS NULL").agg(
             F.coalesce(F.sum(F.size("links")), F.lit(0))
         ).collect()[0][0],
         "hosts": hosts_out.count(),

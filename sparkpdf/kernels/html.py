@@ -137,8 +137,10 @@ class _WebFeatureParser(HTMLParser):
         self.sections: List[dict] = []
         self._section = None  # {heading, level, parts}
         self.tables: List[dict] = []
-        self._table = None  # {rows: [[cell,...]], ...}
-        self._cell_parts = None
+        # stack of open tables (nested <table> is common in real HTML);
+        # each entry: {rows: [[cell,...]], cell: None|[parts]} — cell
+        # state is per-table so an inner table never clobbers the outer
+        self._table_stack: List[dict] = []
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
@@ -183,13 +185,14 @@ class _WebFeatureParser(HTMLParser):
                 "parts": [],
             }
         elif tag == "table":
-            self._table = {"rows": []}
-        elif tag == "tr" and self._table is not None:
-            self._table["rows"].append([])
-        elif tag in ("td", "th") and self._table is not None:
-            if not self._table["rows"]:
-                self._table["rows"].append([])
-            self._cell_parts = []
+            self._table_stack.append({"rows": [], "cell": None})
+        elif tag == "tr" and self._table_stack:
+            self._table_stack[-1]["rows"].append([])
+        elif tag in ("td", "th") and self._table_stack:
+            top = self._table_stack[-1]
+            if not top["rows"]:
+                top["rows"].append([])
+            top["cell"] = []
 
     def handle_endtag(self, tag):
         if tag in _DROP_ENTIRELY:
@@ -223,13 +226,14 @@ class _WebFeatureParser(HTMLParser):
                 # open the section this main-content heading starts
                 self._section = {"heading": text, "level": h["level"],
                                  "parts": []}
-        elif tag in ("td", "th") and self._cell_parts is not None:
-            cell = " ".join("".join(self._cell_parts).split())
-            self._cell_parts = None
-            self._table["rows"][-1].append(cell)
-        elif tag == "table" and self._table is not None:
-            rows = self._table["rows"]
-            self._table = None
+        elif (tag in ("td", "th") and self._table_stack
+                and self._table_stack[-1]["cell"] is not None):
+            top = self._table_stack[-1]
+            cell = " ".join("".join(top["cell"]).split())
+            top["cell"] = None
+            top["rows"][-1].append(cell)
+        elif tag == "table" and self._table_stack:
+            rows = self._table_stack.pop()["rows"]
             if rows:
                 self.tables.append({
                     "n_rows": len(rows),
@@ -256,8 +260,8 @@ class _WebFeatureParser(HTMLParser):
             self._anchor["parts"].append(data)
         if self._heading is not None:
             self._heading["parts"].append(data)
-        if self._cell_parts is not None:
-            self._cell_parts.append(data)
+        if self._table_stack and self._table_stack[-1]["cell"] is not None:
+            self._table_stack[-1]["cell"].append(data)
         if (self._section is not None and self._heading is None
                 and not self.boiler_depth and not self.title_depth):
             self._section["parts"].append(data)

@@ -1196,17 +1196,19 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
                 p, ix = pred[c], idx[c]
                 append = chans[c].append
                 for byte in body[g + 4 * c:g + 4 * c + 4]:
-                    k = (ix << 4) | (byte & 0x0F)
-                    p += _IMA_DIFF[k]
+                    # t, never k: the block-offset loop variable must
+                    # not be shadowed by the lookup-table index
+                    t = (ix << 4) | (byte & 0x0F)
+                    p += _IMA_DIFF[t]
                     p = -32768 if p < -32768 else (
                         32767 if p > 32767 else p)
                     append(p)
-                    k = (_IMA_NEXT[k] << 4) | (byte >> 4)
-                    p += _IMA_DIFF[k]
+                    t = (_IMA_NEXT[t] << 4) | (byte >> 4)
+                    p += _IMA_DIFF[t]
                     p = -32768 if p < -32768 else (
                         32767 if p > 32767 else p)
                     append(p)
-                    ix = _IMA_NEXT[k]
+                    ix = _IMA_NEXT[t]
                 pred[c], idx[c] = p, ix
         # interleave channel runs into frames
         if channels == 1:

@@ -71,7 +71,10 @@ def warc_pages(archives: DataFrame) -> DataFrame:
                     if rec["warc_type"] != "response":
                         continue
                     ctype = rec["http_content_type"] or ""
-                    is_html = ctype.split(";")[0].strip() == "text/html"
+                    # MIME types are case-insensitive (RFC 2045 §5.1)
+                    is_html = (
+                        ctype.split(";")[0].strip().lower() == "text/html"
+                    )
                     emit(
                         doc_id=f"{doc_id}#{idx}",
                         record_id=rec["record_id"],

@@ -139,3 +139,28 @@ def test_webpage_parser_tolerance():
                     for _ in range(rng.randrange(0, 120)))
         out = parse_webpage(s)
         assert isinstance(out["links"], list)
+
+
+def test_webpage_parser_nested_tables():
+    """Nested <table> (common in real HTML) must not clobber the outer
+    table's rows (r7 advice): each table reports its own shape, inner
+    closing first, and an empty nested table inside an open cell must
+    not raise on the outer </td>."""
+    from sparkpdf.kernels.html import parse_webpage
+
+    r = parse_webpage(
+        "<table><tr><td>o1</td><td>"
+        "<table><tr><td>i1</td><td>i2</td></tr></table>"
+        "</td></tr><tr><td>o2</td></tr></table>"
+    )
+    assert r["tables"] == [
+        {"n_rows": 1, "n_cols": 2, "cells": "i1 i2"},   # inner closes first
+        {"n_rows": 2, "n_cols": 2, "cells": "o1  o2"},
+    ]
+    # empty nested table inside an open cell: outer </td> previously
+    # raised TypeError (single-slot _table was None) — must parse clean
+    r = parse_webpage(
+        "<table><tr><td>x<table></table>y</td></tr></table>")
+    # "x" and "y" are adjacent text fragments of the same cell (the
+    # parser concatenates fragments, whitespace-normalizing after)
+    assert r["tables"] == [{"n_rows": 1, "n_cols": 1, "cells": "xy"}]

@@ -1386,13 +1386,13 @@ def test_driver_contract_window():
     """The driver grades the FIRST 50 queries() entries: every query
     has a matching oracle, column names line up between the Spark plan
     and the SQL (the canonicalizer hash-compares by sorted column
-    name), and the round-7 rotation holds: round-7-new/changed
-    operators plus ALL 43 queries that were judge-only in r6 (the
-    longest-since-driver-graded tail) sit inside the graded window.
-    The flagships (extract_spans, dedup_minhash_lsh, ann_cosine_topk)
-    were driver-graded in r6 and every round before, so they demote
-    to the tail to make room — the tail stays check_oracle-verified
-    at both scales every round."""
+    name), and the round-8 rotation holds: ALL 23 queries that were
+    never driver-graded in any round (the round-7 web/ANN/image/AV
+    third-sweep surface, judge-verified only until now) lead the
+    graded window, then round-8 new operators, then the longest-
+    since-driver-graded fill (last graded r6, flagships included).
+    The freshly-r7-graded block demotes to the tail — it stays
+    check_oracle-verified at both scales every round."""
     import __spark_entry__ as e
 
     q = e.queries()
@@ -1401,26 +1401,20 @@ def test_driver_contract_window():
     assert set(o) == set(q), set(o) ^ set(q)
     window = list(q)[:50]
     for name in (
-        # round-7 new/changed operators. wav_pcm_stats and
-        # bigram_surprisal yield their slots: both r6-driver-graded;
-        # wav's r7-touched paths are window-covered by
-        # adpcm_pcm_stats + attachment_audio_stats, and bigram's r7
-        # shape knob is asserted hash-identical across shapes in its
-        # bench harness
-        "adpcm_pcm_stats", "aiff_au_pcm_stats", "video_frame_stats",
-        "attachment_audio_stats", "ogg_flac_stats", "flac_pcm_stats",
-        "line_dedup",
-        # the r6 judge-only tail, now driver-graded (representatives;
-        # the full 43 are inside the window)
-        "write_roundtrip", "pdf_embedded_media", "xmp_project",
-        "jpeg12_pixel_stats", "jpeg_lossless_stats",
-        "jpeg_pixel_stats", "dup_substring_ranges", "substring_scrub",
-        "ngram_jaccard", "dup_clusters", "dup_clusters_verified",
-        "simhash_pairs", "write_encrypted", "write_aes256",
-        "attachments", "viewer_prefs", "png_pixel_stats",
-        "av_media_features", "embedding_near_dups", "pii_scrub",
-        "hash_split", "chunk_documents", "benchmark_contamination",
-        "sessionize", "stream_events_window",
+        # the 23 never-driver-graded round-7 queries — every one must
+        # sit in the graded window this round
+        "html_meta", "html_links", "html_headings", "html_tables",
+        "html_sections", "link_host_degree", "warc_pages",
+        "gopher_quality", "url_canonical", "robots_rules",
+        "sitemap_entries", "c4_clean", "pq_topk", "ivfpq_topk",
+        "pq_recall", "webp_dims", "bmp_pixel_stats",
+        "pnm_pixel_stats", "tga_ico_pixel_stats", "mp4_audio_stats",
+        "video_scene_cuts", "audio_segment_stats",
+        "audio_silence_spans",
+        # longest-since-driver-graded representatives (last r6):
+        # flagships + perf-plan continuity
+        "extract_spans", "dedup_minhash_lsh", "ann_cosine_topk",
+        "wav_pcm_stats", "bigram_surprisal",
     ):
         assert name in window, f"{name} fell out of the graded window"
 
