@@ -1468,6 +1468,25 @@ def q_webp_dims(spark, sf_dir):
     return feats.select("doc_id", "format", "width", "height")
 
 
+def q_jp2_dims(spark, sf_dir):
+    # round 8: JPEG 2000 header coverage — the one PDF-native payload
+    # format (/JPXDecode, reference filters.py:321-330 passthrough)
+    # that had no sniffer. Three layouts (raw j2k codestream / jp2
+    # container / XLBox-length jp2c) store dims in different
+    # structures; header-only BY DESIGN (EBCOT/MQ entropy decode is
+    # conformance-vector-blocked — the WebP rationale), so pixel
+    # stats stay NULL and dims/bit-depth flow
+    from sparkpdf.operators.multimodal import (
+        extract_media_features,
+        synthesize_jp2_media,
+    )
+
+    feats = extract_media_features(
+        synthesize_jp2_media(_t(spark, sf_dir, "documents"))
+    )
+    return feats.select("doc_id", "format", "width", "height", "bits")
+
+
 def q_tga_ico_pixel_stats(spark, sf_dir):
     # round 7: REAL TGA decode (gray / truecolor-RLE / palettized over
     # a twisted colormap) + ICO first-image decode (classic
@@ -1830,7 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scene_cuts": q_video_scene_cuts,
         "audio_segment_stats": q_audio_segment_stats,
         "audio_silence_spans": q_audio_silence_spans,
-        # --- round-8 new operators (inserted here as added) ---
+        # --- round-8 new operators ---
+        "jp2_dims": q_jp2_dims,
         # --- longest-since-driver-graded fill (last graded r6) ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1858,7 +1878,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlines": q_outlines,
         "overlay_pages": q_overlay_pages,
         "link_annotations": q_link_annotations,
-        "extract_stats": q_extract_stats,
         # --- demoted tail: the r7-graded window (freshest driver
         # certification, CORRECTNESS_r07 50/50 green) + remaining
         # r6-certified queries; all still check_oracle-verified at
@@ -1935,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_form_fill": q_write_form_fill,
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
+        "extract_stats": q_extract_stats,
     }
 
 
@@ -2262,6 +2282,15 @@ def oracle_sql() -> dict[str, str]:
                'webp' AS format,
                CAST(16 + doc_id % 32 AS INTEGER) AS width,
                CAST(8 + doc_id % 16 AS INTEGER) AS height
+        FROM documents
+    """
+    sql["jp2_dims"] = """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               'jp2' AS format,
+               CAST(20 + doc_id % 40 AS INTEGER) AS width,
+               CAST(10 + doc_id % 20 AS INTEGER) AS height,
+               CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 10
+                    WHEN 2 THEN 12 ELSE 16 END AS INTEGER) AS bits
         FROM documents
     """
     sql["tga_ico_pixel_stats"] = """

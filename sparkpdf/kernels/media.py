@@ -338,6 +338,98 @@ def webp_dims(b: bytes) -> Optional[dict]:
             "variant": variant}
 
 
+def _j2k_siz(b: bytes, off: int) -> Optional[dict]:
+    """Parse the SIZ marker segment at byte offset `off` (which must
+    point at FF 51): image grid minus offsets gives the true dims; the
+    first component's Ssiz gives the stored bit depth (low 7 bits are
+    depth-1, bit 7 is the signedness flag)."""
+    if b[off:off + 2] != b"\xff\x51" or len(b) < off + 41:
+        return None
+    xsiz = int.from_bytes(b[off + 6:off + 10], "big")
+    ysiz = int.from_bytes(b[off + 10:off + 14], "big")
+    xo = int.from_bytes(b[off + 14:off + 18], "big")
+    yo = int.from_bytes(b[off + 18:off + 22], "big")
+    csiz = int.from_bytes(b[off + 38:off + 40], "big")
+    if csiz < 1 or len(b) < off + 40 + 3 * csiz:
+        return None
+    w, h = xsiz - xo, ysiz - yo
+    if w <= 0 or h <= 0:
+        return None
+    return {"format": "jp2", "width": w, "height": h,
+            "n_components": csiz,
+            "bits": (b[off + 40] & 0x7F) + 1}
+
+
+def jp2_dims(b: bytes) -> Optional[dict]:
+    """JPEG 2000 header parse — the one PDF-native payload format
+    (/JPXDecode, a passthrough filter in the reference:
+    /root/reference/filters.py:321-330) with no sniffer until round 8.
+    Covers the raw codestream (SOC + SIZ marker segment) and the
+    JP2/JPX container (signature box -> box walk, incl. XLBox
+    extended lengths -> jp2h/ihdr; a jp2c codestream's SIZ is
+    authoritative when present). Header-only BY DESIGN: EBCOT/MQ
+    entropy decode has no in-container conformance vectors (the
+    arithmetic-JPEG / WebP quarantine rationale), so pixel stats stay
+    quarantined and dims/components/bit-depth flow from here."""
+    if len(b) >= 4 and b[:4] == b"\xff\x4f\xff\x51":
+        siz = _j2k_siz(b, 2)
+        if siz is not None:
+            siz["variant"] = "j2k"
+        return siz
+    if len(b) < 20 or b[:12] != b"\x00\x00\x00\x0cjP  \r\n\x87\n":
+        return None
+    ihdr_meta = None
+    i = 12
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i:i + 4], "big")
+        typ = b[i + 4:i + 8]
+        hdr = 8
+        if ln == 1:  # XLBox: 8-byte extended length after the type
+            if i + 16 > len(b):
+                break
+            ln = int.from_bytes(b[i + 8:i + 16], "big")
+            hdr = 16
+        elif ln == 0:  # box runs to EOF
+            ln = len(b) - i
+        if ln < hdr:
+            break
+        if typ == b"jp2h":  # superbox: walk children for ihdr
+            j = i + hdr
+            end = min(i + ln, len(b))
+            while j + 8 <= end:
+                cl = int.from_bytes(b[j:j + 4], "big")
+                ct = b[j + 4:j + 8]
+                if cl == 0:
+                    cl = end - j
+                if cl < 8:
+                    break
+                if ct == b"ihdr" and j + 22 <= len(b):
+                    h = int.from_bytes(b[j + 8:j + 12], "big")
+                    w = int.from_bytes(b[j + 12:j + 16], "big")
+                    nc = int.from_bytes(b[j + 16:j + 18], "big")
+                    bpc = b[j + 18]
+                    if w > 0 and h > 0 and nc > 0:
+                        ihdr_meta = {
+                            "format": "jp2", "width": w, "height": h,
+                            "n_components": nc,
+                            # 255 = "components differ" -> bits unknown
+                            "bits": ((bpc & 0x7F) + 1
+                                     if bpc != 255 else None),
+                            "variant": "jp2",
+                        }
+                j += cl
+        elif typ == b"jp2c":
+            c = i + hdr
+            if b[c:c + 4] == b"\xff\x4f\xff\x51":
+                siz = _j2k_siz(b, c + 2)
+                if siz is not None:
+                    siz["variant"] = "jp2"
+                    return siz
+            break
+        i += ln
+    return ihdr_meta
+
+
 def _tga_header(b: bytes) -> Optional[dict]:
     """TGA has no magic — validate the 18-byte header fields instead
     (image_type, bpp, colormap consistency) so the sniff stays safe
@@ -516,7 +608,7 @@ def image_dims(b: bytes) -> Optional[dict]:
         return None
     dims = (png_dims(b) or jpeg_dims(b) or gif_dims(b) or tiff_dims(b)
             or bmp_dims(b) or pnm_dims(b) or ico_dims(b)
-            or webp_dims(b) or tga_dims(b))
+            or webp_dims(b) or jp2_dims(b) or tga_dims(b))
     if dims is not None:
         # the pnm parser's private header fields stay kernel-internal
         dims = {k: v for k, v in dims.items() if not k.startswith("_")}

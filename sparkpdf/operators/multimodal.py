@@ -387,6 +387,40 @@ def synthesize_webp_media(documents: DataFrame) -> DataFrame:
     return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def synthesize_jp2_media(documents: DataFrame) -> DataFrame:
+    """documents -> one JPEG 2000 per doc, layout rotating by d%3
+    (raw j2k codestream / jp2 container / jp2 container with an
+    XLBox-length jp2c) at formula dims width = 20 + d%40,
+    height = 10 + d%20, n_components = 1 + (d%2)*2 (gray or RGB),
+    bit_depth = (8,10,12,16)[d%4] — each layout stores the dims in a
+    different structure (SIZ grid vs ihdr), so one dims oracle
+    certifies the codestream parser, the box walk, and the
+    extended-length path."""
+    ids = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, media_ref string, modality string, payload binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..testing.imagegen import make_jp2
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_ref": [], "modality": [], "payload": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                kind = ("j2k", "jp2", "jp2xl")[d % 3]
+                out["doc_id"].append(str(d))
+                out["media_ref"].append(f"jp2-{d}")
+                out["modality"].append("image")
+                out["payload"].append(
+                    make_jp2(20 + d % 40, 10 + d % 20,
+                             n_components=1 + (d % 2) * 2,
+                             bit_depth=(8, 10, 12, 16)[d % 4],
+                             kind=kind))
+            yield pd.DataFrame(out)
+
+    return ids.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def synthesize_tga_ico_media(documents: DataFrame) -> DataFrame:
     """documents -> one REAL TGA or ICO per doc, rotating by d%5
     (0 -> TGA grayscale type 3; 1 -> TGA truecolor type 2 with REAL
@@ -1903,6 +1937,12 @@ def sniff_image_format(payload_col) -> "F.Column":
         .when((F.substring(payload_col, 1, 4).cast("string") == "RIFF")
               & (F.substring(payload_col, 9, 4).cast("string")
                  == "WEBP"), "webp")
+        # JPEG 2000: the JP2 signature box (length 12 + 'jP  ') or a
+        # raw codestream (SOC+SIZ markers)
+        .when((head4 == "0000000C")
+              & (F.substring(payload_col, 5, 4).cast("string")
+                 == "jP  "), "jp2")
+        .when(head4 == "FF4FFF51", "jp2")
         # TGA has no magic: it needs the Python-side header-validated
         # sniff (kernels/media._tga_header) and lands in 'other' here,
         # i.e. the policy treats TGA corpora as header-only unless a

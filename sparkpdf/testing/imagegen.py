@@ -74,6 +74,58 @@ def make_webp(width: int, height: int, kind: str = "vp8") -> bytes:
             + b"WEBP" + chunk)
 
 
+def _j2k_codestream(width: int, height: int, n_components: int,
+                    bit_depth: int) -> bytes:
+    """Minimal JPEG 2000 codestream: SOC + SIZ (Rsiz 0, one tile the
+    size of the image, XRsiz/YRsiz 1) + EOC. No entropy-coded data —
+    the engine's JP2 support is header-only by design (it mirrors the
+    reference's /JPXDecode passthrough)."""
+    body = (
+        struct.pack(">H", 0)                      # Rsiz
+        + struct.pack(">II", width, height)       # Xsiz, Ysiz
+        + struct.pack(">II", 0, 0)                # XOsiz, YOsiz
+        + struct.pack(">II", width, height)       # XTsiz, YTsiz
+        + struct.pack(">II", 0, 0)                # XTOsiz, YTOsiz
+        + struct.pack(">H", n_components)
+        + bytes([bit_depth - 1, 1, 1]) * n_components
+    )
+    return (
+        b"\xff\x4f"                               # SOC
+        + b"\xff\x51" + struct.pack(">H", len(body) + 2) + body  # SIZ
+        + b"\xff\xd9"                             # EOC
+    )
+
+
+def _jp2_box(typ: bytes, payload: bytes, xl: bool = False) -> bytes:
+    if xl:  # XLBox: LBox=1 + 8-byte extended length (incl. 16-byte hdr)
+        return (b"\x00\x00\x00\x01" + typ
+                + struct.pack(">Q", len(payload) + 16) + payload)
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def make_jp2(width: int, height: int, n_components: int = 1,
+             bit_depth: int = 8, kind: str = "jp2") -> bytes:
+    """JPEG 2000 fixtures for the three layouts the sniffer covers:
+    'j2k' raw codestream (SOC+SIZ), 'jp2' full container (signature +
+    ftyp + jp2h/ihdr + jp2c codestream), 'jp2xl' container whose jp2c
+    uses the XLBox extended-length form. Header-only by design —
+    /JPXDecode is a passthrough filter in the reference too."""
+    cs = _j2k_codestream(width, height, n_components, bit_depth)
+    if kind == "j2k":
+        return cs
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = _jp2_box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    bpc = 255 if n_components > 1 and bit_depth == 0 else bit_depth - 1
+    ihdr = _jp2_box(
+        b"ihdr",
+        struct.pack(">IIH", height, width, n_components)
+        + bytes([bpc, 7, 0, 0]),
+    )
+    jp2h = _jp2_box(b"jp2h", ihdr)
+    jp2c = _jp2_box(b"jp2c", cs, xl=(kind == "jp2xl"))
+    return sig + ftyp + jp2h + jp2c
+
+
 def make_png_gray(pixels) -> bytes:
     """8-bit grayscale PNG from an (h, w) uint8 array (filter-0 rows,
     one IDAT) — planted values decode losslessly, unlike make_png's

@@ -1104,6 +1104,48 @@ def test_webp_dims():
     assert webp_dims(bytes(bad)) is None
 
 
+def test_jp2_dims():
+    """JPEG 2000 header parse (round 8 — the /JPXDecode gap): raw j2k
+    codestream (SIZ grid minus offsets), jp2 container (box walk to
+    ihdr / jp2c SIZ), XLBox extended-length jp2c; components + stored
+    bit depth flow; truncation/corruption quarantine; fuzz never
+    raises."""
+    from sparkpdf.kernels.media import image_dims, jp2_dims
+    from sparkpdf.testing.imagegen import make_jp2
+
+    for kind in ("j2k", "jp2", "jp2xl"):
+        b = make_jp2(47, 23, n_components=3, bit_depth=12, kind=kind)
+        d = jp2_dims(b)
+        assert (d["width"], d["height"]) == (47, 23), kind
+        assert d["n_components"] == 3 and d["bits"] == 12
+        assert d["variant"] == ("j2k" if kind == "j2k" else "jp2")
+        assert image_dims(b)["format"] == "jp2"
+        for n in range(0, len(b), 3):
+            jp2_dims(b[:n])  # truncation never raises
+    # 16-bit depth and single component survive
+    d = jp2_dims(make_jp2(1, 1, n_components=1, bit_depth=16))
+    assert (d["n_components"], d["bits"]) == (1, 16)
+    # SIZ with a nonzero image offset: dims are grid minus offset
+    raw = bytearray(make_jp2(40, 20, kind="j2k"))
+    raw[2 + 14:2 + 18] = (8).to_bytes(4, "big")   # XOsiz = 8
+    raw[2 + 18:2 + 22] = (4).to_bytes(4, "big")   # YOsiz = 4
+    d = jp2_dims(bytes(raw))
+    assert (d["width"], d["height"]) == (32, 16)
+    # corruption: wrong signature / zero components / truncated SIZ
+    assert jp2_dims(b"\x00\x00\x00\x0cjQ  \r\n\x87\n" * 3) is None
+    bad = bytearray(make_jp2(8, 8, kind="j2k"))
+    bad[2 + 38:2 + 40] = (0).to_bytes(2, "big")   # Csiz = 0
+    assert jp2_dims(bytes(bad)) is None
+    import random
+    rng = random.Random(82)
+    base = make_jp2(9, 7, kind="jp2")
+    for _ in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        jp2_dims(bytes(mut))  # never raises
+
+
 def test_warc_roundtrip():
     """Round-7 WARC kernel: build_warc -> parse_warc round-trips all
     record types in both file forms (plain + CommonCrawl
