@@ -530,6 +530,54 @@ def q_pq_recall(spark, sf_dir):
     )
 
 
+def q_ivfpq_residual_topk(spark, sf_dir):
+    # round 8: residual IVFPQ (IVFADC) over the CLUSTERED synthetic
+    # corpus — PQ codebooks spend their bits on within-list structure;
+    # L2 ADC from the query residual (the IP-LUT bias is measured and
+    # documented in the operator docstring)
+    from sparkpdf.operators.similarity import (
+        ivfpq_residual_topk,
+        synthesize_clustered_embeddings,
+    )
+
+    return ivfpq_residual_topk(
+        synthesize_clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    )
+
+
+def q_ivfpq_recall_clustered(spark, sf_dir):
+    # round 8: recall@3 of residual IVFPQ vs the exact cosine baseline
+    # on the clustered corpus — the HONEST quality signal (pq_recall
+    # on iid vectors stays as the documented adversarial worst case);
+    # 1.0 per query by the corpus's duplicate-group construction
+    from sparkpdf.operators.similarity import (
+        brute_force_topk,
+        ivfpq_residual_topk,
+        synthesize_clustered_embeddings,
+    )
+
+    cl = synthesize_clustered_embeddings(_t(spark, sf_dir, "embeddings"))
+    exact = brute_force_topk(cl, n_queries=4, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivfpq_residual_topk(cl).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("int").alias("n_hits"),
+            F.round(F.coalesce("h", F.lit(0)) / 3.0, 6).alias("recall"),
+        )
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     # the Gopher filter rules (Rae et al. 2021) as one codegen pass:
     # every signal and the conjunctive pass flag restated in SQL
@@ -1851,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_silence_spans": q_audio_silence_spans,
         # --- round-8 new operators ---
         "jp2_dims": q_jp2_dims,
+        "ivfpq_residual_topk": q_ivfpq_residual_topk,
+        "ivfpq_recall_clustered": q_ivfpq_recall_clustered,
         # --- longest-since-driver-graded fill (last graded r6) ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1876,8 +1926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "form_fields": q_form_fields,
         "named_dests": q_named_dests,
         "outlines": q_outlines,
-        "overlay_pages": q_overlay_pages,
-        "link_annotations": q_link_annotations,
         # --- demoted tail: the r7-graded window (freshest driver
         # certification, CORRECTNESS_r07 50/50 green) + remaining
         # r6-certified queries; all still check_oracle-verified at
@@ -1955,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_navigation": q_write_navigation,
         "html_main": q_html_main,
         "extract_stats": q_extract_stats,
+        "overlay_pages": q_overlay_pages,
+        "link_annotations": q_link_annotations,
     }
 
 
@@ -3245,105 +3295,122 @@ def oracle_sql() -> dict[str, str]:
                AS u
         FROM embeddings
     """
-    km_ctes = [f"unit AS ({_UNIT})",
-               "c0 AS (SELECT vec_id AS centroid_id, u AS cu FROM unit"
-               " WHERE vec_id < 8)"]
-    prev = "c0"
-    for it in range(2):
-        km_ctes.append(f"""
-        a{it} AS (
-            SELECT vec_id, u, centroid_id FROM (
-                SELECT unit.vec_id, unit.u, {prev}.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY unit.vec_id
-                           ORDER BY ROUND(list_dot_product(unit.u,
-                                          {prev}.cu), 6) DESC,
-                                    {prev}.centroid_id ASC) AS rk
-                FROM unit CROSS JOIN {prev}
-            ) WHERE rk = 1
-        )""")
-        km_ctes.append(f"""
-        m{it} AS (
-            SELECT centroid_id, dim, ROUND(AVG(u[dim]), 6) AS m
-            FROM a{it}, range(1, 65) AS r(dim)
-            GROUP BY centroid_id, dim
-        )""")
-        km_ctes.append(f"""
-        craw{it} AS (
-            SELECT centroid_id, list(m ORDER BY dim) AS cvec
-            FROM m{it} GROUP BY centroid_id
-        )""")
-        km_ctes.append(f"""
-        c{it + 1} AS (
-            SELECT centroid_id,
-                   list_transform(cvec,
-                       x -> ROUND(x / sqrt(list_sum(
-                           list_transform(cvec, y -> y * y))), 6)) AS cu
-            FROM craw{it}
-        )""")
-        prev = f"c{it + 1}"
-    km_ctes.append(f"""
-        af AS (
-            SELECT vec_id, u, centroid_id FROM (
-                SELECT unit.vec_id, unit.u, {prev}.centroid_id,
-                       ROW_NUMBER() OVER (PARTITION BY unit.vec_id
-                           ORDER BY ROUND(list_dot_product(unit.u,
-                                          {prev}.cu), 6) DESC,
-                                    {prev}.centroid_id ASC) AS rk
-                FROM unit CROSS JOIN {prev}
-            ) WHERE rk = 1
-        )""")
-    pq_ctes = [
-        f"unit AS ({_UNIT})",
-        """subs AS (
+    def _km_family(unit_sql: str) -> "tuple[list, str]":
+        """The 2-iteration Lloyd CTE family over an arbitrary unit
+        CTE body (round 8 factors it out so the clustered-corpus
+        residual IVFPQ can rebuild it verbatim). Returns (ctes,
+        final-centroid CTE name); 'af' is the final assignment."""
+        ctes = [f"unit AS ({unit_sql})",
+                "c0 AS (SELECT vec_id AS centroid_id, u AS cu FROM unit"
+                " WHERE vec_id < 8)"]
+        prev = "c0"
+        for it in range(2):
+            ctes.append(f"""
+            a{it} AS (
+                SELECT vec_id, u, centroid_id FROM (
+                    SELECT unit.vec_id, unit.u, {prev}.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY unit.vec_id
+                               ORDER BY ROUND(list_dot_product(unit.u,
+                                              {prev}.cu), 6) DESC,
+                                        {prev}.centroid_id ASC) AS rk
+                    FROM unit CROSS JOIN {prev}
+                ) WHERE rk = 1
+            )""")
+            ctes.append(f"""
+            m{it} AS (
+                SELECT centroid_id, dim, ROUND(AVG(u[dim]), 6) AS m
+                FROM a{it}, range(1, 65) AS r(dim)
+                GROUP BY centroid_id, dim
+            )""")
+            ctes.append(f"""
+            craw{it} AS (
+                SELECT centroid_id, list(m ORDER BY dim) AS cvec
+                FROM m{it} GROUP BY centroid_id
+            )""")
+            ctes.append(f"""
+            c{it + 1} AS (
+                SELECT centroid_id,
+                       list_transform(cvec,
+                           x -> ROUND(x / sqrt(list_sum(
+                               list_transform(cvec, y -> y * y))), 6)) AS cu
+                FROM craw{it}
+            )""")
+            prev = f"c{it + 1}"
+        ctes.append(f"""
+            af AS (
+                SELECT vec_id, u, centroid_id FROM (
+                    SELECT unit.vec_id, unit.u, {prev}.centroid_id,
+                           ROW_NUMBER() OVER (PARTITION BY unit.vec_id
+                               ORDER BY ROUND(list_dot_product(unit.u,
+                                              {prev}.cu), 6) DESC,
+                                        {prev}.centroid_id ASC) AS rk
+                    FROM unit CROSS JOIN {prev}
+                ) WHERE rk = 1
+            )""")
+        return ctes, prev
+
+    def _pq_family(subs_sql: str) -> "tuple[list, str]":
+        """The 2-iteration PQ codebook CTE family over an arbitrary
+        (vec_id, sub_id, sub) CTE body (unit slices for flat PQ,
+        residual slices for IVFADC). Returns (ctes, final codebook
+        CTE name); 'codes' is the encoded corpus."""
+        ctes = [
+            f"subs AS ({subs_sql})",
+            """pc0 AS (
+                SELECT sub_id, vec_id AS centroid_id, sub AS cvec
+                FROM subs WHERE vec_id < 8
+            )""",
+        ]
+        prev = "pc0"
+        for it in range(2):
+            ctes.append(f"""
+            pa{it} AS (
+                SELECT vec_id, sub_id, sub, centroid_id FROM (
+                    SELECT subs.vec_id, subs.sub_id, subs.sub,
+                           {prev}.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY subs.vec_id, subs.sub_id
+                               ORDER BY ROUND(list_dot_product(subs.sub,
+                                              {prev}.cvec), 6) DESC,
+                                        {prev}.centroid_id ASC) AS rk
+                    FROM subs JOIN {prev} USING (sub_id)
+                ) WHERE rk = 1
+            )""")
+            ctes.append(f"""
+            pm{it} AS (
+                SELECT sub_id, centroid_id, dim,
+                       ROUND(AVG(sub[dim]), 6) AS m
+                FROM pa{it}, range(1, 17) AS r(dim)
+                GROUP BY sub_id, centroid_id, dim
+            )""")
+            ctes.append(f"""
+            pc{it + 1} AS (
+                SELECT sub_id, centroid_id, list(m ORDER BY dim) AS cvec
+                FROM pm{it} GROUP BY sub_id, centroid_id
+            )""")
+            prev = f"pc{it + 1}"
+        ctes.append(f"""
+            codes AS (
+                SELECT vec_id, sub_id, centroid_id FROM (
+                    SELECT subs.vec_id, subs.sub_id, {prev}.centroid_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY subs.vec_id, subs.sub_id
+                               ORDER BY ROUND(list_dot_product(subs.sub,
+                                              {prev}.cvec), 6) DESC,
+                                        {prev}.centroid_id ASC) AS rk
+                    FROM subs JOIN {prev} USING (sub_id)
+                ) WHERE rk = 1
+            )""")
+        return ctes, prev
+
+    km_ctes, prev = _km_family(_UNIT)
+    _UNIT_SUBS = """
             SELECT vec_id, r.s AS sub_id,
                    list_slice(u, r.s * 16 + 1, r.s * 16 + 16) AS sub
             FROM unit CROSS JOIN range(0, 4) r(s)
-        )""",
-        """pc0 AS (
-            SELECT sub_id, vec_id AS centroid_id, sub AS cvec
-            FROM subs WHERE vec_id < 8
-        )""",
-    ]
-    pq_prev = "pc0"
-    for it in range(2):
-        pq_ctes.append(f"""
-        pa{it} AS (
-            SELECT vec_id, sub_id, sub, centroid_id FROM (
-                SELECT subs.vec_id, subs.sub_id, subs.sub,
-                       {pq_prev}.centroid_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY subs.vec_id, subs.sub_id
-                           ORDER BY ROUND(list_dot_product(subs.sub,
-                                          {pq_prev}.cvec), 6) DESC,
-                                    {pq_prev}.centroid_id ASC) AS rk
-                FROM subs JOIN {pq_prev} USING (sub_id)
-            ) WHERE rk = 1
-        )""")
-        pq_ctes.append(f"""
-        pm{it} AS (
-            SELECT sub_id, centroid_id, dim,
-                   ROUND(AVG(sub[dim]), 6) AS m
-            FROM pa{it}, range(1, 17) AS r(dim)
-            GROUP BY sub_id, centroid_id, dim
-        )""")
-        pq_ctes.append(f"""
-        pc{it + 1} AS (
-            SELECT sub_id, centroid_id, list(m ORDER BY dim) AS cvec
-            FROM pm{it} GROUP BY sub_id, centroid_id
-        )""")
-        pq_prev = f"pc{it + 1}"
-    pq_ctes.append(f"""
-        codes AS (
-            SELECT vec_id, sub_id, centroid_id FROM (
-                SELECT subs.vec_id, subs.sub_id, {pq_prev}.centroid_id,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY subs.vec_id, subs.sub_id
-                           ORDER BY ROUND(list_dot_product(subs.sub,
-                                          {pq_prev}.cvec), 6) DESC,
-                                    {pq_prev}.centroid_id ASC) AS rk
-                FROM subs JOIN {pq_prev} USING (sub_id)
-            ) WHERE rk = 1
-        )""")
+        """
+    _pqf, pq_prev = _pq_family(_UNIT_SUBS)
+    pq_ctes = [f"unit AS ({_UNIT})"] + _pqf
     sql["pq_topk"] = f"""
         WITH {','.join(pq_ctes)},
         q AS (
@@ -3449,6 +3516,124 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
                score
         FROM ranked WHERE rank <= 3
+    """
+    # round 8: residual IVFPQ (IVFADC) over the CLUSTERED synthetic
+    # corpus — the km + pq families rebuilt over the clustered unit
+    # CTE; PQ trains on residual slices; the ADC LUT is the L2 form
+    # ||r_q_sub - cw||^2 (an inner-product LUT on the full query
+    # multiplies pooled-codeword cluster offsets by the centroid
+    # direction and destroys the ranking — measured, see
+    # operators/similarity.ivfpq_residual_topk)
+    _CUNIT = """
+        SELECT vec_id,
+               list_transform(e, x -> x / sqrt(list_sum(
+                   list_transform(e, y -> y * y)))) AS u
+        FROM (
+            SELECT vec_id,
+                   list_transform(range(0, 64), j -> CAST(
+                       10 * (((vec_id % 8) * 37 + j * 11) % 19 - 9)
+                       + 2 * ((((CASE
+                                  WHEN j < 16 OR (j >= 32 AND j < 48)
+                                  THEN (vec_id // 32) % 8
+                                  ELSE ((vec_id // 256) % 8
+                                        + 2 * ((vec_id // 32) % 4)) % 8
+                                  END + vec_id % 8) % 8) * 23
+                               + j * 5) % 9) - 8
+                       + (vec_id * 13 + j * 7) % 3 - 1
+                   AS DOUBLE)) AS e
+            FROM embeddings
+        )
+    """
+    rkm_ctes, rk_prev = _km_family(_CUNIT)
+    _RESID_CTE = f"""
+        resid AS (
+            SELECT af.vec_id, af.centroid_id,
+                   list_transform(range(1, 65),
+                       i -> ROUND(af.u[i] - c.cu[i], 6)) AS rv
+            FROM af JOIN {rk_prev} c USING (centroid_id)
+        )"""
+    _RESID_SUBS = """
+            SELECT vec_id, r.s AS sub_id,
+                   list_slice(rv, r.s * 16 + 1, r.s * 16 + 16) AS sub
+            FROM resid CROSS JOIN range(0, 4) r(s)
+        """
+    rpq_ctes, rpq_prev = _pq_family(_RESID_SUBS)
+    sql["ivfpq_residual_topk"] = f"""
+        WITH {','.join(rkm_ctes)}, {_RESID_CTE}, {','.join(rpq_ctes)},
+        q AS (
+            SELECT vec_id AS query_id, centroid_id AS qlist, rv AS qres
+            FROM resid WHERE vec_id < 4
+        ),
+        cand AS (
+            SELECT q.query_id, af.vec_id
+            FROM q JOIN af ON q.qlist = af.centroid_id
+            WHERE af.vec_id != q.query_id
+        ),
+        qsubs AS (
+            SELECT query_id, r.s AS sub_id,
+                   list_slice(qres, r.s * 16 + 1, r.s * 16 + 16) AS qsub
+            FROM q CROSS JOIN range(0, 4) r(s)
+        ),
+        tab AS (
+            SELECT query_id, sub_id, centroid_id,
+                   ROUND(list_sum(list_transform(range(1, 17),
+                       i -> (qsub[i] - cvec[i]) * (qsub[i] - cvec[i]))),
+                       6) AS part
+            FROM qsubs JOIN {rpq_prev} USING (sub_id)
+        ),
+        parts AS (
+            SELECT cand.query_id, cand.vec_id, codes.sub_id, tab.part
+            FROM cand
+            JOIN codes USING (vec_id)
+            JOIN tab ON tab.query_id = cand.query_id
+                    AND tab.sub_id = codes.sub_id
+                    AND tab.centroid_id = codes.centroid_id
+        ),
+        scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   ROUND(MAX(part) FILTER (WHERE sub_id = 0)
+                         + MAX(part) FILTER (WHERE sub_id = 1)
+                         + MAX(part) FILTER (WHERE sub_id = 2)
+                         + MAX(part) FILTER (WHERE sub_id = 3), 6)
+                       AS score
+            FROM parts GROUP BY query_id, vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+               score
+        FROM ranked WHERE rank <= 3
+    """
+    _exact_clustered = f"""
+        WITH unit AS ({_CUNIT}), scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_dot_product(q.u, c.u) AS sim
+            FROM unit q JOIN unit c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 4
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3
+    """
+    sql["ivfpq_recall_clustered"] = f"""
+        WITH exact AS ({_exact_clustered}
+        ), approx AS (
+            SELECT query_id, neighbor_id
+            FROM ({sql["ivfpq_residual_topk"]})
+        )
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS INTEGER) AS n_hits,
+               ROUND(COUNT(a.neighbor_id) / 3.0, 6) AS recall
+        FROM exact e LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
     """
     sql["overlay_rename"] = """
         SELECT doc_id, 'img00,img00~1' AS media_refs FROM documents

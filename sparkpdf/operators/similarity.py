@@ -312,6 +312,17 @@ def kmeans_ivf_assignments(
     n_lists*dim, trivially small — plus the broadcast assignment pass.
     The classic distributed k-means plan."""
     unit = with_unit_vectors(embeddings)
+    cents = _kmeans_centroids(unit, n_lists, n_iters)
+    return _assign_to_centroids(unit, cents)
+
+
+def _kmeans_centroids(
+    unit: DataFrame, n_lists: int, n_iters: int
+) -> DataFrame:
+    """The Lloyd loop of kmeans_ivf_assignments, returning the FINAL
+    centroid table (centroid_id, cunit) — exposed so the residual
+    IVFPQ path can subtract the coarse centroid each vector was
+    assigned against (the assignment uses exactly these centroids)."""
     cents = unit.filter(F.col("vec_id") < n_lists).select(
         F.col("vec_id").alias("centroid_id"), F.col("unit").alias("cunit")
     )
@@ -341,7 +352,7 @@ def kmeans_ivf_assignments(
                 lambda v: F.round(v, 6),
             ).alias("cunit"),
         )
-    return _assign_to_centroids(unit, cents)
+    return cents
 
 
 def ivf_kmeans_topk(
@@ -457,37 +468,55 @@ def pq_codes(
     groupBy of cardinality m*k*subdim. The corpus never self-joins."""
     sub_len = dim // m_sub
     unit = with_unit_vectors(embeddings)
-    subs = unit.select(
+    subs = _pq_subvectors(unit, "unit", m_sub, sub_len)
+    return _pq_train(subs, n_centroids, n_iters)
+
+
+def _pq_subvectors(vecs: DataFrame, col: str, m_sub: int,
+                   sub_len: int) -> DataFrame:
+    """(vec_id, <col>) -> (vec_id, sub_id, sub): each vector split
+    into m_sub contiguous subspaces."""
+    return vecs.select(
         "vec_id",
         F.posexplode(
             F.array(*[
-                F.slice("unit", s * sub_len + 1, sub_len)
+                F.slice(col, s * sub_len + 1, sub_len)
                 for s in range(m_sub)
             ])
         ).alias("sub_id", "sub"),
     )
+
+
+def _pq_assign(subs: DataFrame, cbooks: DataFrame) -> DataFrame:
+    """Nearest codeword per (vec, sub) by rounded dot, rank-1 ties to
+    the lowest centroid_id — the shared PQ assignment step."""
+    scored = subs.join(F.broadcast(cbooks), "sub_id").select(
+        "vec_id", "sub_id", "sub", "centroid_id",
+        F.round(_dot(F.col("sub"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub_id", "sub", "centroid_id")
+    )
+
+
+def _pq_train(subs: DataFrame, n_centroids: int,
+              n_iters: int) -> "tuple[DataFrame, DataFrame]":
+    """Lloyd-train per-subspace codebooks over an arbitrary
+    (vec_id, sub_id, sub) frame (unit subvectors for flat PQ,
+    residual subvectors for IVFADC) and encode it. Seeds = the first
+    n_centroids vectors' subvectors; every float rounded 6dp."""
     cents = subs.filter(F.col("vec_id") < n_centroids).select(
         "sub_id",
         F.col("vec_id").alias("centroid_id"),
         F.col("sub").alias("cvec"),
     )
-
-    def assign(frame, cbooks):
-        scored = frame.join(F.broadcast(cbooks), "sub_id").select(
-            "vec_id", "sub_id", "sub", "centroid_id",
-            F.round(_dot(F.col("sub"), F.col("cvec")), 6).alias("sim"),
-        )
-        w = Window.partitionBy("vec_id", "sub_id").orderBy(
-            F.col("sim").desc(), F.col("centroid_id").asc()
-        )
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "sub_id", "sub", "centroid_id")
-        )
-
     for _ in range(n_iters):
-        assigned = assign(subs, cents)
+        assigned = _pq_assign(subs, cents)
         means = (
             assigned.select(
                 "sub_id", "centroid_id",
@@ -505,7 +534,8 @@ def pq_codes(
                 F.transform("a", lambda s: s["m"]).alias("cvec"),
             )
         )
-    codes = assign(subs, cents).select("vec_id", "sub_id", "centroid_id")
+    codes = _pq_assign(subs, cents).select(
+        "vec_id", "sub_id", "centroid_id")
     return cents, codes
 
 
@@ -563,6 +593,178 @@ def pq_topk(
         score = score + F.col(f"p{s}")
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(score, 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "score")
+    )
+
+
+def synthesize_clustered_embeddings(
+    embeddings: DataFrame, dim: int = 64
+) -> DataFrame:
+    """Deterministic CLUSTERED embedding corpus (round 8) — the
+    realistic-data counterpart of the iid-random embeddings table,
+    where ANN recall is meaningful (iid vectors are PQ's adversarial
+    worst case, pq_recall ~= 0.25 by design). Integer-valued so both
+    engines compute bit-identical doubles:
+
+      emb[j] = 10*center(c,j) + 2*pat(t,j) + micro(v,j)
+        c      = v % 8                      (cluster; vec 0..7 seed
+                                             one k-means centroid per
+                                             cluster)
+        k      = v // 32                    (duplicate-group block)
+        digit  = k%8 for subspaces 0,2;
+                 (k//8 + 2*(k%4)) % 8 for subspaces 1,3
+                 ((digit0, digit1) identifies k for k < 64, i.e. all
+                 test scales, so duplicate groups never merge; BOTH
+                 digits take every value 0..7 uniformly over k, so
+                 every subspace carries pattern signal in every
+                 cluster — a dead or cluster-skewed subspace would
+                 train its codebook on jitter/cluster offsets and
+                 corrupt the ADC sum)
+        t      = (digit + c) % 8            (+c so vecs 0..7 also seed
+                                             all 8 PQ patterns per
+                                             subspace)
+        center = ((c*37 + j*11) % 19) - 9
+        pat    = ((t*23 + j*5) % 9) - 4
+        micro  = ((v*13 + j*7) % 3) - 1
+
+    Structure: 8 well-separated centers >> 8 residual patterns per
+    subspace >> +-1 jitter; vectors sharing (c, k) — exactly 4 ids
+    v = 32k + 8i + c — are near-duplicates, so each query's exact
+    top-3 IS its duplicate group, and a residual codebook with 8
+    centroids can represent the patterns. Oracle-replayable: the SQL
+    states the same closed form."""
+    v = F.col("vec_id").cast("long")
+
+    def component(j):
+        digit = (
+            F.when((j < 16) | ((j >= 32) & (j < 48)),
+                   F.shiftright(v, 5) % 8)
+            .otherwise(
+                (F.shiftright(v, 8) % 8
+                 + 2 * (F.shiftright(v, 5) % 4)) % 8)
+        )
+        t = (digit + v % 8) % 8
+        center = ((v % 8) * 37 + j * 11) % 19 - 9
+        pat = (t * 23 + j * 5) % 9 - 4
+        micro = (v * 13 + j * 7) % 3 - 1
+        return (center * 10 + pat * 2 + micro).cast("double")
+
+    return embeddings.select(
+        v.alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<long>"),
+            component,
+        ).alias("embedding"),
+    )
+
+
+def ivfpq_residual_topk(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 2,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    n_queries: int = 4,
+    k: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Residual IVFPQ — the standard public IVFADC layout (Jegou,
+    Douze, Schmid 2011): PQ codebooks are trained on and encode the
+    RESIDUAL unit - coarse_centroid instead of the raw vector, so the
+    quantizer's 8 codewords per subspace spend their bits on the
+    within-list structure the coarse quantizer didn't explain.
+
+    Metric: L2 ADC. The corpus is unit-normalized, so cosine ranking
+    == ascending ||q - v||^2, and within the probed list q - c_L is
+    EXACTLY the query's own residual, giving the textbook
+    decomposition  ||q - v||^2 = ||r_q - r_v||^2  — approximated per
+    subspace as ||r_q_sub - cw(code)||^2 from a broadcast LUT built
+    on the QUERY RESIDUAL. This is deliberately not an inner-product
+    LUT on the full query: pooled residual codewords carry
+    cross-cluster offset components, and a q . cw table multiplies
+    them by the (large) centroid direction — measured on the
+    clustered corpus that bias is ~7x the pattern signal and
+    destroys the ranking, while the L2 form only touches them
+    through r_q . cw and the exact ||cw||^2 correction.
+
+    Scale shape is ivfpq_topk's: routing reads list ids, scoring
+    reads m_sub ints per candidate plus the broadcast q x m x k LUT;
+    full-precision vectors never join the corpus side. Determinism:
+    6dp Lloyd rounding, 6dp residuals, fixed-order LUT sums. Returns
+    rank by (adc_dist2 asc, neighbor_id asc); score = adc_dist2."""
+    sub_len = dim // m_sub
+    unit = with_unit_vectors(embeddings)
+    cents = _kmeans_centroids(unit, n_lists, n_iters)
+    assigned = _assign_to_centroids(unit, cents)
+    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            "unit", "cunit", lambda x, c: F.round(x - c, 6)
+        ).alias("rvec"),
+    )
+    pq_cents, codes = _pq_train(
+        _pq_subvectors(resid, "rvec", m_sub, sub_len),
+        n_centroids, n_iters,
+    )
+    # query residual w.r.t. its own probed list — q - c_L exactly
+    queries = resid.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("qlist"),
+        F.col("rvec").alias("qres"),
+    )
+    cand = (
+        F.broadcast(queries.select("query_id", "qlist"))
+        .join(assigned.select("vec_id", "centroid_id"),
+              F.col("qlist") == F.col("centroid_id"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    qsubs = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[
+                F.slice("qres", s * sub_len + 1, sub_len)
+                for s in range(m_sub)
+            ])
+        ).alias("sub_id", "qsub"),
+    )
+    # LUT entry: ||r_q_sub - cw||^2, rounded 6dp
+    tab = qsubs.join(F.broadcast(pq_cents), "sub_id").select(
+        "query_id", "sub_id", "centroid_id",
+        F.round(
+            F.aggregate(
+                F.zip_with("qsub", "cvec", lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+            6,
+        ).alias("part"),
+    )
+    parts = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(tab), ["query_id", "sub_id", "centroid_id"])
+    )
+    per_sub = [
+        F.first(F.when(F.col("sub_id") == s, F.col("part")),
+                ignorenulls=True).alias(f"p{s}")
+        for s in range(m_sub)
+    ]
+    scored = parts.groupBy("query_id", "vec_id").agg(*per_sub)
+    score = F.col("p0")
+    for s in range(1, m_sub):
+        score = score + F.col(f"p{s}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id").asc()
     )
     return (
         scored.select(
