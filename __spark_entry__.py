@@ -675,7 +675,11 @@ def q_dup_clusters(spark, sf_dir):
 
 def q_dup_clusters_verified(spark, sf_dir):
     # production shape: exact jaccard verify between LSH and the
-    # component graph (unverified candidates chain transitively)
+    # component graph (unverified candidates chain transitively).
+    # Round 8: the verify ships bounded K-token signatures with
+    # conclusive prefix brackets + exact fallback (dedup.py
+    # _bounded_jaccard_verify) — the oracle is UNCHANGED, which is
+    # the proof the bounded decision equals the full-array verify
     from sparkpdf.operators.dedup import dup_clusters
 
     return dup_clusters(

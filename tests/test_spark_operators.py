@@ -929,6 +929,51 @@ def test_dup_clusters_jaccard_gate(spark, docs):
     assert n_clusters > 1  # the gate prevented one mega-cluster
 
 
+def test_bounded_verify_matches_full_arrays(spark, docs):
+    """Round 8 (r7 verdict item 4): the bounded-signature jaccard
+    verify (K-token prefixes + identity checksum + exact fallback)
+    must produce EXACTLY the clusters of the full-array verify — on
+    the sf corpus AND on a whale-augmented corpus where the bounded
+    path's point (whale token sets never ship per pair) matters:
+    exact-dup whales (> K tokens, identity fast path), a near-dup
+    whale pair that differs past the prefix (fallback), and the
+    corpus's own FP-chaining candidates (bracket fail-fast)."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.dedup import dup_clusters
+
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    whale = " ".join(f"wtok{j}" for j in range(3000))
+    near = " ".join(f"wtok{j}" for j in range(2995)) + " zz1 zz2 zz3"
+    extra = spark.createDataFrame(
+        [
+            Row(doc_id=999_001, text=whale),      # exact-dup pair ...
+            Row(doc_id=999_002, text=whale),      # ... > K tokens
+            Row(doc_id=999_003, text=near),       # near-dup: J ~ 0.998,
+                                                  # prefixes identical ->
+                                                  # bracket inconclusive,
+                                                  # checksum differs ->
+                                                  # exact fallback
+        ],
+        "doc_id long, text string",
+    )
+    corpus = base.unionByName(extra)
+    for k_sig in (8, 64):
+        bounded = {
+            r.doc_id: r.cluster_id
+            for r in dup_clusters(
+                corpus, jaccard_threshold=0.9, verify_sig_tokens=k_sig
+            ).collect()
+        }
+        full = {
+            r.doc_id: r.cluster_id
+            for r in dup_clusters(
+                corpus, jaccard_threshold=0.9, verify_sig_tokens=None
+            ).collect()
+        }
+        assert bounded == full, k_sig
+    assert full[999_002] == full[999_001] == full[999_003] == 999_001
+
+
 def test_ngram_jaccard_lsh_blocking_bounds_fanout(spark):
     """A metadata-skewed corpus (every doc same lang/source) must NOT go
     quadratic: LSH-bucket blocking (the default) emits only bucket-
