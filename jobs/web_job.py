@@ -47,6 +47,21 @@ def main(argv=None, spark=None):
         "status-200 text/html pages, extract as usual; demux "
         "quarantine rows are counted in the summary",
     )
+    ap.add_argument(
+        "--auto-target", action="store_true",
+        help="with --warc: byte-aware salting of the ARCHIVE frame "
+        "before demux (a .warc.gz member can be GBs — archives are "
+        "this lane's whales); target = p99 whale bytes x the whale "
+        "cost factor, the extract_job rule",
+    )
+    ap.add_argument(
+        "--measure-factor", action="store_true",
+        help="with --auto-target: MEASURE the whale cost factor with "
+        "THIS lane's kernel (gunzip + demux + DOM extraction, not PDF "
+        "parse) via the contended probe — the factor is a property of "
+        "corpus x workload x the saturated machine",
+    )
+    ap.add_argument("--big-doc-bytes", type=int, default=64 << 20)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,9 +76,51 @@ def main(argv=None, spark=None):
 
     n_warc_quarantined = None
     if args.warc:
-        from sparkpdf.sources.warc_source import read_warc_dir
+        from sparkpdf.sources.warc_source import read_warc_dir, warc_pages
 
-        demuxed = read_warc_dir(spark, args.input)
+        if args.auto_target:
+            from sparkpdf.operators.text import extract_web_docs
+            from sparkpdf.plans.salting import (
+                WHALE_COST_FACTOR,
+                plan_salted_partitions,
+                skew_report,
+            )
+
+            archives = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc*")
+                .load(args.input)
+                .select(
+                    F.col("path").alias("doc_id"),
+                    F.col("content").alias("warc_bytes"),
+                )
+            )
+
+            def warc_workload(frame):
+                # the probe must run THIS lane's kernel: gunzip +
+                # WARC demux + one-pass DOM extraction per page
+                pages = warc_pages(frame).filter(
+                    "error IS NULL AND http_status = 200 "
+                    "AND html IS NOT NULL"
+                ).select("doc_id", "html")
+                return extract_web_docs(pages)
+
+            report = skew_report(
+                archives, args.batches, payload_col="warc_bytes")
+            salted = plan_salted_partitions(
+                archives,
+                target_bytes=None,
+                big_doc_bytes=args.big_doc_bytes,
+                payload_col="warc_bytes",
+                workload=warc_workload,
+                whale_cost_factor=(
+                    None if args.measure_factor else WHALE_COST_FACTOR
+                ),
+            )
+            print(json.dumps({"skew_before": report}))
+            demuxed = warc_pages(salted)
+        else:
+            demuxed = read_warc_dir(spark, args.input)
         n_warc_quarantined = demuxed.filter(
             "error IS NOT NULL").count()
         pages = demuxed.filter(

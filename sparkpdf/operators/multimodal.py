@@ -2024,6 +2024,18 @@ def _sample_decode_policy(tagged: DataFrame, probe,
         if samples:
             try:
                 probe(samples[0], fmt)
+            except NotImplementedError as exc:
+                # no sample codec for this format: emit the explicit
+                # quarantine row with its rationale — a swallowed
+                # probe would measure a bogus (instant) throughput
+                # and mislabel the format decode-able
+                report["formats"][fmt] = {
+                    "n": n, "mb": round(mb, 3), "mb_per_sec": None,
+                    "est_core_sec": None,
+                    "decision": "quarantined_no_codec",
+                    "rationale": str(exc),
+                }
+                continue
             except Exception:
                 pass
         t0 = time.perf_counter()
@@ -2059,22 +2071,62 @@ def sniff_av_format(payload_col) -> "F.Column":
     head4 = F.substring(payload_col, 1, 4).cast("string")
     form = F.substring(payload_col, 9, 4).cast("string")
     brand = F.substring(payload_col, 5, 4).cast("string")
+    # Ogg codec id: first page header is 27 bytes + a 1-byte segment
+    # table on the single-segment ident page, so the codec magic sits
+    # at offset 28 (1-based 29)
+    ogg_codec = F.substring(payload_col, 29, 8).cast("string")
     return (
         F.when((head4 == "RIFF") & (form == "WAVE"), "wav")
         .when((head4 == "RIFF") & (form == "AVI "), "avi")
         .when(head4 == "fLaC", "flac")
+        .when((head4 == "OggS")
+              & (F.substring(ogg_codec, 1, 5) == "\x7fFLAC"), "ogg-flac")
+        .when((head4 == "OggS")
+              & (F.substring(ogg_codec, 1, 7) == "\x01vorbis"),
+              "ogg-vorbis")
+        .when((head4 == "OggS") & (ogg_codec == "OpusHead"), "ogg-opus")
         .when(head4 == "OggS", "ogg")
         .when((head4 == "FORM") & (form == "AIFF"), "aiff")
         .when(head4 == ".snd", "au")
         .when(brand == "ftyp", "mp4")
         .when(F.hex(F.substring(payload_col, 1, 4)) == "1A45DFA3", "mkv")
+        # MP3: ID3v2 container tag, or a bare MPEG frame sync
+        # (11 set bits: FFEx/FFFx)
+        .when(F.substring(payload_col, 1, 3).cast("string") == "ID3", "mp3")
+        .when(F.substring(F.hex(F.substring(payload_col, 1, 2)), 1, 3)
+              .isin("FFE", "FFF"), "mp3")
         .otherwise("other")
     )
 
 
+# sniffable formats whose SAMPLE decode needs codecs this engine does
+# not ship — each maps to its documented rationale. The policy emits
+# an explicit 'quarantined_no_codec' row for them (round 8, r7
+# verdict item 7): header metadata still flows (mp3_info / ogg_info
+# in _decode_audio), but a silent probe-pass would mislabel them
+# decode-able or header_only-by-cost, both wrong.
+AV_NO_CODEC_RATIONALE = {
+    "mp3": "MDCT+Huffman synthesis filterbank (ISO 11172-3) has no "
+           "in-container conformance vectors; frame-walk metadata "
+           "only (kernels/media.mp3_info)",
+    "ogg-vorbis": "Vorbis floor/residue/MDCT decode is spec-huge with "
+                  "no in-container conformance vectors; ident-header "
+                  "metadata + granule duration only "
+                  "(kernels/media.ogg_info)",
+    "ogg-opus": "Opus is a CELT/SILK hybrid (RFC 6716) with no "
+                "in-container conformance vectors; ident-header "
+                "metadata + granule duration only",
+    "ogg": "Ogg page stream with an unrecognized codec ident — "
+           "nothing to decode samples with",
+}
+
+
 def _probe_av(payload: bytes, fmt: str):
     """One sample decode for the A/V policy probe — the SAME kernels
-    the feature lanes run, so the measured MB/s is the real cost."""
+    the feature lanes run, so the measured MB/s is the real cost.
+    Formats with no sample codec raise NotImplementedError carrying
+    the rationale; the policy turns that into an explicit
+    quarantined_no_codec row instead of a bogus throughput."""
     from ..kernels.media import (
         aiff_pcm_stats,
         au_pcm_stats,
@@ -2085,6 +2137,8 @@ def _probe_av(payload: bytes, fmt: str):
         wav_pcm_stats,
     )
 
+    if fmt in AV_NO_CODEC_RATIONALE:
+        raise NotImplementedError(AV_NO_CODEC_RATIONALE[fmt])
     if fmt == "mp4":
         # ISO-BMFF carries either modality: probe video then audio
         from ..kernels.media import mp4_mjpeg_frames, mp4_pcm_stats
@@ -2093,7 +2147,7 @@ def _probe_av(payload: bytes, fmt: str):
     return {
         "wav": wav_pcm_stats, "flac": flac_pcm_stats,
         "aiff": aiff_pcm_stats, "au": au_pcm_stats,
-        "ogg": ogg_flac_pcm_stats,
+        "ogg-flac": ogg_flac_pcm_stats,
         "avi": avi_mjpeg_frames,
         "mkv": mkv_mjpeg_frames,
     }[fmt](payload)

@@ -67,6 +67,8 @@ def measure_whale_cost_factor(
     waves: int = 2,
     poll_sec: float = 0.2,
     detail: dict | None = None,
+    payload_col: str = "pdf_bytes",
+    workload=None,
 ) -> float | None:
     """Measure this corpus's whale cost factor instead of trusting the
     3.2 constant:
@@ -111,13 +113,21 @@ def measure_whale_cost_factor(
     import threading
     import time as _time
 
-    from ..operators.extract import extract_spans
+    if workload is None:
+        # default lane: PDF span extraction. `workload`/`payload_col`
+        # (round 8) let other lanes — the WARC web lane, whose whales
+        # are multi-GB .warc.gz archives — measure THEIR kernel's
+        # factor: the ratio is a property of corpus x workload x the
+        # saturated machine, so probing the wrong kernel measures the
+        # wrong factor.
+        from ..operators.extract import extract_spans
 
+        workload = extract_spans
     if size_col:
         sz = F.col(size_col).cast("long")
     else:
-        sz = F.length("pdf_bytes").cast("long")
-    raw = pdf_raw.select("doc_id", "pdf_bytes", sz.alias("_sz"))
+        sz = F.length(payload_col).cast("long")
+    raw = pdf_raw.select("doc_id", payload_col, sz.alias("_sz"))
     stats = raw.agg(
         F.coalesce(
             F.sum(F.when(F.col("_sz") <= big_doc_bytes, F.col("_sz"))),
@@ -162,7 +172,7 @@ def measure_whale_cost_factor(
     def run_probe():
         try:
             spark.sparkContext.setJobGroup(group, "whale cost factor probe")
-            extract_spans(probe).agg(F.count("*")).collect()
+            workload(probe).agg(F.count("*")).collect()
         except Exception as exc:  # surfaced below; never hangs the poll
             err.append(exc)
         finally:
@@ -248,6 +258,8 @@ def plan_salted_partitions(
     min_partitions: int = 4,
     size_col: str | None = None,
     whale_cost_factor: float | None = WHALE_COST_FACTOR,
+    payload_col: str = "pdf_bytes",
+    workload=None,
 ) -> DataFrame:
     """Returns pdf_raw repartitioned by a byte-aware salt column.
 
@@ -290,7 +302,7 @@ def plan_salted_partitions(
         big_pred = F.col(size_col) > big_doc_bytes
     else:
         sized = pdf_raw.withColumn(
-            "_doc_bytes", F.length("pdf_bytes").cast("long")
+            "_doc_bytes", F.length(payload_col).cast("long")
         )
         small_pred = F.col("_doc_bytes") <= big_doc_bytes
         big_pred = F.col("_doc_bytes") > big_doc_bytes
@@ -311,7 +323,9 @@ def plan_salted_partitions(
         if whale_cost_factor is None:
             measured = (
                 measure_whale_cost_factor(
-                    pdf_raw, big_doc_bytes=big_doc_bytes, size_col=size_col
+                    pdf_raw, big_doc_bytes=big_doc_bytes,
+                    size_col=size_col, payload_col=payload_col,
+                    workload=workload,
                 )
                 if int(stats.n_big)
                 else None
@@ -344,13 +358,14 @@ def plan_salted_partitions(
     return small.unionByName(big)
 
 
-def skew_report(pdf_raw: DataFrame, n_partitions: int) -> dict:
+def skew_report(pdf_raw: DataFrame, n_partitions: int,
+                payload_col: str = "pdf_bytes") -> dict:
     """p99/median bytes per would-be partition — the BASELINE skew-guard
     metric (target <= 2 after salting)."""
     per_part = (
         pdf_raw.withColumn("_p", F.pmod(F.hash("doc_id"), F.lit(n_partitions)))
         .groupBy("_p")
-        .agg(F.sum(F.length("pdf_bytes")).alias("part_bytes"))
+        .agg(F.sum(F.length(payload_col)).alias("part_bytes"))
     )
     row = per_part.agg(
         F.expr("percentile_approx(part_bytes, 0.99)").alias("p99"),

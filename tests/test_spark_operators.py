@@ -2624,6 +2624,60 @@ def test_media_job_attachments_lane(spark, docs, tmp_path, capsys):
     assert s2["audio_rows"] == 0 and s2["video_frame_rows"] == 0
 
 
+def test_av_policy_no_codec_rationale_rows(spark):
+    """Round 8 (r7 verdict item 7): every sniffed audio format gets an
+    av_policy row. Formats whose SAMPLE decode needs codecs the engine
+    does not ship (mp3, ogg-vorbis, ogg-opus) must surface an explicit
+    'quarantined_no_codec' decision WITH its documented rationale —
+    not a bogus throughput from a no-op probe — while the sibling
+    ogg-flac lane (same container, shipped codec) still measures and
+    decodes, and header metadata still flows for the quarantined
+    formats via _decode_audio."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.multimodal import (
+        AV_NO_CODEC_RATIONALE,
+        av_stats_policy,
+        extract_media_features,
+    )
+    from sparkpdf.testing.imagegen import (
+        make_mp3,
+        make_ogg,
+        make_ogg_flac,
+        make_wav,
+    )
+
+    rows = [
+        Row(doc_id="1", media_ref="m1", modality="audio",
+            payload=make_mp3(8)),
+        Row(doc_id="2", media_ref="m2", modality="audio",
+            payload=make_ogg(24000, 300, codec="vorbis")),
+        Row(doc_id="3", media_ref="m3", modality="audio",
+            payload=make_ogg(48000, 300, codec="opus")),
+        Row(doc_id="4", media_ref="m4", modality="audio",
+            payload=make_ogg_flac([0, 0, 0, 0], 24000)),
+        Row(doc_id="5", media_ref="m5", modality="audio",
+            payload=make_wav(8000, 100)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, modality string, "
+        "payload binary")
+    pol = av_stats_policy(media)
+    dec = {f: v["decision"] for f, v in pol["formats"].items()}
+    assert dec["mp3"] == "quarantined_no_codec"
+    assert dec["ogg-vorbis"] == "quarantined_no_codec"
+    assert dec["ogg-opus"] == "quarantined_no_codec"
+    assert dec["wav"] == "decode"
+    assert dec["ogg-flac"] == "decode"
+    for f in ("mp3", "ogg-vorbis", "ogg-opus"):
+        assert pol["formats"][f]["rationale"] == AV_NO_CODEC_RATIONALE[f]
+        assert f not in pol["decode_formats"]
+    # header metadata still flows for the quarantined formats
+    feats = {r.doc_id: r for r in extract_media_features(media).collect()}
+    assert feats["1"].sample_rate == 32000       # mp3 frame walk
+    assert feats["2"].sample_rate == 24000       # vorbis ident header
+    assert feats["2"].duration_ms == 300
+
+
 def test_windowed_ops_linear_on_long_docs(spark):
     """Regression guard for the round-5 quadratic fixes: every
     windowed operator (n-gram enumeration, contamination windows,
