@@ -153,6 +153,57 @@ def timed_web_extraction(
     }
 
 
+def timed_stream_web(spark, sf_dir: str, cpus: int) -> dict:
+    """Streamed web-lane throughput (round 8, r7 verdict item 8):
+    availableNow drain over a drop-zone ladder. Wave 1 lands the
+    synthesized web corpus as parquet drop files and one
+    stream_web_extract drain processes it (timed); wave 2 lands a
+    second batch and a RESTARTED query (same checkpoint) drains
+    incrementally — exactly-once is asserted by row counts (wave-2
+    output == wave-2 drop size, no reprocessing of wave 1)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.text import synthesize_web_corpus
+    from sparkpdf.streaming.ingest import stream_web_extract
+
+    base = os.path.join(tempfile.gettempdir(), "sparkpdf_stream_web")
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ck_dir = (
+        f"{base}/in", f"{base}/out", f"{base}/ck")
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", F.expr(f"repeat(text, {TEXT_REP})").alias("text"))
+    corpus = synthesize_web_corpus(docs).select("doc_id", "html")
+    n_mb = (corpus.agg(F.sum(F.length("html"))).collect()[0][0] or 0) / 1e6
+    corpus.repartition(cpus).write.mode("overwrite").parquet(in_dir)
+    n_wave1 = corpus.count()
+    t0 = time.time()
+    stream_web_extract(spark, in_dir, out_dir, ck_dir).awaitTermination()
+    wall = time.time() - t0
+    got1 = spark.read.parquet(out_dir).count()
+    # wave 2: new drop files only; restarted query must drain exactly
+    # the increment
+    wave2 = corpus.filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0).select(
+        F.concat(F.lit("w2-"), "doc_id").alias("doc_id"), "html")
+    n_wave2 = wave2.count()
+    wave2.repartition(max(2, cpus // 4)).write.mode("append").parquet(in_dir)
+    stream_web_extract(spark, in_dir, out_dir, ck_dir).awaitTermination()
+    got2 = spark.read.parquet(out_dir).count()
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "pages": n_wave1,
+        "mb": round(n_mb, 1),
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(n_wave1 / wall, 1),
+        "mb_per_sec": round(n_mb / wall, 2),
+        "restart_pages": got2 - got1,
+        "exactly_once": got1 == n_wave1 and got2 == n_wave1 + n_wave2,
+    }
+
+
 def timed_jpeg_decode() -> dict:
     """Single-core JPEG pixel-decode throughput (round-3 weak item: the
     MCU loop is now LUT-Huffman + batched-numpy IDCT). Representative
@@ -376,6 +427,11 @@ def main():
     web_extraction = timed_web_extraction(spark, SF_DIR, MULT, CPUS)
     total += web_extraction["wall_sec"]
     per_query["bench_web_extraction"] = web_extraction["wall_sec"]
+    # streamed web lane: availableNow drop-zone drain + exactly-once
+    # restart (round 8)
+    stream_web = timed_stream_web(spark, SF_DIR, CPUS)
+    total += stream_web["wall_sec"]
+    per_query["bench_stream_web"] = stream_web["wall_sec"]
     # sampled pixel-stats decision path (r4 verdict item 4): the
     # per-format decode-vs-header choice the production job would make
     # on this corpus's image mix
@@ -403,6 +459,7 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "extraction": extraction,
         "web_extraction": web_extraction,
+        "stream_web": stream_web,
         "jpeg_decode": timed_jpeg_decode(),
         "av_decode_mb_per_sec": timed_av_decode(),
         "pixel_policy": pixel_policy,
