@@ -62,6 +62,36 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def q_interleaved_extract(spark, sf_dir):
+    # round 8: the north rule's interleaved corpus taken literally —
+    # ONE mixed table (even ids = PDF bytes, odd ids = HTML markup),
+    # ONE extractor (per-doc sniff inside the batch kernel), ONE span
+    # contract out: text spans + media_ref spans with contiguous
+    # offsets regardless of source format
+    from sparkpdf.operators.extract import (
+        extract_interleaved,
+        synthesize_interleaved_corpus,
+    )
+
+    res = extract_interleaved(
+        synthesize_interleaved_corpus(_t(spark, sf_dir, "documents"))
+    )
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter(
+        "spans", lambda s: s["kind"] == F.lit("media_ref"))
+    return res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(text_spans).alias("n_text"),
+        F.size(media_spans).alias("n_media"),
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), ""
+        ).alias("full_text"),
+        F.array_join(
+            F.transform(media_spans, lambda s: s["media_ref"]), ","
+        ).alias("media_refs"),
+    )
+
+
 def q_extract_full_text(spark, sf_dir):
     from sparkpdf.operators.spans import doc_full_text
 
@@ -1905,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jp2_dims": q_jp2_dims,
         "ivfpq_residual_topk": q_ivfpq_residual_topk,
         "ivfpq_recall_clustered": q_ivfpq_recall_clustered,
+        "interleaved_extract": q_interleaved_extract,
         # --- longest-since-driver-graded fill (last graded r6) ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1929,7 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_catalog": q_media_catalog,
         "form_fields": q_form_fields,
         "named_dests": q_named_dests,
-        "outlines": q_outlines,
         # --- demoted tail: the r7-graded window (freshest driver
         # certification, CORRECTNESS_r07 50/50 green) + remaining
         # r6-certified queries; all still check_oracle-verified at
@@ -2009,6 +2039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stats": q_extract_stats,
         "overlay_pages": q_overlay_pages,
         "link_annotations": q_link_annotations,
+        "outlines": q_outlines,
     }
 
 
@@ -2034,6 +2065,23 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_SANITIZED} || chr(10) AS full_text FROM documents
     """
     sql["write_roundtrip"] = sql["extract_full_text"]
+    sql["interleaved_extract"] = f"""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                    AS INTEGER) AS n_text,
+               CAST(1 AS INTEGER) AS n_media,
+               CASE WHEN doc_id % 2 = 0
+                    THEN {_SANITIZED} || chr(10)
+                    ELSE trim(regexp_replace({_SANITIZED},
+                              '\\s+', ' ', 'g'))
+                         || chr(10) || 'closing paragraph '
+                         || CAST(doc_id AS VARCHAR) || chr(10) END
+                   AS full_text,
+               CASE WHEN doc_id % 2 = 0 THEN 'img00'
+                    ELSE 'img-' || CAST(doc_id AS VARCHAR) END
+                   AS media_refs
+        FROM documents
+    """
     sql["extract_stats"] = f"""
         SELECT doc_id, CAST(1 AS INTEGER) AS n_pages,
                CAST(1 AS INTEGER) AS n_text, CAST(1 AS INTEGER) AS n_media,

@@ -95,6 +95,55 @@ class _MainTextParser(HTMLParser):
         return "\n".join(self.done), title
 
 
+class _SpanParser(_MainTextParser):
+    """Main-text walk that keeps the DOCUMENT-ORDER interleaving of
+    text blocks and images — the HTML analog of the PDF span
+    contract: each surviving main-content block becomes a text span
+    (text + "\\n", exactly the chunk shape extract_doc emits per
+    Tj/TJ), and each main-content <img src> becomes a media_ref span
+    at its position. Boilerplate/drop rules are inherited unchanged,
+    so main_text == the concatenation of the text spans."""
+
+    def __init__(self):
+        super().__init__()
+        self.spans: List[dict] = []
+
+    def _flush_block(self):
+        parts, anchor_chars = self.blocks.pop()
+        text = " ".join("".join(parts).split())
+        if text and anchor_chars * 2 <= len(text):
+            self.done.append(text)
+            self.spans.append(
+                {"kind": "text", "text": text + "\n", "media_ref": None})
+        self.blocks.append(([], 0))
+
+    def handle_starttag(self, tag, attrs):
+        if (tag == "img" and not self.drop_depth
+                and not self.boiler_depth):
+            src = dict(attrs).get("src")
+            if src:
+                self._flush_block()  # the image cuts the open block
+                self.spans.append(
+                    {"kind": "media_ref", "text": None, "media_ref": src})
+        super().handle_starttag(tag, attrs)
+
+
+def html_to_spans(html_text: str) -> dict:
+    """HTML -> {spans, title}: ordered (kind, text, media_ref) spans
+    with offsets contiguous from 0 (invariant 4) — one shape for the
+    interleaved-corpus extractor regardless of source format. Never
+    raises on parser-tolerable input; the operator layer quarantines
+    anything else."""
+    p = _SpanParser()
+    p.feed(html_text or "")
+    p.close()
+    _, title = p.result()  # result() flushes the trailing open block
+    return {
+        "spans": [dict(s, offset=i) for i, s in enumerate(p.spans)],
+        "title": title,
+    }
+
+
 def extract_main_html(html_text: str) -> dict:
     """HTML -> {main_text, title}. Never raises on parser-tolerable
     input; the operator layer quarantines anything else."""
@@ -314,6 +363,30 @@ def synthesize_html(doc_id: int, text: str) -> str:
         f"<article><p>{body}</p></article>"
         '<div class="related"><a href="/a">Read more stuff here</a>'
         ' <a href="/b">Another related article link</a> also</div>'
+        "<footer>(c) 2024 Site Name - all rights reserved</footer>"
+        "</body></html>"
+    )
+
+
+def synthesize_interleaved_html(doc_id: int, text: str) -> str:
+    """Deterministic page for the MIXED-corpus extractor (the odd-id
+    lane of synthesize_interleaved_corpus): the doc text as the lead
+    paragraph, one main-content <img>, a formula closing paragraph,
+    and the usual boilerplate (nav links, header h1, script, footer)
+    the extractor must strip. Span contract: exactly
+    [text(lead), media_ref(img-{d}), text('closing paragraph {d}')]."""
+    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    body = _htmlmod.escape(printable)
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>doc-{doc_id}</title>"
+        "<script>var tracking='pixel';</script>"
+        "</head><body>"
+        "<header><h1>Site Name</h1></header>"
+        '<nav><a href="/">Home</a> <a href="/about">About</a></nav>'
+        f"<article><p>{body}</p>"
+        f'<img src="img-{doc_id}">'
+        f"<p>closing paragraph {doc_id}</p></article>"
         "<footer>(c) 2024 Site Name - all rights reserved</footer>"
         "</body></html>"
     )

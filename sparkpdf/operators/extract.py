@@ -239,6 +239,110 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+def _interleaved_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.extract import extract_doc
+    from ..kernels.html import html_to_spans
+
+    for pdf in batches:
+        out = {"doc_id": [], "spans": [], "n_pages": [], "n_bytes": [],
+               "error": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(blob) if blob is not None else b""
+            try:
+                if b"%PDF-" in data[:1024]:
+                    res = extract_doc(data)
+                    spans = res["spans"]
+                    n_pages, error = res["n_pages"], res["error"]
+                else:
+                    # textual lane: a NUL/control-dense payload is not
+                    # a document of either kind -> quarantine (a PDF
+                    # with a torn header still routes above via the
+                    # magic-in-first-1KB scan)
+                    head = data[:4096]
+                    ctrl = sum(1 for b in head
+                               if b < 9 or 13 < b < 32)
+                    if data and ctrl * 10 > len(head):
+                        spans, n_pages = [], 0
+                        error = "unrecognized payload (binary, no PDF magic)"
+                    else:
+                        try:
+                            textual = data.decode("utf-8")
+                        except UnicodeDecodeError:
+                            textual = data.decode("latin-1")
+                        res = html_to_spans(textual)
+                        spans, n_pages, error = res["spans"], 1, None
+            except Exception as exc:  # quarantine, never a dead task
+                spans, n_pages = [], 0
+                error = f"{type(exc).__name__}: {exc}"[:500]
+            out["doc_id"].append(str(doc_id))
+            out["spans"].append(
+                [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                 for s in spans]
+            )
+            out["n_pages"].append(n_pages)
+            out["n_bytes"].append(len(data))
+            out["error"].append(error)
+        yield pd.DataFrame(out)
+
+
+def extract_interleaved(raw: DataFrame) -> DataFrame:
+    """raw(doc_id, payload) -> documents_interleaved, where payload is
+    a MIXED column: PDF bytes or HTML markup in the SAME table — the
+    north rule's interleaved text+media corpus taken literally. One
+    batch kernel sniffs per document (%PDF- magic in the first KB ->
+    the full PDF span path; otherwise the DOM span walk, where each
+    surviving main-content block is a text span and each main-content
+    <img> a media_ref span) and emits ONE span contract regardless of
+    source format: kinds/order/offsets identical in shape to
+    extract_spans, so every downstream operator (dedup, quality,
+    chunking, write-back) consumes both formats unchanged. Binary
+    payloads with neither PDF magic nor textual structure quarantine
+    via the error column; the kernel never raises."""
+    return raw.select("doc_id", "payload").mapInPandas(
+        _interleaved_batches, schema=INTERLEAVED_SCHEMA
+    )
+
+
+def synthesize_interleaved_corpus(
+    documents: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """documents(doc_id, text) -> (doc_id, payload): even doc_ids
+    become PDFs (doc_to_pdf — the extract_spans corpus, 1 text + 1
+    media span), odd doc_ids become HTML pages with the doc text as
+    the lead paragraph, one <img src="img-{d}"> and a formula closing
+    paragraph (2 text spans + 1 media_ref span), with the usual
+    nav/header/footer boilerplate the extractor must strip. Both
+    lanes are closed-form so one DuckDB oracle covers the mixed
+    output."""
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+    if n_partitions is None:
+        spark = documents.sparkSession
+        n_partitions = spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.html import synthesize_interleaved_html
+        from ..testing.pdfgen import doc_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = doc_to_pdf(text, title=f"doc-{d}")
+                else:
+                    payload = synthesize_interleaved_html(
+                        d, text).encode("utf-8")
+                out["doc_id"].append(str(d))
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_partitions, "doc_id").mapInPandas(
+        gen, schema="doc_id string, payload binary"
+    )
+
+
 def synthesize_pdf_corpus(
     documents: DataFrame, n_partitions: int | None = None
 ) -> DataFrame:

@@ -141,6 +141,52 @@ def test_webpage_parser_tolerance():
         assert isinstance(out["links"], list)
 
 
+def test_html_to_spans_contract():
+    """The DOM span walk mirrors the PDF span contract: surviving
+    main-content blocks become text spans (text + newline), main-
+    content <img src> become media_ref spans at their document-order
+    position, offsets contiguous from 0; boilerplate images and
+    link-dense blocks never produce spans; main_text equals the
+    concatenation of the text spans; fuzz never raises."""
+    import random
+
+    from sparkpdf.kernels.html import (
+        extract_main_html,
+        html_to_spans,
+        synthesize_interleaved_html,
+    )
+
+    page = synthesize_interleaved_html(7, "lead body text")
+    r = html_to_spans(page)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]] == [
+        ("text", "lead body text\n", None),
+        ("media_ref", None, "img-7"),
+        ("text", "closing paragraph 7\n", None),
+    ]
+    assert [s["offset"] for s in r["spans"]] == [0, 1, 2]
+    assert r["title"] == "doc-7"
+    main = extract_main_html(page)["main_text"]
+    assert "".join(
+        s["text"] for s in r["spans"] if s["kind"] == "text"
+    ) == main + "\n"
+    # boilerplate/drop images emit nothing; a srcless img emits no
+    # span AND does not cut the open block (only a real image does)
+    r = html_to_spans(
+        '<nav><img src="logo.png"></nav><script><img src="x"></script>'
+        "<p>k<img>eep</p>"
+    )
+    assert [(s["kind"], s["text"] or s["media_ref"]) for s in r["spans"]] \
+        == [("text", "keep\n")]
+    rng = random.Random(8)
+    alphabet = "<>ab/&;# \"='pimgsrc" + "\x00"
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 100)))
+        out = html_to_spans(s)
+        offs = [sp["offset"] for sp in out["spans"]]
+        assert offs == list(range(len(offs)))
+
+
 def test_webpage_parser_nested_tables():
     """Nested <table> (common in real HTML) must not clobber the outer
     table's rows (r7 advice): each table reports its own shape, inner

@@ -929,6 +929,52 @@ def test_dup_clusters_jaccard_gate(spark, docs):
     assert n_clusters > 1  # the gate prevented one mega-cluster
 
 
+def test_interleaved_extract_mixed_corpus(spark, docs):
+    """Round 8: ONE extractor over a MIXED (doc_id, payload) table —
+    PDF bytes and HTML markup interleaved. The PDF lane must be
+    byte-identical to extract_spans on the same docs (same sniff ->
+    same kernel), the HTML lane obeys the DOM span contract, and a
+    binary payload with neither PDF magic nor textual structure
+    quarantines via the error column without killing the task."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.extract import (
+        extract_interleaved,
+        extract_spans,
+        synthesize_interleaved_corpus,
+        synthesize_pdf_corpus,
+    )
+
+    sample = docs.limit(12)
+    mixed = extract_interleaved(synthesize_interleaved_corpus(sample))
+    rows = {r.doc_id: r for r in mixed.collect()}
+    assert all(r.error is None for r in rows.values())
+    # PDF lane (even ids): identical spans to the dedicated PDF path
+    pdf_rows = {
+        r.doc_id: r
+        for r in extract_spans(
+            synthesize_pdf_corpus(sample.filter("doc_id % 2 = 0"))
+        ).collect()
+    }
+    for doc_id, ref in pdf_rows.items():
+        assert rows[doc_id].spans == ref.spans, doc_id
+        assert rows[doc_id].n_pages == ref.n_pages
+    # HTML lane (odd ids): text, media_ref, text; offsets contiguous
+    for doc_id, r in rows.items():
+        if int(doc_id) % 2 == 1:
+            kinds = [s.kind for s in r.spans]
+            assert kinds == ["text", "media_ref", "text"], doc_id
+            assert [s.offset for s in r.spans] == [0, 1, 2]
+            assert r.spans[1].media_ref == f"img-{doc_id}"
+            assert r.n_pages == 1
+    # quarantine lane: binary garbage (no PDF magic, control-dense)
+    junk = spark.createDataFrame(
+        [Row(doc_id="666", payload=bytes(range(8)) * 100)],
+        "doc_id string, payload binary",
+    )
+    (q,) = extract_interleaved(junk).collect()
+    assert q.error is not None and q.spans == []
+
+
 def test_bounded_verify_matches_full_arrays(spark, docs):
     """Round 8 (r7 verdict item 4): the bounded-signature jaccard
     verify (K-token prefixes + identity checksum + exact fallback)
