@@ -5,7 +5,7 @@ table, run top-k cosine queries against it, persist both.
         --embeddings /data/embeddings    (parquet: vec_id, embedding) \
         --output /data/ann \
         [--n-lists 8] [--n-iters 2] [--nprobe 1] [--k 3] [--queries 4] \
-        [--exact | --pq | --ivfpq]
+        [--exact | --pq | --ivfpq | --ivfpq-residual]
 
 Outputs under --output:
     index/    (vec_id, centroid_id, unit)  — the inverted lists; at
@@ -51,12 +51,19 @@ def main(argv=None):
                    help="IVF routing x PQ scoring: inverted lists "
                    "prune the corpus, ADC over codes scores the "
                    "candidates — the production large-scale shape")
+    g.add_argument("--ivfpq-residual", action="store_true",
+                   help="IVFADC: PQ codebooks trained on and "
+                   "encoding the residual (unit - coarse centroid), "
+                   "scored by L2 ADC from the query residual — the "
+                   "standard public layout; spends the code bits on "
+                   "within-list structure (round 8)")
     ap.add_argument("--m-sub", type=int, default=4)
     args = ap.parse_args(argv)
 
     from sparkpdf.operators.similarity import (
         brute_force_topk,
         ivf_topk,
+        ivfpq_residual_topk,
         ivfpq_topk,
         kmeans_ivf_assignments,
         pq_codes,
@@ -112,6 +119,20 @@ def main(argv=None):
             m_sub=args.m_sub, n_centroids=args.n_lists,
             n_queries=args.queries, k=args.k,
         )
+    elif args.ivfpq_residual:
+        index = kmeans_ivf_assignments(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters
+        ).select("vec_id", "centroid_id")
+        index.write.mode("overwrite").parquet(
+            os.path.join(args.output, "index"))
+        index_rows = spark.read.parquet(
+            os.path.join(args.output, "index")
+        ).count()
+        topk = ivfpq_residual_topk(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters,
+            m_sub=args.m_sub, n_centroids=args.n_lists,
+            n_queries=args.queries, k=args.k,
+        )
     else:
         index = kmeans_ivf_assignments(
             emb, n_lists=args.n_lists, n_iters=args.n_iters
@@ -134,7 +155,10 @@ def main(argv=None):
     print(
         json.dumps(
             {
-                "mode": ("exact" if args.exact else "pq" if args.pq else "ivfpq" if args.ivfpq else "ivf"),
+                "mode": ("exact" if args.exact else "pq" if args.pq
+                         else "ivfpq" if args.ivfpq
+                         else "ivfpq_residual" if args.ivfpq_residual
+                         else "ivf"),
                 "index_rows": index_rows,
                 "queries": args.queries,
                 "k": args.k,

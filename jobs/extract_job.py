@@ -46,6 +46,14 @@ def main(argv=None):
     ap.add_argument("--big-doc-bytes", type=int, default=16 << 20)
     ap.add_argument("--no-salting", action="store_true")
     ap.add_argument(
+        "--interleaved",
+        action="store_true",
+        help="input is a MIXED (doc_id, payload) table holding PDF "
+        "bytes AND HTML markup in one column (the north rule's "
+        "interleaved corpus): the kernel sniffs per document and "
+        "emits one span contract for both formats (round 8)",
+    )
+    ap.add_argument(
         "--size-col",
         default=None,
         help="materialized per-doc byte-size column (e.g. n_bytes): "
@@ -59,7 +67,10 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("sparkpdf-extract").getOrCreate()
 
-    from sparkpdf.operators.extract import extract_spans
+    from sparkpdf.operators.extract import (
+        extract_interleaved,
+        extract_spans,
+    )
     from sparkpdf.plans.checkpoint import CheckpointedExtraction
     from sparkpdf.plans.salting import (
         WHALE_COST_FACTOR,
@@ -67,14 +78,19 @@ def main(argv=None):
         skew_report,
     )
 
+    payload_col = "payload" if args.interleaved else "pdf_bytes"
+    workload = extract_interleaved if args.interleaved else extract_spans
     pdf_raw = spark.read.parquet(args.input)
     if not args.no_salting:
-        report = skew_report(pdf_raw, args.batches)
+        report = skew_report(pdf_raw, args.batches,
+                             payload_col=payload_col)
         pdf_raw = plan_salted_partitions(
             pdf_raw,
             target_bytes=None if args.auto_target else args.target_bytes,
             big_doc_bytes=args.big_doc_bytes,
             size_col=args.size_col,
+            payload_col=payload_col,
+            workload=workload,
             whale_cost_factor=(
                 None if args.measure_factor else WHALE_COST_FACTOR
             ),
@@ -82,7 +98,7 @@ def main(argv=None):
         print(json.dumps({"skew_before": report}))
 
     ck = CheckpointedExtraction(args.output, n_batches=args.batches)
-    done = ck.run(pdf_raw, extract_spans)
+    done = ck.run(pdf_raw, workload)
     result = ck.result(spark)
     summary = {
         "slices_processed": done,
