@@ -383,10 +383,25 @@ def spans_to_pdf(
                 + b" /ColorSpace " + _CS[ch] + b" /BitsPerComponent 8",
                 raw,
             )
+        elif dims is not None and dims["format"] == "jp2":
+            # /JPXDecode passthrough (round 8): the JPEG 2000
+            # codestream itself carries dims/depth/colorspace, and PDF
+            # 32000-1 §7.4.9 makes ColorSpace/BitsPerComponent
+            # optional-and-codestream-authoritative for this filter —
+            # so only Width/Height are stamped (from the SIZ/ihdr
+            # parse), mirroring the reference's JPX passthrough
+            # (/root/reference/filters.py:327-330)
+            xo = add_stream(
+                b"/Type /XObject /Subtype /Image /Width %d /Height %d"
+                % (dims["width"], dims["height"])
+                + b" /Filter /JPXDecode",
+                payload,
+                deflate=False,
+            )
         elif name in user_payload_names:
             raise ValueError(
                 f"media payload {name.decode('latin-1')!r} is not an "
-                f"embeddable image (JPEG or PNG required)"
+                f"embeddable image (JPEG, PNG or JPEG 2000 required)"
             )
         else:
             # the deterministic placeholder for refs with no payload

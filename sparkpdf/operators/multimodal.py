@@ -961,6 +961,45 @@ def write_pdfs_with_jpeg_media(documents: DataFrame) -> DataFrame:
     return docs.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
 
 
+def write_pdfs_with_jp2_media(documents: DataFrame) -> DataFrame:
+    """documents -> pdf_raw where each doc embeds ONE JPEG 2000
+    payload ('img00', /Filter /JPXDecode — the reference's passthrough
+    filter) at the synthesize_jp2_media formulas: the end-to-end
+    chain  build jp2 -> embed as JPX XObject -> reopen the PDF ->
+    pull the payload -> header parse -> dims/bits, all in-engine and
+    SQL-verifiable. Layout rotates d%3 so the codestream, container
+    and XLBox paths all survive the PDF round-trip byte-exactly."""
+    docs = documents.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    schema = "doc_id string, pdf_bytes binary"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.write import spans_to_pdf
+        from ..testing.imagegen import make_jp2
+
+        for pdf in batches:
+            out = {"doc_id": [], "pdf_bytes": []}
+            for (doc_id,) in pdf.itertuples(index=False):
+                d = int(doc_id)
+                page = [
+                    {"kind": "text", "text": f"doc {d}\n", "media_ref": None},
+                    {"kind": "media_ref", "text": None, "media_ref": "img00"},
+                ]
+                payload = make_jp2(
+                    20 + d % 40, 10 + d % 20,
+                    n_components=1 + (d % 2) * 2,
+                    bit_depth=(8, 10, 12, 16)[d % 4],
+                    kind=("j2k", "jp2", "jp2xl")[d % 3],
+                )
+                out["doc_id"].append(str(d))
+                out["pdf_bytes"].append(
+                    spans_to_pdf([page], media_payloads={"img00": payload})
+                )
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(gen, schema=schema)
+
+
 def _make_feature_batches(pixel_formats: "set | None" = None):
     def _feature_batches(
         batches: Iterator[pd.DataFrame],

@@ -48,6 +48,43 @@ def test_reference_reads_written(tag, fixture_pdfs):
         )
 
 
+def test_jpx_xobject_roundtrip_and_reference_interop():
+    """Round 8: a JPEG 2000 media payload embeds as a /JPXDecode
+    XObject (the reference's passthrough filter) and survives the
+    write -> reopen -> payload-pull chain byte-exactly for all three
+    jp2 layouts; the REFERENCE also reads the engine-written file and
+    hands back the identical payload through its own JPXDecode
+    passthrough (filters.py:327-330)."""
+    from sparkpdf.kernels.media import jp2_dims
+    from sparkpdf.kernels.extract import extract_doc as _ed
+    from sparkpdf.testing.imagegen import make_jp2
+
+    for kind in ("j2k", "jp2", "jp2xl"):
+        payload = make_jp2(33, 17, n_components=3, bit_depth=12,
+                           kind=kind)
+        spans = [
+            {"kind": "text", "text": "jpx doc\n", "media_ref": None},
+            {"kind": "media_ref", "text": None, "media_ref": "imgJ"},
+        ]
+        pdf = spans_to_pdf([spans], media_payloads={"imgJ": payload})
+        res = _ed(pdf)
+        assert res["error"] is None
+        # engine round-trip: pull the XObject payload back
+        from sparkpdf.kernels.document import PdfDocument
+
+        (obj,) = PdfDocument(pdf).media_objects()
+        assert obj["name"] == "imgJ"
+        assert bytes(obj["data"]) == payload, kind
+        d = jp2_dims(bytes(obj["data"]))
+        assert (d["width"], d["height"], d["bits"]) == (33, 17, 12)
+        # reference interop: its JPXDecode passthrough returns the
+        # same bytes
+        ref = load_reference()
+        rd = ref.PdfFileReader(io.BytesIO(pdf), strict=False)
+        xo = rd.getPage(0)["/Resources"]["/XObject"]["/imgJ"]
+        assert xo.getData() == payload, kind
+
+
 def test_unicode_fidelity():
     spans = [
         {"kind": "text", "text": "CJK 你好 + emoji 🚀 + ascii\n", "media_ref": None},
