@@ -92,6 +92,36 @@ def q_interleaved_extract(spark, sf_dir):
     )
 
 
+def q_warc_mixed_extract(spark, sf_dir):
+    # round 8: the full crawl-to-spans composition — CommonCrawl-shape
+    # archives whose responses interleave application/pdf and
+    # text/html bodies (the REAL crawl mix), demuxed by
+    # warc_documents, then ONE extract_interleaved pass sniffs each
+    # payload and emits the unified span contract
+    from sparkpdf.operators.extract import extract_interleaved
+    from sparkpdf.operators.text import synthesize_warc_mixed_corpus
+    from sparkpdf.sources.warc_source import warc_documents
+
+    mixed = warc_documents(
+        synthesize_warc_mixed_corpus(_t(spark, sf_dir, "documents"))
+    ).filter(F.col("error").isNull()).select("doc_id", "payload")
+    res = extract_interleaved(mixed)
+    text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter(
+        "spans", lambda s: s["kind"] == F.lit("media_ref"))
+    return res.select(
+        "doc_id",
+        F.size(text_spans).alias("n_text"),
+        F.size(media_spans).alias("n_media"),
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), ""
+        ).alias("full_text"),
+        F.array_join(
+            F.transform(media_spans, lambda s: s["media_ref"]), ","
+        ).alias("media_refs"),
+    )
+
+
 def q_extract_full_text(spark, sf_dir):
     from sparkpdf.operators.spans import doc_full_text
 
@@ -1964,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall_clustered": q_ivfpq_recall_clustered,
         "interleaved_extract": q_interleaved_extract,
         "pdf_embedded_jp2": q_pdf_embedded_jp2,
+        "warc_mixed_extract": q_warc_mixed_extract,
         # --- longest-since-driver-graded fill (last graded r6) ---
         "extract_spans": q_extract_spans,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1986,7 +2017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_docs": q_split_docs,
         "page_count": q_page_count,
         "media_catalog": q_media_catalog,
-        "form_fields": q_form_fields,
         # --- demoted tail: the r7-graded window (freshest driver
         # certification, CORRECTNESS_r07 50/50 green) + remaining
         # r6-certified queries; all still check_oracle-verified at
@@ -2068,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_annotations": q_link_annotations,
         "outlines": q_outlines,
         "named_dests": q_named_dests,
+        "form_fields": q_form_fields,
     }
 
 
@@ -2095,6 +2126,23 @@ def oracle_sql() -> dict[str, str]:
     sql["write_roundtrip"] = sql["extract_full_text"]
     sql["interleaved_extract"] = f"""
         SELECT doc_id,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                    AS INTEGER) AS n_text,
+               CAST(1 AS INTEGER) AS n_media,
+               CASE WHEN doc_id % 2 = 0
+                    THEN {_SANITIZED} || chr(10)
+                    ELSE trim(regexp_replace({_SANITIZED},
+                              '\\s+', ' ', 'g'))
+                         || chr(10) || 'closing paragraph '
+                         || CAST(doc_id AS VARCHAR) || chr(10) END
+                   AS full_text,
+               CASE WHEN doc_id % 2 = 0 THEN 'img00'
+                    ELSE 'img-' || CAST(doc_id AS VARCHAR) END
+                   AS media_refs
+        FROM documents
+    """
+    sql["warc_mixed_extract"] = f"""
+        SELECT CAST(doc_id AS VARCHAR) || '#1' AS doc_id,
                CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
                     AS INTEGER) AS n_text,
                CAST(1 AS INTEGER) AS n_media,

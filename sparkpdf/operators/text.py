@@ -484,6 +484,61 @@ def synthesize_warc_corpus(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_warc_mixed_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, warc_bytes): one archive per doc whose
+    response record carries a MIXED payload — even docs an
+    application/pdf body (testing/pdfgen.doc_to_pdf), odd docs a
+    text/html body (kernels/html.synthesize_interleaved_html) — the
+    real CommonCrawl shape where crawls interleave document formats.
+    Odd docs use the per-record-gzip-member layout. Feeds
+    sources/warc_source.warc_documents -> extract_interleaved."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
+    docs = documents.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.html import synthesize_interleaved_html
+        from ..kernels.warc import build_warc
+        from ..testing.pdfgen import doc_to_pdf
+
+        for pdf in batches:
+            out = {"doc_id": [], "warc_bytes": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                uri = f"https://example.com/doc/{d}"
+                if d % 2 == 0:
+                    body = doc_to_pdf(text or "", title=f"doc-{d}")
+                    ctype = "application/pdf"
+                else:
+                    body = synthesize_interleaved_html(
+                        d, text or "").encode("latin-1")
+                    ctype = "text/html; charset=utf-8"
+                recs = [
+                    {"warc_type": "warcinfo",
+                     "record_id": f"<urn:warcinfo:{d}>",
+                     "body": b"software: sparkpdf-fixture\r\n"},
+                    {"warc_type": "response",
+                     "record_id": f"<urn:response:{d}>",
+                     "target_uri": uri,
+                     "http_status": 200,
+                     "http_content_type": ctype,
+                     "body": body},
+                ]
+                out["doc_id"].append(str(d))
+                out["warc_bytes"].append(
+                    build_warc(recs, gzip_members=(d % 2 == 1)))
+            yield pd.DataFrame(out)
+
+    return docs.repartition(n_parts, "doc_id").mapInPandas(
+        gen, schema="doc_id string, warc_bytes binary"
+    )
+
+
 def extract_web_features(pages: DataFrame) -> DataFrame:
     """(doc_id, html) -> one row per doc with the full DOM feature
     set: page metadata scalars (lang/title/canonical/description/

@@ -92,6 +92,76 @@ def warc_pages(archives: DataFrame) -> DataFrame:
     )
 
 
+WARC_DOCUMENT_SCHEMA = (
+    "doc_id string, url string, http_status int, content_type string, "
+    "payload binary, n_bytes long, error string"
+)
+
+
+def warc_documents(archives: DataFrame) -> DataFrame:
+    """(doc_id, warc_bytes) -> MIXED-document rows: one row per
+    status-200 text/html OR application/pdf response record, the raw
+    body as a binary `payload` (round 8). Real crawl archives
+    interleave both — this is the crawl-side feeder for
+    operators/extract.extract_interleaved, whose per-document sniff
+    routes each payload to the right span kernel, so
+    `extract_interleaved(warc_documents(archives))` turns a
+    CommonCrawl drop into one span table. Same demux discipline as
+    warc_pages: map-side explode, torn archives quarantine as one
+    error row, other content types skipped."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: "Iterator[pd.DataFrame]"):
+        from ..kernels.warc import parse_warc
+
+        cols = ("doc_id", "url", "http_status", "content_type",
+                "payload", "n_bytes", "error")
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+
+            def emit(**kw):
+                for k in cols:
+                    out[k].append(kw.get(k))
+
+            for doc_id, raw in zip(pdf["doc_id"], pdf["warc_bytes"]):
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    records = parse_warc(data)
+                except Exception as exc:
+                    records = None
+                    err = f"{type(exc).__name__}: {exc}"[:500]
+                else:
+                    err = "warc: unparseable archive"
+                if records is None:
+                    emit(doc_id=str(doc_id), error=err,
+                         n_bytes=len(data))
+                    continue
+                for idx, rec in enumerate(records):
+                    if rec["warc_type"] != "response":
+                        continue
+                    ctype = (rec["http_content_type"] or "")
+                    base = ctype.split(";")[0].strip().lower()
+                    if rec["http_status"] != 200 or base not in (
+                            "text/html", "application/pdf"):
+                        continue
+                    emit(
+                        doc_id=f"{doc_id}#{idx}",
+                        url=rec["target_uri"],
+                        http_status=rec["http_status"],
+                        content_type=ctype or None,
+                        payload=rec["body"],
+                        n_bytes=len(rec["body"]),
+                    )
+            yield pd.DataFrame(out)
+
+    return archives.select("doc_id", "warc_bytes").mapInPandas(
+        gen, schema=WARC_DOCUMENT_SCHEMA
+    )
+
+
 def read_warc_dir(
     spark: SparkSession,
     path: str,
