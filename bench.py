@@ -153,6 +153,50 @@ def timed_web_extraction(
     }
 
 
+def timed_interleaved_extraction(spark, sf_dir: str, cpus: int,
+                                 iterations: int = 3) -> dict:
+    """Mixed-corpus throughput (round 8): extract_interleaved over a
+    half-PDF / half-HTML payload table — the per-document sniff +
+    dual span kernels under the same discipline as timed_extraction
+    (corpus persisted and counted before timing, warm quarter pass,
+    best-of-N)."""
+    from pyspark.sql import functions as F
+
+    from sparkpdf.operators.extract import (
+        extract_interleaved,
+        synthesize_interleaved_corpus,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = synthesize_interleaved_corpus(docs).repartition(cpus).persist()
+    n_docs = corpus.count()
+    n_mb = (
+        corpus.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
+    ) / 1e6
+    extract_interleaved(
+        corpus.filter(F.pmod(F.hash("doc_id"), F.lit(4)) == 0)
+    ).write.format("noop").mode("overwrite").save()
+    wall = None
+    for _ in range(iterations):
+        t0 = time.time()
+        errs = extract_interleaved(corpus).agg(
+            F.sum((F.col("error").isNotNull()).cast("long")).alias("e"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        dt = time.time() - t0
+        wall = dt if wall is None else min(wall, dt)
+        assert int(errs.n) == n_docs
+    corpus.unpersist()
+    return {
+        "docs": n_docs,
+        "mb": round(n_mb, 1),
+        "errors": int(errs.e or 0),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "mb_per_sec": round(n_mb / wall, 2),
+    }
+
+
 def timed_stream_web(spark, sf_dir: str, cpus: int) -> dict:
     """Streamed web-lane throughput (round 8, r7 verdict item 8):
     availableNow drain over a drop-zone ladder. Wave 1 lands the
@@ -432,6 +476,10 @@ def main():
     stream_web = timed_stream_web(spark, SF_DIR, CPUS)
     total += stream_web["wall_sec"]
     per_query["bench_stream_web"] = stream_web["wall_sec"]
+    # mixed PDF+HTML lane (round 8): the sniffing interleaved kernel
+    interleaved = timed_interleaved_extraction(spark, SF_DIR, CPUS)
+    total += interleaved["wall_sec"]
+    per_query["bench_interleaved"] = interleaved["wall_sec"]
     # sampled pixel-stats decision path (r4 verdict item 4): the
     # per-format decode-vs-header choice the production job would make
     # on this corpus's image mix
@@ -460,6 +508,7 @@ def main():
         "extraction": extraction,
         "web_extraction": web_extraction,
         "stream_web": stream_web,
+        "interleaved_extraction": interleaved,
         "jpeg_decode": timed_jpeg_decode(),
         "av_decode_mb_per_sec": timed_av_decode(),
         "pixel_policy": pixel_policy,
