@@ -104,8 +104,10 @@ def q_warc_mixed_extract(spark, sf_dir):
 
     mixed = warc_documents(
         synthesize_warc_mixed_corpus(_t(spark, sf_dir, "documents"))
-    ).filter(F.col("error").isNull()).select("doc_id", "payload")
-    res = extract_interleaved(mixed)
+    ).filter(F.col("error").isNull()).select(
+        "doc_id", "payload", "content_type")
+    # the HTTP envelope's declared type outranks the byte sniff
+    res = extract_interleaved(mixed, content_type_col="content_type")
     text_spans = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
     media_spans = F.filter(
         "spans", lambda s: s["kind"] == F.lit("media_ref"))

@@ -120,18 +120,40 @@ def main(argv=None):
             n_queries=args.queries, k=args.k,
         )
     elif args.ivfpq_residual:
-        index = kmeans_ivf_assignments(
-            emb, n_lists=args.n_lists, n_iters=args.n_iters
-        ).select("vec_id", "centroid_id")
-        index.write.mode("overwrite").parquet(
-            os.path.join(args.output, "index"))
+        # ONE build: the persisted index/codebooks/codes come from the
+        # same trained quantizer the search runs against (r8 review:
+        # the first cut trained k-means twice and discarded the
+        # residual codebooks)
+        from sparkpdf.operators.similarity import ivfpq_residual_build
+
+        from pyspark import StorageLevel
+
+        built = ivfpq_residual_build(
+            emb, n_lists=args.n_lists, n_iters=args.n_iters,
+            m_sub=args.m_sub, n_centroids=args.n_lists,
+        )
+        assigned, cents, resid, pq_cents, codes = built
+        # pin the training intermediates: three artifact writes plus
+        # the search all consume this lazy build — without the
+        # persists each action re-runs the Lloyd pipelines (the
+        # cache manager matches the persisted plan fragments)
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        resid = resid.persist(StorageLevel.MEMORY_AND_DISK)
+        codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
+        for name, df in (
+                ("index", assigned.select("vec_id", "centroid_id")),
+                ("codebooks", pq_cents),
+                ("codes", codes)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(args.output, name))
         index_rows = spark.read.parquet(
-            os.path.join(args.output, "index")
+            os.path.join(args.output, "codes")
         ).count()
         topk = ivfpq_residual_topk(
             emb, n_lists=args.n_lists, n_iters=args.n_iters,
             m_sub=args.m_sub, n_centroids=args.n_lists,
             n_queries=args.queries, k=args.k,
+            prebuilt=(assigned, cents, resid, pq_cents, codes),
         )
     else:
         index = kmeans_ivf_assignments(

@@ -86,6 +86,12 @@ def main(argv=None, spark=None):
                 skew_report,
             )
 
+            # keep binaryFile's FREE length metadata column: without a
+            # materialized size column the salting plan's two branch
+            # filters compute F.length(warc_bytes) and re-read every
+            # archive's content once per branch plus once for the
+            # planning aggregate — the measured round-5 trap (2.3x at
+            # 27 GB); filters on `length` prune from file metadata
             archives = (
                 spark.read.format("binaryFile")
                 .option("pathGlobFilter", "*.warc*")
@@ -93,6 +99,7 @@ def main(argv=None, spark=None):
                 .select(
                     F.col("path").alias("doc_id"),
                     F.col("content").alias("warc_bytes"),
+                    F.col("length").alias("n_bytes"),
                 )
             )
 
@@ -106,11 +113,12 @@ def main(argv=None, spark=None):
                 return extract_web_docs(pages)
 
             report = skew_report(
-                archives, args.batches, payload_col="warc_bytes")
+                archives, args.batches, size_col="n_bytes")
             salted = plan_salted_partitions(
                 archives,
                 target_bytes=None,
                 big_doc_bytes=args.big_doc_bytes,
+                size_col="n_bytes",
                 payload_col="warc_bytes",
                 workload=warc_workload,
                 whale_cost_factor=(
@@ -118,12 +126,21 @@ def main(argv=None, spark=None):
                 ),
             )
             print(json.dumps({"skew_before": report}))
-            demuxed = warc_pages(salted)
+            demuxed = warc_pages(salted.drop("n_bytes"))
         else:
             demuxed = read_warc_dir(spark, args.input)
-        n_warc_quarantined = demuxed.filter(
+        # STAGE the demux once (r8 review): the checkpoint runner
+        # slices by page-row hash AFTER warc_pages, so without
+        # staging each of the n_batches slice jobs would gunzip and
+        # re-parse the whole archive set to keep 1/n of the pages
+        # (plus one more full demux for the quarantine count) — the
+        # dominant cost at whale-archive scale, run ~(n_batches+1)x
+        staged_dir = args.output.rstrip("/") + "/pages_staged"
+        demuxed.write.mode("overwrite").parquet(staged_dir)
+        staged = spark.read.parquet(staged_dir)
+        n_warc_quarantined = staged.filter(
             "error IS NOT NULL").count()
-        pages = demuxed.filter(
+        pages = staged.filter(
             "error IS NULL AND http_status = 200 AND html IS NOT NULL"
         ).select("doc_id", "html")
     else:

@@ -98,33 +98,64 @@ class _MainTextParser(HTMLParser):
 class _SpanParser(_MainTextParser):
     """Main-text walk that keeps the DOCUMENT-ORDER interleaving of
     text blocks and images — the HTML analog of the PDF span
-    contract: each surviving main-content block becomes a text span
+    contract: each surviving main-content block becomes text spans
     (text + "\\n", exactly the chunk shape extract_doc emits per
     Tj/TJ), and each main-content <img src> becomes a media_ref span
-    at its position. Boilerplate/drop rules are inherited unchanged,
-    so main_text == the concatenation of the text spans."""
+    at its position.
+
+    A mid-block image does NOT change the block's fate: link-density
+    is judged over the WHOLE block exactly as _MainTextParser does
+    (an early cut would judge fragments and diverge from the
+    main-text lane — r8 review finding), and only a SURVIVING block
+    is then split at its image positions into alternating text /
+    media_ref spans (a dropped nav-shaped block drops its images
+    too). So the span lane keeps byte-identical drop decisions to
+    extract_main_html; the only textual difference is the newline a
+    mid-block image cut introduces where the single-line main_text
+    has a space."""
 
     def __init__(self):
         super().__init__()
         self.spans: List[dict] = []
+        # per open block: [(position_in_parts, src)] of its images
+        self._imgs: List[List[tuple]] = [[]]
 
     def _flush_block(self):
         parts, anchor_chars = self.blocks.pop()
+        imgs = self._imgs.pop()
         text = " ".join("".join(parts).split())
         if text and anchor_chars * 2 <= len(text):
             self.done.append(text)
-            self.spans.append(
-                {"kind": "text", "text": text + "\n", "media_ref": None})
+            # split the surviving block at its image positions
+            prev = 0
+            for pos, src in imgs:
+                seg = " ".join("".join(parts[prev:pos]).split())
+                if seg:
+                    self.spans.append({"kind": "text",
+                                       "text": seg + "\n",
+                                       "media_ref": None})
+                self.spans.append({"kind": "media_ref", "text": None,
+                                   "media_ref": src})
+                prev = pos
+            seg = " ".join("".join(parts[prev:]).split())
+            if seg:
+                self.spans.append({"kind": "text", "text": seg + "\n",
+                                   "media_ref": None})
+        elif not text:
+            # an image-only block has no text to judge: keep its
+            # images (figures commonly sit in their own block)
+            for _, src in imgs:
+                self.spans.append({"kind": "media_ref", "text": None,
+                                   "media_ref": src})
         self.blocks.append(([], 0))
+        self._imgs.append([])
 
     def handle_starttag(self, tag, attrs):
         if (tag == "img" and not self.drop_depth
                 and not self.boiler_depth):
             src = dict(attrs).get("src")
             if src:
-                self._flush_block()  # the image cuts the open block
-                self.spans.append(
-                    {"kind": "media_ref", "text": None, "media_ref": src})
+                self._imgs[-1].append((len(self.blocks[-1][0]), src))
         super().handle_starttag(tag, attrs)
 
 

@@ -299,6 +299,7 @@ def _bounded_jaccard_verify(
     toks: DataFrame,
     threshold: float,
     k_sig: int,
+    cleanup: "list | None" = None,
 ) -> DataFrame:
     """Exact-jaccard pair verify with BOUNDED shuffle payload: ship
     (K-token lexicographic prefix, total distinct count) per pair
@@ -344,6 +345,8 @@ def _bounded_jaccard_verify(
         F.size("toks").alias("n"),
         checksum.alias("cs"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if cleanup is not None:
+        cleanup.append(sig)
     j = (
         pairs.join(
             sig.select(F.col("doc_id").alias("doc_a"),
@@ -386,6 +389,8 @@ def _bounded_jaccard_verify(
     # frame — without the persist the whole LSH pair pipeline runs
     # TWICE (measured 2.2x wall at sf0.1); the persisted rows are
     # 7 scalars per pair
+    if cleanup is not None:
+        cleanup.append(j)
     union_max = (F.col("u_pre") + F.col("rem_a") + F.col("rem_b")
                  ).cast("double")
     union_min = (F.col("u_pre")
@@ -482,6 +487,7 @@ def dup_clusters(
     stay out of the per-pair shuffle. None = legacy full-array path."""
     pairs = minhash_lsh_pairs(documents, n_hashes, bands, bucket_cap,
                               buckets=buckets)
+    _verify_persists: list = []
     if jaccard_threshold is not None:
         toks = documents.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -502,7 +508,8 @@ def dup_clusters(
             )
         else:
             pairs = _bounded_jaccard_verify(
-                pairs, toks, jaccard_threshold, verify_sig_tokens)
+                pairs, toks, jaccard_threshold, verify_sig_tokens,
+                cleanup=_verify_persists)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -559,6 +566,14 @@ def dup_clusters(
     out = labels.unionByName(singles)
     edges.unpersist()
     members.unpersist()
+    # the bounded verify's persisted frames (signature table + the
+    # bracketed pair scalars) are fully consumed once the edge cache
+    # materialized; the returned frame derives from localCheckpointed
+    # labels + a documents anti-join, so dropping them here cannot
+    # trigger a verify recompute (r8 review: they used to leak until
+    # GC in long curate_job sessions)
+    for frame in _verify_persists:
+        frame.unpersist()
     return out
 
 

@@ -239,53 +239,78 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def _interleaved_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from ..kernels.extract import extract_doc
-    from ..kernels.html import html_to_spans
+def _sniff_is_pdf(data: bytes) -> bool:
+    """PDF iff the %PDF- magic appears in the first KB (the reference
+    tolerates leading junk there) with NO '<' before it: an HTML page
+    QUOTING a PDF header has markup ahead of the quoted magic, while
+    torn-header PDFs carry binary junk — routing on the raw substring
+    misclassified such pages (r8 review finding)."""
+    idx = data[:1024].find(b"%PDF-")
+    return idx >= 0 and b"<" not in data[:idx]
 
-    for pdf in batches:
-        out = {"doc_id": [], "spans": [], "n_pages": [], "n_bytes": [],
-               "error": []}
-        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-            data = bytes(blob) if blob is not None else b""
-            try:
-                if b"%PDF-" in data[:1024]:
-                    res = extract_doc(data)
-                    spans = res["spans"]
-                    n_pages, error = res["n_pages"], res["error"]
-                else:
-                    # textual lane: a NUL/control-dense payload is not
-                    # a document of either kind -> quarantine (a PDF
-                    # with a torn header still routes above via the
-                    # magic-in-first-1KB scan)
-                    head = data[:4096]
-                    ctrl = sum(1 for b in head
-                               if b < 9 or 13 < b < 32)
-                    if data and ctrl * 10 > len(head):
-                        spans, n_pages = [], 0
-                        error = "unrecognized payload (binary, no PDF magic)"
+
+def _interleaved_batches_fn(with_ctype: bool):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.extract import extract_doc
+        from ..kernels.html import html_to_spans
+
+        for pdf in batches:
+            out = {"doc_id": [], "spans": [], "n_pages": [],
+                   "n_bytes": [], "error": []}
+            ctypes = (pdf["content_type"] if with_ctype
+                      else [None] * len(pdf))
+            for doc_id, blob, ctype in zip(
+                    pdf["doc_id"], pdf["payload"], ctypes):
+                data = bytes(blob) if blob is not None else b""
+                base = ((ctype or "").split(";")[0].strip().lower()
+                        if ctype is not None else "")
+                try:
+                    # a declared upstream content type (e.g. the WARC
+                    # HTTP envelope) outranks the byte sniff
+                    if base == "application/pdf" or (
+                            base not in ("text/html",)
+                            and _sniff_is_pdf(data)):
+                        res = extract_doc(data)
+                        spans = res["spans"]
+                        n_pages, error = res["n_pages"], res["error"]
                     else:
-                        try:
-                            textual = data.decode("utf-8")
-                        except UnicodeDecodeError:
-                            textual = data.decode("latin-1")
-                        res = html_to_spans(textual)
-                        spans, n_pages, error = res["spans"], 1, None
-            except Exception as exc:  # quarantine, never a dead task
-                spans, n_pages = [], 0
-                error = f"{type(exc).__name__}: {exc}"[:500]
-            out["doc_id"].append(str(doc_id))
-            out["spans"].append(
-                [(s["kind"], s["text"], s["media_ref"], s["offset"])
-                 for s in spans]
-            )
-            out["n_pages"].append(n_pages)
-            out["n_bytes"].append(len(data))
-            out["error"].append(error)
-        yield pd.DataFrame(out)
+                        # textual lane: a NUL/control-dense payload is
+                        # not a document of either kind -> quarantine
+                        # (a torn-header PDF still routes above via
+                        # the magic-in-first-1KB scan)
+                        head = data[:4096]
+                        ctrl = sum(1 for b in head
+                                   if b < 9 or 13 < b < 32)
+                        if data and ctrl * 10 > len(head):
+                            spans, n_pages = [], 0
+                            error = ("unrecognized payload (binary, "
+                                     "no PDF magic)")
+                        else:
+                            try:
+                                textual = data.decode("utf-8")
+                            except UnicodeDecodeError:
+                                textual = data.decode("latin-1")
+                            res = html_to_spans(textual)
+                            spans, n_pages, error = res["spans"], 1, None
+                except Exception as exc:  # quarantine, never dead task
+                    spans, n_pages = [], 0
+                    error = f"{type(exc).__name__}: {exc}"[:500]
+                out["doc_id"].append(str(doc_id))
+                out["spans"].append(
+                    [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                     for s in spans]
+                )
+                out["n_pages"].append(n_pages)
+                out["n_bytes"].append(len(data))
+                out["error"].append(error)
+            yield pd.DataFrame(out)
+
+    return gen
 
 
-def extract_interleaved(raw: DataFrame) -> DataFrame:
+def extract_interleaved(
+    raw: DataFrame, content_type_col: str | None = None
+) -> DataFrame:
     """raw(doc_id, payload) -> documents_interleaved, where payload is
     a MIXED column: PDF bytes or HTML markup in the SAME table — the
     north rule's interleaved text+media corpus taken literally. One
@@ -297,9 +322,22 @@ def extract_interleaved(raw: DataFrame) -> DataFrame:
     extract_spans, so every downstream operator (dedup, quality,
     chunking, write-back) consumes both formats unchanged. Binary
     payloads with neither PDF magic nor textual structure quarantine
-    via the error column; the kernel never raises."""
-    return raw.select("doc_id", "payload").mapInPandas(
-        _interleaved_batches, schema=INTERLEAVED_SCHEMA
+    via the error column; the kernel never raises.
+
+    `content_type_col`: a declared upstream media type (the WARC HTTP
+    envelope's Content-Type) that OUTRANKS the byte sniff —
+    application/pdf forces the PDF lane, text/html the DOM lane; only
+    unlabeled payloads fall back to the magic scan (which itself
+    requires no '<' before the magic, see _sniff_is_pdf)."""
+    if content_type_col is None:
+        return raw.select("doc_id", "payload").mapInPandas(
+            _interleaved_batches_fn(False), schema=INTERLEAVED_SCHEMA
+        )
+    return raw.select(
+        "doc_id", "payload",
+        F.col(content_type_col).alias("content_type"),
+    ).mapInPandas(
+        _interleaved_batches_fn(True), schema=INTERLEAVED_SCHEMA
     )
 
 

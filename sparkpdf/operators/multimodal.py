@@ -2021,8 +2021,21 @@ def pixel_stats_policy(
     imgs = media.filter(F.col("modality") == "image").select(
         sniff_image_format(F.col("payload")).alias("fmt"), "payload"
     )
+
+    def probe(p, fmt):
+        # sniffable formats with NO pixel codec (webp, jp2) must get
+        # the explicit quarantined_no_codec row — _decode_image would
+        # return header-only meta instantly and the no-op "decode"
+        # would measure a bogus header-parse throughput, putting a
+        # never-decodable format into decode_formats (r8 review; the
+        # same mislabeling av_stats_policy fixed for mp3/vorbis/opus)
+        if fmt not in PIXEL_DECODABLE_FORMATS:
+            raise NotImplementedError(IMAGE_NO_CODEC_RATIONALE.get(
+                fmt, f"no pixel codec for sniffed format {fmt!r}"))
+        return _decode_image(p, pixel_formats={fmt})
+
     return _sample_decode_policy(
-        imgs, lambda p, fmt: _decode_image(p, pixel_formats={fmt}),
+        imgs, probe,
         sample_per_format, budget_core_seconds, min_mb_per_sec)
 
 
@@ -2144,6 +2157,14 @@ def sniff_av_format(payload_col) -> "F.Column":
 # verdict item 7): header metadata still flows (mp3_info / ogg_info
 # in _decode_audio), but a silent probe-pass would mislabel them
 # decode-able or header_only-by-cost, both wrong.
+IMAGE_NO_CODEC_RATIONALE = {
+    "webp": "VP8 boolean-arithmetic entropy decode / VP8L distance "
+            "table have no in-container conformance vectors; "
+            "dims/format/digest flow from webp_dims",
+    "jp2": "EBCOT/MQ entropy decode has no in-container conformance "
+           "vectors; dims/components/bit-depth flow from jp2_dims",
+}
+
 AV_NO_CODEC_RATIONALE = {
     "mp3": "MDCT+Huffman synthesis filterbank (ISO 11172-3) has no "
            "in-container conformance vectors; frame-walk metadata "

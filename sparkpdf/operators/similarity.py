@@ -667,6 +667,38 @@ def synthesize_clustered_embeddings(
     )
 
 
+def ivfpq_residual_build(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iters: int = 2,
+    m_sub: int = 4,
+    n_centroids: int = 8,
+    dim: int = 64,
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]":
+    """Train the IVFADC index once: coarse k-means, assignments,
+    6dp residuals, residual PQ codebooks and codes. Returns
+    (assigned, coarse_cents, resid, pq_cents, codes) — the reusable
+    index artifacts (ann_job --ivfpq-residual persists assigned /
+    pq_cents / codes) and the input ivfpq_residual_topk searches
+    with, so a job never trains the quantizer twice."""
+    sub_len = dim // m_sub
+    unit = with_unit_vectors(embeddings)
+    cents = _kmeans_centroids(unit, n_lists, n_iters)
+    assigned = _assign_to_centroids(unit, cents)
+    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            "unit", "cunit", lambda x, c: F.round(x - c, 6)
+        ).alias("rvec"),
+    )
+    pq_cents, codes = _pq_train(
+        _pq_subvectors(resid, "rvec", m_sub, sub_len),
+        n_centroids, n_iters,
+    )
+    return assigned, cents, resid, pq_cents, codes
+
+
 def ivfpq_residual_topk(
     embeddings: DataFrame,
     n_lists: int = 8,
@@ -676,6 +708,7 @@ def ivfpq_residual_topk(
     n_queries: int = 4,
     k: int = 3,
     dim: int = 64,
+    prebuilt: "tuple | None" = None,
 ) -> DataFrame:
     """Residual IVFPQ — the standard public IVFADC layout (Jegou,
     Douze, Schmid 2011): PQ codebooks are trained on and encode the
@@ -700,22 +733,16 @@ def ivfpq_residual_topk(
     reads m_sub ints per candidate plus the broadcast q x m x k LUT;
     full-precision vectors never join the corpus side. Determinism:
     6dp Lloyd rounding, 6dp residuals, fixed-order LUT sums. Returns
-    rank by (adc_dist2 asc, neighbor_id asc); score = adc_dist2."""
+    rank by (adc_dist2 asc, neighbor_id asc); score = adc_dist2.
+
+    `prebuilt`: the ivfpq_residual_build artifact tuple — pass it to
+    search against a quantizer trained once (ann_job persists the
+    index/codebooks/codes from the same build it searches with)."""
+    if prebuilt is None:
+        prebuilt = ivfpq_residual_build(
+            embeddings, n_lists, n_iters, m_sub, n_centroids, dim)
+    assigned, _cents, resid, pq_cents, codes = prebuilt
     sub_len = dim // m_sub
-    unit = with_unit_vectors(embeddings)
-    cents = _kmeans_centroids(unit, n_lists, n_iters)
-    assigned = _assign_to_centroids(unit, cents)
-    resid = assigned.join(F.broadcast(cents), "centroid_id").select(
-        "vec_id",
-        "centroid_id",
-        F.zip_with(
-            "unit", "cunit", lambda x, c: F.round(x - c, 6)
-        ).alias("rvec"),
-    )
-    pq_cents, codes = _pq_train(
-        _pq_subvectors(resid, "rvec", m_sub, sub_len),
-        n_centroids, n_iters,
-    )
     # query residual w.r.t. its own probed list — q - c_L exactly
     queries = resid.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -729,14 +756,12 @@ def ivfpq_residual_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
     )
-    qsubs = queries.select(
-        "query_id",
-        F.posexplode(
-            F.array(*[
-                F.slice("qres", s * sub_len + 1, sub_len)
-                for s in range(m_sub)
-            ])
-        ).alias("sub_id", "qsub"),
+    qsubs = _pq_subvectors(
+        queries.select(F.col("query_id").alias("vec_id"), "qres"),
+        "qres", m_sub, sub_len,
+    ).select(
+        F.col("vec_id").alias("query_id"), "sub_id",
+        F.col("sub").alias("qsub"),
     )
     # LUT entry: ||r_q_sub - cw||^2, rounded 6dp
     tab = qsubs.join(F.broadcast(pq_cents), "sub_id").select(

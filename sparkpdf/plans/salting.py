@@ -359,13 +359,18 @@ def plan_salted_partitions(
 
 
 def skew_report(pdf_raw: DataFrame, n_partitions: int,
-                payload_col: str = "pdf_bytes") -> dict:
+                payload_col: str = "pdf_bytes",
+                size_col: str | None = None) -> dict:
     """p99/median bytes per would-be partition — the BASELINE skew-guard
-    metric (target <= 2 after salting)."""
+    metric (target <= 2 after salting). `size_col`: a materialized
+    per-doc byte column (binaryFile's `length`, an ingest-time
+    n_bytes) — REQUIRED at scale, same reason as
+    plan_salted_partitions: F.length(payload) reads every payload."""
+    sz = F.col(size_col) if size_col else F.length(payload_col)
     per_part = (
         pdf_raw.withColumn("_p", F.pmod(F.hash("doc_id"), F.lit(n_partitions)))
         .groupBy("_p")
-        .agg(F.sum(F.length(payload_col)).alias("part_bytes"))
+        .agg(F.sum(sz).alias("part_bytes"))
     )
     row = per_part.agg(
         F.expr("percentile_approx(part_bytes, 0.99)").alias("p99"),

@@ -177,6 +177,24 @@ def test_html_to_spans_contract():
     )
     assert [(s["kind"], s["text"] or s["media_ref"]) for s in r["spans"]] \
         == [("text", "keep\n")]
+    # mid-block image: link-density is judged over the WHOLE block
+    # (identical drop decisions to the main-text lane), THEN the
+    # surviving block splits at the image into text/media/text
+    r = html_to_spans('<p>intro text <img src="fig.png"> outro</p>')
+    assert [(s["kind"], s["text"] or s["media_ref"]) for s in r["spans"]] \
+        == [("text", "intro text\n"), ("media_ref", "fig.png"),
+            ("text", "outro\n")]
+    # a nav-shaped block (anchor text > half) drops WITH its images —
+    # the base parser drops the same block, so decisions agree
+    r = html_to_spans(
+        '<p>x <img src="promo.png"> <a href="/l">a very long anchor '
+        "that dominates this block entirely</a></p>"
+    )
+    assert r["spans"] == []
+    from sparkpdf.kernels.html import extract_main_html as _emh
+    assert _emh(
+        '<p>x <img src="promo.png"> <a href="/l">a very long anchor '
+        "that dominates this block entirely</a></p>")["main_text"] == ""
     rng = random.Random(8)
     alphabet = "<>ab/&;# \"='pimgsrc" + "\x00"
     for _ in range(200):

@@ -973,6 +973,22 @@ def test_interleaved_extract_mixed_corpus(spark, docs):
     )
     (q,) = extract_interleaved(junk).collect()
     assert q.error is not None and q.spans == []
+    # sniff-misroute guard (r8 review): an HTML page QUOTING a PDF
+    # header must stay in the DOM lane (markup precedes the quoted
+    # magic), and a declared content type outranks the sniff entirely
+    quoting = ("<html><body><p>PDF files start with %PDF-1.7 "
+               "as their magic</p></body></html>").encode()
+    rows = spark.createDataFrame(
+        [Row(doc_id="q1", payload=quoting, content_type=None),
+         Row(doc_id="q2", payload=quoting,
+             content_type="Text/HTML; charset=utf-8")],
+        "doc_id string, payload binary, content_type string",
+    )
+    for r in extract_interleaved(
+            rows, content_type_col="content_type").collect():
+        assert r.error is None, r
+        assert [s.kind for s in r.spans] == ["text"], r
+        assert "magic" in r.spans[0].text
 
 
 def test_bounded_verify_matches_full_arrays(spark, docs):
@@ -2668,6 +2684,41 @@ def test_media_job_attachments_lane(spark, docs, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["av_policy"]["decode_formats"] == []
     assert s2["audio_rows"] == 0 and s2["video_frame_rows"] == 0
+
+
+def test_pixel_policy_no_codec_rationale_rows(spark):
+    """Round 8 review follow-up: sniffable IMAGE formats with no
+    pixel codec (webp, jp2) get explicit quarantined_no_codec policy
+    rows with their documented rationale — never a 'decode' decision
+    measured off the instant header-only no-op — while real codecs
+    (png) still measure and decode."""
+    from pyspark.sql import Row
+    from sparkpdf.operators.multimodal import (
+        IMAGE_NO_CODEC_RATIONALE,
+        pixel_stats_policy,
+    )
+    from sparkpdf.testing.imagegen import make_jp2, make_png, make_webp
+
+    rows = [
+        Row(doc_id="1", media_ref="m1", modality="image",
+            payload=make_webp(16, 8, "vp8")),
+        Row(doc_id="2", media_ref="m2", modality="image",
+            payload=make_jp2(16, 8)),
+        Row(doc_id="3", media_ref="m3", modality="image",
+            payload=make_png(8, 8)),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, modality string, "
+        "payload binary")
+    pol = pixel_stats_policy(media)
+    dec = {f: v["decision"] for f, v in pol["formats"].items()}
+    assert dec["webp"] == "quarantined_no_codec"
+    assert dec["jp2"] == "quarantined_no_codec"
+    assert dec["png"] == "decode"
+    for f in ("webp", "jp2"):
+        assert pol["formats"][f]["rationale"] == \
+            IMAGE_NO_CODEC_RATIONALE[f]
+        assert f not in pol["decode_formats"]
 
 
 def test_av_policy_no_codec_rationale_rows(spark):
