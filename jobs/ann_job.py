@@ -137,8 +137,15 @@ def main(argv=None):
         # the search all consume this lazy build — without the
         # persists each action re-runs the Lloyd pipelines (the
         # cache manager matches the persisted plan fragments)
+        # the two centroid frames are tiny but their LINEAGE is the
+        # whole Lloyd training — without their persists the coarse
+        # pipeline re-runs when resid fills and the PQ pipeline
+        # re-runs for the codebooks write, the codes fill AND the
+        # search's broadcast LUT (r8 review, second pass)
         assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+        cents = cents.persist(StorageLevel.MEMORY_AND_DISK)
         resid = resid.persist(StorageLevel.MEMORY_AND_DISK)
+        pq_cents = pq_cents.persist(StorageLevel.MEMORY_AND_DISK)
         codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
         for name, df in (
                 ("index", assigned.select("vec_id", "centroid_id")),

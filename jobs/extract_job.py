@@ -83,7 +83,8 @@ def main(argv=None):
     pdf_raw = spark.read.parquet(args.input)
     if not args.no_salting:
         report = skew_report(pdf_raw, args.batches,
-                             payload_col=payload_col)
+                             payload_col=payload_col,
+                             size_col=args.size_col)
         pdf_raw = plan_salted_partitions(
             pdf_raw,
             target_bytes=None if args.auto_target else args.target_bytes,

@@ -134,15 +134,22 @@ def main(argv=None, spark=None):
         # staging each of the n_batches slice jobs would gunzip and
         # re-parse the whole archive set to keep 1/n of the pages
         # (plus one more full demux for the quarantine count) — the
-        # dominant cost at whale-archive scale, run ~(n_batches+1)x
+        # dominant cost at whale-archive scale, run ~(n_batches+1)x.
+        # Stage TRIMMED (second-pass review): html only for rows the
+        # extraction will keep, so dropped/quarantined bodies don't
+        # double-store; the staging dir is deleted after the run.
         staged_dir = args.output.rstrip("/") + "/pages_staged"
-        demuxed.write.mode("overwrite").parquet(staged_dir)
+        keep = ("error IS NULL AND http_status = 200 "
+                "AND html IS NOT NULL")
+        demuxed.select(
+            "doc_id", "http_status", "content_type", "error",
+            F.when(F.expr(keep), F.col("html")).alias("html"),
+        ).write.mode("overwrite").parquet(staged_dir)
         staged = spark.read.parquet(staged_dir)
         n_warc_quarantined = staged.filter(
             "error IS NOT NULL").count()
-        pages = staged.filter(
-            "error IS NULL AND http_status = 200 AND html IS NOT NULL"
-        ).select("doc_id", "html")
+        pages = staged.filter("html IS NOT NULL").select(
+            "doc_id", "html")
     else:
         pages = spark.read.parquet(args.input)
     ck = CheckpointedExtraction(args.output, n_batches=args.batches)
@@ -168,6 +175,13 @@ def main(argv=None, spark=None):
     }
     if n_warc_quarantined is not None:
         summary["warc_quarantined"] = n_warc_quarantined
+        # the staging dir served its one purpose (single demux pass);
+        # drop it so the output dataset doesn't carry the page corpus
+        # twice — Hadoop FS API so non-local outputs work too
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            args.output.rstrip("/") + "/pages_staged")
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
     print(json.dumps(summary))
     if owns_spark:
         spark.stop()

@@ -13,6 +13,7 @@ columns/partitions upstream because the input is a plain DataFrame scan.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -239,14 +240,27 @@ def _synth_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
+# markup shapes that identify an HTML prefix ahead of a quoted
+# %PDF- magic: every real page opens with one of these long before
+# any quoted PDF header, while torn-PDF junk (dict '<<' tokens, hex
+# strings '<A0B1>', random bytes) does not form them
+_HTML_PREFIX = re.compile(
+    rb"(?i)<(?:!doctype|!--|html|head|body|meta|title|script|style|"
+    rb"div|span|article|section|nav|header|footer|table|ul|ol|li|"
+    rb"img|br|p[\s>]|a\s)"
+)
+
+
 def _sniff_is_pdf(data: bytes) -> bool:
     """PDF iff the %PDF- magic appears in the first KB (the reference
-    tolerates leading junk there) with NO '<' before it: an HTML page
-    QUOTING a PDF header has markup ahead of the quoted magic, while
-    torn-header PDFs carry binary junk — routing on the raw substring
-    misclassified such pages (r8 review finding)."""
+    tolerates leading junk there) and the bytes BEFORE it are not
+    markup-shaped: an HTML page QUOTING a PDF header has real tags
+    ahead of the quoted magic, while torn-header PDF junk may contain
+    stray '<' bytes (dict tokens, hex strings) but not tag forms —
+    a bare any-'<' guard silently sent torn PDFs to the DOM lane
+    (r8 review findings, both directions)."""
     idx = data[:1024].find(b"%PDF-")
-    return idx >= 0 and b"<" not in data[:idx]
+    return idx >= 0 and not _HTML_PREFIX.search(data[:idx])
 
 
 def _interleaved_batches_fn(with_ctype: bool):
@@ -262,9 +276,13 @@ def _interleaved_batches_fn(with_ctype: bool):
             for doc_id, blob, ctype in zip(
                     pdf["doc_id"], pdf["payload"], ctypes):
                 data = bytes(blob) if blob is not None else b""
-                base = ((ctype or "").split(";")[0].strip().lower()
-                        if ctype is not None else "")
                 try:
+                    # inside the try: a non-string/NaN content_type
+                    # must quarantine the ROW, never kill the task
+                    # (invariant 2)
+                    base = (str(ctype).split(";")[0].strip().lower()
+                            if isinstance(ctype, str) and ctype
+                            else "")
                     # a declared upstream content type (e.g. the WARC
                     # HTTP envelope) outranks the byte sniff
                     if base == "application/pdf" or (

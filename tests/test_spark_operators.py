@@ -989,6 +989,20 @@ def test_interleaved_extract_mixed_corpus(spark, docs):
         assert r.error is None, r
         assert [s.kind for s in r.spans] == ["text"], r
         assert "magic" in r.spans[0].text
+    # ...and the converse (second review pass): a torn-header PDF
+    # whose leading junk contains stray '<' bytes (dict tokens, hex
+    # strings) must STILL route to the PDF lane — only markup-shaped
+    # prefixes mean HTML
+    from sparkpdf.testing.pdfgen import doc_to_pdf
+
+    torn = b"\x00<<junk /Len 4 <A0B1> \xff" + doc_to_pdf("torn doc")
+    (t,) = extract_interleaved(
+        spark.createDataFrame([Row(doc_id="t1", payload=torn)],
+                              "doc_id string, payload binary")
+    ).collect()
+    assert t.error is None
+    assert any(s.kind == "text" and "torn doc" in s.text
+               for s in t.spans), t
 
 
 def test_bounded_verify_matches_full_arrays(spark, docs):
