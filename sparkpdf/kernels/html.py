@@ -19,6 +19,8 @@ layer catches everything and emits NULL main_text for poison inputs.
 from __future__ import annotations
 
 import html as _htmlmod
+import os as _os
+import re as _re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
@@ -159,15 +161,185 @@ class _SpanParser(_MainTextParser):
         super().handle_starttag(tag, attrs)
 
 
+# --- fast event scanner ------------------------------------------------------
+#
+# stdlib html.parser spends ~70% of the HTML lane's kernel time in
+# goahead/parse_starttag/updatepos bookkeeping (line-position tracking,
+# incremental-feed buffering) that a whole-string batch kernel never
+# needs. _fast_events tokenizes the COMMON well-formed shape with three
+# compiled regexes and yields the exact handler-event stream
+# HTMLParser(convert_charrefs=True).feed(s); close() would produce —
+# including the one-data-call-per-segment chunking that the
+# link-density arithmetic depends on — and returns None (bail) on ANY
+# construct it is not certain it tokenizes stdlib-identically
+# (malformed tags, marked sections, unterminated comments, tag-soup
+# attr runs). Callers fall back to a fresh stdlib-driven parse, so the
+# fast path can never change a single output row; parity is pinned by
+# tests/test_html_fast.py's differential event-stream suite.
+
+_FAST_DISABLED = _os.environ.get("SPARKPDF_HTML_FAST", "1") == "0"
+
+# tag name exactly as stdlib tagfind_tolerant's leading form; attr
+# syntax is a strict SUBSET of attrfind_tolerant (leading whitespace
+# required, names can't start with quote/=, unquoted values can't
+# start with a quote) — anything outside the subset fails the match
+# and bails to stdlib rather than risking a divergent parse
+_F_STARTTAG = _re.compile(
+    r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
+    r"((?:\s+[^\s/>=\"'][^\s/=>]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?)*)"
+    r"\s*(/?)>"
+)
+_F_ATTR = _re.compile(
+    r"\s+([^\s/>=\"'][^\s/=>]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?"
+)
+_F_ENDTAG = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_F_COMMENT_CLOSE = _re.compile(r"--\s*>")  # stdlib _markupbase.Marked...
+_F_CDATA_CLOSE = {
+    elem: _re.compile(r"</\s*%s" % elem, _re.IGNORECASE)
+    for elem in ("script", "style")
+}
+_unescape = _htmlmod.unescape
+
+# event kinds: (0, data) (1, tag, attrs) (2, tag) (3, tag, attrs)
+_EV_DATA, _EV_START, _EV_END, _EV_STARTEND = 0, 1, 2, 3
+
+
+def _fast_events(raw: str):
+    """Tokenize `raw` into the stdlib-identical event list, or None to
+    signal the caller to fall back to html.parser."""
+    if _FAST_DISABLED:
+        return None
+    events = []
+    add = events.append
+    i = 0
+    n = len(raw)
+    find = raw.find
+    while i < n:
+        j = find("<", i)
+        if j < 0:
+            add((_EV_DATA, _unescape(raw[i:])))
+            break
+        if i < j:
+            add((_EV_DATA, _unescape(raw[i:j])))
+        i = j
+        c = raw[j + 1] if j + 1 < n else ""
+        if c == "/":
+            m = _F_ENDTAG.match(raw, i)
+            if m is None:
+                return None  # tag-soup end tag -> stdlib
+            add((_EV_END, m.group(1).lower()))
+            i = m.end()
+        elif c.isalpha():
+            m = _F_STARTTAG.match(raw, i)
+            if m is None:
+                return None  # malformed/unsupported start tag
+            tag = m.group(1).lower()
+            rawattrs = m.group(2)
+            if rawattrs:
+                attrs = []
+                for am in _F_ATTR.finditer(rawattrs):
+                    v = am.group(2)
+                    if v is not None:
+                        if v[0] in "\"'":
+                            v = v[1:-1]
+                        v = _unescape(v)
+                    attrs.append((am.group(1).lower(), v))
+            else:
+                attrs = []
+            i = m.end()
+            if m.group(3):
+                add((_EV_STARTEND, tag, attrs))
+            elif tag in _F_CDATA_CLOSE:
+                # CDATA content element: raw data (no unescape) up to
+                # the matching close candidate, exactly as
+                # set_cdata_mode/goahead chunk it
+                cm = _F_CDATA_CLOSE[tag].search(raw, i)
+                if cm is None:
+                    # unclosed cdata: stdlib DROPS the tail silently —
+                    # defer to it rather than encode that quirk here
+                    return None
+                em = _F_ENDTAG.match(raw, cm.start())
+                if em is None or em.group(1).lower() != tag:
+                    return None  # close candidate isn't a clean end tag
+                add((_EV_START, tag, attrs))
+                if i < cm.start():
+                    add((_EV_DATA, raw[i:cm.start()]))
+                add((_EV_END, tag))
+                i = em.end()
+            else:
+                add((_EV_START, tag, attrs))
+        elif c == "!":
+            if raw.startswith("<!--", i):
+                cm = _F_COMMENT_CLOSE.search(raw, i + 4)
+                if cm is None:
+                    return None  # unterminated comment
+                i = cm.end()  # handle_comment is a no-op everywhere here
+            elif raw.startswith("<![", i):
+                return None  # marked section -> stdlib
+            elif raw[i:i + 9].lower() == "<!doctype":
+                g = find(">", i + 9)
+                if g < 0:
+                    return None
+                i = g + 1  # handle_decl is a no-op
+            else:
+                g = find(">", i + 2)
+                if g < 0:
+                    return None
+                i = g + 1  # bogus comment, handle_comment no-op
+        elif c == "?":
+            g = find(">", i + 2)
+            if g < 0:
+                return None
+            i = g + 1  # handle_pi is a no-op
+        else:
+            # bare '<' (stdlib emits it as its own data call)
+            add((_EV_DATA, "<"))
+            i += 1
+    return events
+
+
+def _replay(events, parser) -> None:
+    """Dispatch a _fast_events list into an HTMLParser subclass."""
+    data = parser.handle_data
+    start = parser.handle_starttag
+    end = parser.handle_endtag
+    startend = parser.handle_startendtag
+    for ev in events:
+        k = ev[0]
+        if k == 0:
+            data(ev[1])
+        elif k == 1:
+            start(ev[1], ev[2])
+        elif k == 2:
+            end(ev[1])
+        else:
+            startend(ev[1], ev[2])
+
+
+def _drive(parser_factory, raw: str, events=...):
+    """Run one parser over `raw` via the fast scanner, stdlib fallback.
+    Pass a precomputed `events` list/None to share one tokenization
+    across several parsers."""
+    if events is ...:
+        events = _fast_events(raw)
+    p = parser_factory()
+    if events is None:
+        p.feed(raw)
+        p.close()
+    else:
+        _replay(events, p)
+    return p
+
+
 def html_to_spans(html_text: str) -> dict:
     """HTML -> {spans, title}: ordered (kind, text, media_ref) spans
     with offsets contiguous from 0 (invariant 4) — one shape for the
     interleaved-corpus extractor regardless of source format. Never
     raises on parser-tolerable input; the operator layer quarantines
     anything else."""
-    p = _SpanParser()
-    p.feed(html_text or "")
-    p.close()
+    p = _drive(_SpanParser, html_text or "")
     _, title = p.result()  # result() flushes the trailing open block
     return {
         "spans": [dict(s, offset=i) for i, s in enumerate(p.spans)],
@@ -178,9 +350,7 @@ def html_to_spans(html_text: str) -> dict:
 def extract_main_html(html_text: str) -> dict:
     """HTML -> {main_text, title}. Never raises on parser-tolerable
     input; the operator layer quarantines anything else."""
-    p = _MainTextParser()
-    p.feed(html_text or "")
-    p.close()
+    p = _drive(_MainTextParser, html_text or "")
     main_text, title = p.result()
     return {"main_text": main_text, "title": title}
 
@@ -369,10 +539,23 @@ def parse_webpage(html_text: str) -> dict:
     charset, links[], headings[], tables[]} in one DOM pass. Never
     raises on parser-tolerable input; the operator layer quarantines
     anything else."""
-    p = _WebFeatureParser()
-    p.feed(html_text or "")
-    p.close()
+    p = _drive(_WebFeatureParser, html_text or "")
     return p.result()
+
+
+def parse_web_doc(html_text: str) -> "tuple[dict, dict]":
+    """extract_main_html + parse_webpage over ONE tokenization — the
+    production web lane (extract_web_docs) previously ran the stdlib
+    tokenizer twice per page; the event list is scanned once and
+    replayed into both parsers (outputs identical by construction,
+    stdlib fallback shares the same guarantee by feeding each parser
+    directly)."""
+    raw = html_text or ""
+    events = _fast_events(raw)
+    main = _drive(_MainTextParser, raw, events)
+    feats = _drive(_WebFeatureParser, raw, events)
+    main_text, title = main.result()
+    return {"main_text": main_text, "title": title}, feats.result()
 
 
 def synthesize_html(doc_id: int, text: str) -> str:

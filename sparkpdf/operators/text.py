@@ -627,7 +627,7 @@ def extract_web_docs(pages: DataFrame) -> DataFrame:
     import pandas as pd
 
     def gen(batches: "Iterator[pd.DataFrame]"):
-        from ..kernels.html import extract_main_html, parse_webpage
+        from ..kernels.html import parse_web_doc
 
         meta_cols = ("lang", "canonical", "description", "robots",
                      "og_title", "charset")
@@ -642,8 +642,8 @@ def extract_web_docs(pages: DataFrame) -> DataFrame:
                 out["doc_id"].append(str(doc_id))
                 out["n_bytes"].append(len(raw.encode("utf-8")))
                 try:
-                    main = extract_main_html(raw)
-                    feats = parse_webpage(raw)
+                    # one tokenization feeds both parsers (round 9)
+                    main, feats = parse_web_doc(raw)
                     err = None
                 except Exception as exc:  # quarantine, never raise
                     main = feats = None
