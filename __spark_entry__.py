@@ -34,9 +34,12 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sparkpdf.operators.extract import extract_spans
+    # round 9: fused synth+extract — one python-runner layer, PDF bytes
+    # never cross Arrow; row-identical to
+    # extract_spans(_corpus(...)) (tests/test_fused_extract.py)
+    from sparkpdf.operators.extract import synthesize_and_extract_spans
 
-    return extract_spans(_corpus(spark, sf_dir))
+    return synthesize_and_extract_spans(_t(spark, sf_dir, "documents"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1027,9 +1030,10 @@ def q_insert_page(spark, sf_dir):
 
 
 def q_extract_stats(spark, sf_dir):
-    from sparkpdf.operators.extract import extract_stats
+    # round 9: fused synth+stats — one python layer, scalars-only IPC
+    from sparkpdf.operators.extract import synthesize_and_extract_stats
 
-    return extract_stats(_corpus(spark, sf_dir)).select(
+    return synthesize_and_extract_stats(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "n_pages",
         "n_text",

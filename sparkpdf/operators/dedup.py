@@ -58,7 +58,7 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = 4) -> DataFrame:
     dropped (matching explode semantics and the unnest-based oracle).
     The repartition spreads the md5 work across the cluster (a small
     scan otherwise arrives as 1-2 tasks)."""
-    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
     toks = F.array_distinct(_norm_tokens("text"))
     def _sig(i):
         # NB: the lambda must stay single-arg — F.transform treats a
@@ -203,7 +203,7 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
     Bits are read from the hex digest nibble-wise so the DuckDB oracle
     can reproduce them without hex->int casts."""
-    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
     toks = documents.repartition(n_parts, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_norm_tokens("text")).alias("tok"),
@@ -588,7 +588,7 @@ def simhash_bands(
     16-bit join key (cardinality 2^16, uniform by construction)."""
     total_bits = n_bands * band_bits
     assert total_bits <= 128  # md5 budget
-    n_parts = documents.sparkSession.sparkContext.defaultParallelism * 2
+    n_parts = documents.sparkSession.sparkContext.defaultParallelism
     toks = documents.repartition(n_parts, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_norm_tokens("text")).alias("tok"),

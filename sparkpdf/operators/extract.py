@@ -158,6 +158,144 @@ def _extract_batches_arrow_fn(password: bytes = b""):
     return gen
 
 
+def synthesize_and_extract_spans(
+    documents: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """Fused synthesize_pdf_corpus + extract_spans in ONE mapInArrow
+    layer (round 9): row-identical to
+    extract_spans(synthesize_pdf_corpus(documents)) — pinned by
+    tests/test_fused_extract.py and the extract_spans oracle — but the
+    synthesized PDF bytes never cross the Arrow boundary and the
+    pipeline pays ONE python-runner layer instead of two chained ones
+    (each (task x runner) costs a measured ~6 ms serialized worker
+    handshake; at 32 tasks that is ~0.2 s of wall per layer)."""
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+    if n_partitions is None:
+        n_partitions = documents.sparkSession.sparkContext.defaultParallelism
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..kernels.extract import extract_doc
+        from ..testing.pdfgen import doc_to_pdf
+
+        for rb in batches:
+            out_ids = []
+            kinds: list = []
+            texts: list = []
+            mrefs: list = []
+            offs: list = []
+            list_offsets = [0]
+            n_pages = []
+            n_bytes = []
+            errors = []
+            for doc_id, text in zip(rb.column(0), rb.column(1)):
+                d = str(doc_id)
+                data = doc_to_pdf(
+                    text.as_py() if text.is_valid else "",
+                    n_media=1,
+                    title=f"doc-{d}",
+                )
+                res = extract_doc(data)
+                out_ids.append(d)
+                for s in res["spans"]:
+                    kinds.append(s["kind"])
+                    texts.append(s["text"])
+                    mrefs.append(s["media_ref"])
+                    offs.append(s["offset"])
+                list_offsets.append(len(kinds))
+                n_pages.append(res["n_pages"])
+                n_bytes.append(len(data))
+                errors.append(res["error"])
+            spans = pa.ListArray.from_arrays(
+                pa.array(list_offsets, type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [
+                        pa.array(kinds, type=pa.string()),
+                        pa.array(texts, type=pa.string()),
+                        pa.array(mrefs, type=pa.string()),
+                        pa.array(offs, type=pa.int32()),
+                    ],
+                    names=["kind", "text", "media_ref", "offset"],
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    spans,
+                    pa.array(n_pages, type=pa.int32()),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(errors, type=pa.string()),
+                ],
+                names=["doc_id", "spans", "n_pages", "n_bytes", "error"],
+            )
+
+    return docs.repartition(n_partitions, "doc_id").mapInArrow(
+        gen, schema=INTERLEAVED_SCHEMA
+    )
+
+
+def synthesize_and_extract_stats(
+    documents: DataFrame, n_partitions: int | None = None
+) -> DataFrame:
+    """Fused synthesize_pdf_corpus + extract_stats (round 9): one
+    python-runner layer, and NEITHER the PDF bytes NOR the span text
+    ever cross Arrow — the output is five scalars per doc. Row-identical
+    to extract_stats(synthesize_pdf_corpus(documents))."""
+    docs = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+    if n_partitions is None:
+        n_partitions = documents.sparkSession.sparkContext.defaultParallelism
+
+    def gen(batches):
+        import pyarrow as pa
+
+        from ..kernels.extract import extract_doc
+        from ..testing.pdfgen import doc_to_pdf
+
+        for rb in batches:
+            out = {k.name: [] for k in STATS_SCHEMA.fields}
+            for doc_id, text in zip(rb.column(0), rb.column(1)):
+                d = str(doc_id)
+                data = doc_to_pdf(
+                    text.as_py() if text.is_valid else "",
+                    n_media=1,
+                    title=f"doc-{d}",
+                )
+                res = extract_doc(data)
+                n_text = sum(
+                    1 for s in res["spans"] if s["kind"] == "text")
+                out["doc_id"].append(d)
+                out["n_pages"].append(res["n_pages"])
+                out["n_text"].append(n_text)
+                out["n_media"].append(len(res["spans"]) - n_text)
+                out["n_chars"].append(
+                    sum(len(s["text"] or "") for s in res["spans"]
+                        if s["kind"] == "text")
+                )
+                out["n_bytes"].append(len(data))
+                out["error"].append(res["error"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["doc_id"], type=pa.string()),
+                    pa.array(out["n_pages"], type=pa.int32()),
+                    pa.array(out["n_text"], type=pa.int32()),
+                    pa.array(out["n_media"], type=pa.int32()),
+                    pa.array(out["n_chars"], type=pa.int64()),
+                    pa.array(out["n_bytes"], type=pa.int64()),
+                    pa.array(out["error"], type=pa.string()),
+                ],
+                names=[f.name for f in STATS_SCHEMA.fields],
+            )
+
+    return docs.repartition(n_partitions, "doc_id").mapInArrow(
+        gen, schema=STATS_SCHEMA
+    )
+
+
 def extract_spans(pdf_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """pdf_raw(doc_id, pdf_bytes, ...) -> documents_interleaved.
     `password` decrypts standard-security-handler docs (C3)."""
@@ -375,7 +513,7 @@ def synthesize_interleaved_corpus(
     )
     if n_partitions is None:
         spark = documents.sparkSession
-        n_partitions = spark.sparkContext.defaultParallelism * 2
+        n_partitions = spark.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..kernels.html import synthesize_interleaved_html
@@ -410,13 +548,20 @@ def synthesize_pdf_corpus(
     Repartitions BEFORE the kernel: a small parquet scan arrives as 1-2
     tasks, which would serialize the per-doc Python work — the explicit
     shuffle buys full-cluster parallelism for the expensive stage.
+
+    n_partitions defaults to 1x defaultParallelism (round 9): each
+    (task x python-runner) pays a measured ~6 ms serialized worker
+    handshake, so 2x parallelism doubled that convoy for zero balance
+    gain on a uniform synthesized corpus (64 -> 32 tasks halved
+    q_extract_spans wall). Skewed REAL corpora should size partitions
+    with plans/salting.py, not this default.
     """
     docs = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
     )
     if n_partitions is None:
         spark = documents.sparkSession
-        n_partitions = spark.sparkContext.defaultParallelism * 2
+        n_partitions = spark.sparkContext.defaultParallelism
     return docs.repartition(n_partitions, "doc_id").mapInPandas(
         _synth_batches, schema=PDF_RAW_SCHEMA
     )
@@ -446,7 +591,7 @@ def synthesize_paged_corpus(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
     )
     if n_partitions is None:
-        n_partitions = documents.sparkSession.sparkContext.defaultParallelism * 2
+        n_partitions = documents.sparkSession.sparkContext.defaultParallelism
     return docs.repartition(n_partitions, "doc_id").mapInPandas(
         _synth_paged_batches(n_pages), schema=PDF_RAW_SCHEMA
     )
