@@ -24,6 +24,10 @@ import re as _re
 from html.parser import HTMLParser
 from typing import List, Optional, Tuple
 
+# printable-ASCII sanitizer for the corpus generators (round 9):
+# byte-identical to the old per-char genexpr, C-speed
+_NONPRINTABLE = _re.compile(r"[^ -~]")
+
 _DROP_ENTIRELY = {"script", "style", "noscript", "template"}
 _BOILERPLATE = {"nav", "header", "footer", "aside", "form"}
 _BLOCK = {
@@ -563,7 +567,7 @@ def synthesize_html(doc_id: int, text: str) -> str:
     real boilerplate (nav with links, header/footer, script/style, a
     link-dense related-articles div) that the extractor must strip,
     leaving exactly the planted paragraphs."""
-    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    printable = _NONPRINTABLE.sub("?", text)
     body = _htmlmod.escape(printable)
     return (
         "<!DOCTYPE html><html><head>"
@@ -589,7 +593,7 @@ def synthesize_interleaved_html(doc_id: int, text: str) -> str:
     and the usual boilerplate (nav links, header h1, script, footer)
     the extractor must strip. Span contract: exactly
     [text(lead), media_ref(img-{d}), text('closing paragraph {d}')]."""
-    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    printable = _NONPRINTABLE.sub("?", text)
     body = _htmlmod.escape(printable)
     return (
         "<!DOCTYPE html><html><head>"
@@ -630,7 +634,7 @@ def synthesize_webpage(doc_id: int, text: str) -> str:
     d = int(doc_id)
     lang = ("en", "de", "fr", "es", "it")[d % 5]
     robots = "noindex,nofollow" if d % 7 == 0 else "index,follow"
-    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    printable = _NONPRINTABLE.sub("?", text)
     body = _htmlmod.escape(printable)
     parts = [
         f'<!DOCTYPE html><html lang="{lang}"><head>',

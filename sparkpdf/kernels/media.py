@@ -2370,13 +2370,23 @@ def flac_info(b: bytes) -> Optional[dict]:
 class _FlacBitR:
     """MSB-first bit reader over a bytes buffer (FLAC frame decode).
     Raises ValueError past EOF — callers quarantine via the stats
-    wrapper's None contract."""
+    wrapper's None contract. `bits` lazily caches the np.unpackbits
+    view of the buffer for the vectorized bulk reads (round 9)."""
 
-    __slots__ = ("b", "pos")
+    __slots__ = ("b", "pos", "bits")
 
     def __init__(self, b: bytes, bytepos: int = 0):
         self.b = b
         self.pos = bytepos * 8
+        self.bits = None
+
+    def bit_array(self):
+        if self.bits is None:
+            import numpy as np
+
+            self.bits = np.unpackbits(
+                np.frombuffer(self.b, dtype=np.uint8))
+        return self.bits
 
     def read(self, n: int) -> int:
         # one int.from_bytes over the covered span (round 7 — the
@@ -2459,24 +2469,60 @@ def _flac_crc8(data: bytes) -> int:
     return c
 
 
-def _flac_crc16(data: bytes) -> int:
-    """CRC-16 poly 0x8005, table-driven (same hotspot class; 24% of
-    a representative decode wall before the table)."""
+def _flac_crc16_byte(data: bytes, c: int = 0) -> int:
+    """CRC-16 poly 0x8005, byte-at-a-time (reference form; also the
+    tail handler for the sliced fast path)."""
+    tbl = _flac_crc16_tables()[0]
+    for byte in data:
+        c = ((c << 8) & 0xFF00) ^ tbl[(c >> 8) ^ byte]
+    return c
+
+
+def _flac_crc16_tables():
+    """T[k][v] = CRC-16/0x8005 of byte v followed by k zero bytes —
+    the slice-by-8 tables (CRC is GF(2)-linear, so eight lookups fold
+    eight bytes per loop iteration)."""
     global _FLAC_CRC16_TABLE
     if _FLAC_CRC16_TABLE is None:
-        tbl = []
+        t0 = []
         for i in range(256):
             c = i << 8
             for _ in range(8):
                 c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
                     else (c << 1) & 0xFFFF
-            tbl.append(c)
-        _FLAC_CRC16_TABLE = tbl
+            t0.append(c)
+        tables = [t0]
+        for _ in range(7):
+            prev = tables[-1]
+            tables.append(
+                [((v << 8) & 0xFF00) ^ t0[v >> 8] for v in prev])
+        _FLAC_CRC16_TABLE = tables
+    return _FLAC_CRC16_TABLE
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005 over every frame byte — slice-by-8
+    (round 9: the per-byte loop was 20% of a representative decode
+    wall after the residual vectorization; eight table lookups per 8
+    bytes cut the python iteration count 8x). Value-identical to the
+    byte-at-a-time form (differential test)."""
+    n8 = len(data) - (len(data) & 7)
+    t7, t6, t5, t4, t3, t2, t1, t0 = _flac_crc16_tables()[::-1]
     c = 0
-    tbl = _FLAC_CRC16_TABLE
-    for byte in data:
-        c = ((c << 8) & 0xFF00) ^ tbl[(c >> 8) ^ byte]
-    return c
+    i = 0
+    while i < n8:
+        c = (
+            t7[data[i] ^ (c >> 8)]
+            ^ t6[data[i + 1] ^ (c & 0xFF)]
+            ^ t5[data[i + 2]]
+            ^ t4[data[i + 3]]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
+    return _flac_crc16_byte(data[n8:], c)
 
 
 _FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
@@ -2484,9 +2530,34 @@ _FLAC_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
 _FLAC_DEPTHS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+def _flac_bulk_read(r: _FlacBitR, positions, width: int):
+    """Vectorized fixed-width UNSIGNED reads (round 9): gather the
+    `width` bits at each start position from the unpacked bit array
+    and fold with a power-of-two dot product. Exact for width <= 62."""
+    import numpy as np
+
+    bits = r.bit_array()
+    idx = positions[:, None] + np.arange(width, dtype=np.int64)
+    w = np.left_shift(
+        np.int64(1), np.arange(width - 1, -1, -1, dtype=np.int64))
+    return bits[idx].astype(np.int64) @ w
+
+
+def _flac_signed(u, width: int):
+    """Two's-complement sign extension, vectorized (matches sread)."""
+    return u - ((u >> (width - 1)) << width)
+
+
 def _flac_residual(r: _FlacBitR, order: int, block_size: int):
     """Coded residual: 2-bit method (0: 4-bit rice params, 1: 5-bit),
-    4-bit partition order, rice or escaped-raw partitions."""
+    4-bit partition order, rice or escaped-raw partitions. Returns an
+    np.int64 array (round 9): the unary scan stays a lean byte loop
+    (sequential by nature) but records terminator positions only; the
+    fixed-width low fields, zigzag fold and escaped-raw partitions
+    decode vectorized. Value-identical to the fused scalar loop it
+    replaces (tests/test_flac_vec.py differential suite)."""
+    import numpy as np
+
     method = r.read(2)
     if method > 1:
         raise ValueError("flac: reserved residual method")
@@ -2495,7 +2566,7 @@ def _flac_residual(r: _FlacBitR, order: int, block_size: int):
     p = r.read(4)
     if block_size % (1 << p):
         raise ValueError("flac: partition order does not divide block")
-    resid = []
+    parts = []
     for part in range(1 << p):
         n = block_size // (1 << p) - (order if part == 0 else 0)
         if n < 0:
@@ -2504,51 +2575,92 @@ def _flac_residual(r: _FlacBitR, order: int, block_size: int):
         if param == esc:
             raw = r.read(5)
             if raw:
-                resid.extend(r.sread(raw) for _ in range(n))
-            else:  # 0-bit escape: all-zero residuals
-                resid.extend([0] * n)
-        else:
-            # fused rice loop (round 7 perf): unary + param-bit read
-            # against local buffer state — two method calls per
-            # residual were the remaining measured hotspot
-            b = r.b
-            pos = r.pos
-            nbits = len(b) * 8
-            mask = (1 << param) - 1
-            append = resid.append
-            for _ in range(n):
-                q = 0
-                while True:
-                    if pos >= nbits:
-                        raise ValueError("flac: bitstream truncated")
-                    rem = 8 - (pos & 7)
-                    bits = b[pos >> 3] & ((1 << rem) - 1)
-                    if bits:
-                        lead = rem - bits.bit_length()
-                        q += lead
-                        pos += lead + 1
-                        break
-                    q += rem
-                    pos += rem
-                    if q > 1 << 20:  # corrupt zero-fill
-                        raise ValueError("flac: runaway unary code")
-                end = pos + param
-                if end > nbits:
+                pos = r.pos
+                end = pos + raw * n
+                if end > len(r.b) * 8:
                     raise ValueError("flac: bitstream truncated")
-                hi = (end + 7) >> 3
-                u = (q << param) | (
-                    (int.from_bytes(b[pos >> 3:hi], "big")
-                     >> ((hi << 3) - end)) & mask)
-                pos = end
-                append((u >> 1) ^ -(u & 1))
-            r.pos = pos
-    return resid
+                r.pos = end
+                starts = pos + raw * np.arange(n, dtype=np.int64)
+                parts.append(
+                    _flac_signed(_flac_bulk_read(r, starts, raw), raw))
+            else:  # 0-bit escape: all-zero residuals
+                parts.append(np.zeros(n, dtype=np.int64))
+            continue
+        # lean unary walk: find each terminator, skip the param bits
+        b = r.b
+        pos = r.pos
+        nbits = len(b) * 8
+        qs = []
+        terms = []
+        q_append = qs.append
+        t_append = terms.append
+        for _ in range(n):
+            q = 0
+            while True:
+                if pos >= nbits:
+                    raise ValueError("flac: bitstream truncated")
+                rem = 8 - (pos & 7)
+                bits = b[pos >> 3] & ((1 << rem) - 1)
+                if bits:
+                    lead = rem - bits.bit_length()
+                    q += lead
+                    pos += lead + 1
+                    break
+                q += rem
+                pos += rem
+                if q > 1 << 20:  # corrupt zero-fill
+                    raise ValueError("flac: runaway unary code")
+            q_append(q)
+            t_append(pos)
+            pos += param
+        if pos > nbits:
+            raise ValueError("flac: bitstream truncated")
+        r.pos = pos
+        u = np.array(qs, dtype=np.int64)
+        if param:
+            u = (u << param) | _flac_bulk_read(
+                r, np.array(terms, dtype=np.int64), param)
+        parts.append((u >> 1) ^ -(u & 1))
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
+def _flac_fixed_reconstruct(warmup, res, order: int, block_size: int):
+    """FIXED-predictor reconstruction as `order` nested integer
+    cumsums (round 9): the residual IS the order-th finite difference
+    of the signal, so x rebuilds exactly from the warmup difference
+    table + cumsum — in int64, gated by an a-priori magnitude bound so
+    overflow is impossible on the vector path; anything near the bound
+    falls back to the exact scalar loop. Returns None to request the
+    fallback."""
+    import numpy as np
+
+    if res.size == 0:
+        return np.array(warmup, dtype=np.int64)
+    mv = int(np.abs(res).max())
+    rows = list(warmup)
+    lasts = [rows[-1]]
+    maxw = max(abs(v) for v in rows)
+    for _ in range(1, order):
+        rows = [rows[t + 1] - rows[t] for t in range(len(rows) - 1)]
+        lasts.append(rows[-1])
+        maxw = max(maxw, max(abs(v) for v in rows))
+    if (mv + maxw + 1) * (block_size + 1) ** order >= 1 << 62:
+        return None
+    tail = res
+    for j in range(order - 1, -1, -1):
+        tail = lasts[j] + np.cumsum(tail)
+    return np.concatenate([np.array(warmup, dtype=np.int64), tail])
 
 
 def _flac_subframe(r: _FlacBitR, depth: int, block_size: int):
-    """One subframe -> list of block_size ints at `depth` bits
-    (before stereo undecorrelation). CONSTANT / VERBATIM / FIXED 0-4 /
-    LPC, with the wasted-bits shift applied."""
+    """One subframe -> np.int64 array of block_size samples at `depth`
+    bits (before stereo undecorrelation). CONSTANT / VERBATIM /
+    FIXED 0-4 / LPC, with the wasted-bits shift applied. Round 9:
+    VERBATIM reads and FIXED reconstruction are vectorized (exact —
+    see _flac_fixed_reconstruct's overflow gate); LPC keeps the scalar
+    recurrence (the quantized shift makes it genuinely sequential)."""
+    import numpy as np
+
     if r.read(1):
         raise ValueError("flac: subframe pad bit set")
     stype = r.read(6)
@@ -2559,20 +2671,32 @@ def _flac_subframe(r: _FlacBitR, depth: int, block_size: int):
     if d <= 0:
         raise ValueError("flac: wasted bits exceed depth")
     if stype == 0:
-        x = [r.sread(d)] * block_size
+        x = np.full(block_size, r.sread(d), dtype=np.int64)
     elif stype == 1:
-        x = [r.sread(d) for _ in range(block_size)]
+        pos = r.pos
+        end = pos + d * block_size
+        if end > len(r.b) * 8:
+            raise ValueError("flac: bitstream truncated")
+        r.pos = end
+        starts = pos + d * np.arange(block_size, dtype=np.int64)
+        x = _flac_signed(_flac_bulk_read(r, starts, d), d)
     elif 8 <= stype <= 12:  # FIXED, order = stype & 7
         order = stype & 7
-        x = [r.sread(d) for _ in range(order)]
-        coef = _FLAC_FIXED_COEF[order]
-        for v in _flac_residual(r, order, block_size):
-            x.append(
-                v + sum(c * x[-1 - j] for j, c in enumerate(coef))
-            )
+        warm = [r.sread(d) for _ in range(order)]
+        res = _flac_residual(r, order, block_size)
+        x = _flac_fixed_reconstruct(warm, res, order, block_size) \
+            if order else res
+        if x is None:  # magnitude gate tripped: exact scalar fallback
+            xs = list(warm)
+            coef = _FLAC_FIXED_COEF[order]
+            for v in res.tolist():
+                xs.append(
+                    v + sum(c * xs[-1 - j] for j, c in enumerate(coef))
+                )
+            x = np.array(xs, dtype=np.int64)
     elif stype >= 32:  # LPC, order = (stype & 31) + 1
         order = (stype & 31) + 1
-        x = [r.sread(d) for _ in range(order)]
+        xs = [r.sread(d) for _ in range(order)]
         prec = r.read(4)
         if prec == 15:
             raise ValueError("flac: invalid qlp precision")
@@ -2581,13 +2705,14 @@ def _flac_subframe(r: _FlacBitR, depth: int, block_size: int):
         if shift < 0:
             raise ValueError("flac: negative qlp shift")
         coef = [r.sread(prec) for _ in range(order)]
-        for v in _flac_residual(r, order, block_size):
-            pred = sum(c * x[-1 - j] for j, c in enumerate(coef))
-            x.append(v + (pred >> shift))
+        for v in _flac_residual(r, order, block_size).tolist():
+            pred = sum(c * xs[-1 - j] for j, c in enumerate(coef))
+            xs.append(v + (pred >> shift))
+        x = np.array(xs, dtype=np.int64)
     else:
         raise ValueError(f"flac: reserved subframe type {stype}")
     if wasted:
-        x = [v << wasted for v in x]
+        x = x << wasted
     return x
 
 
@@ -2678,17 +2803,16 @@ def flac_pcm_samples(b: bytes):
                 d1 = depth + (1 if ca in (8, 10) else 0)
                 s0 = _flac_subframe(r, d0, bs)
                 s1 = _flac_subframe(r, d1, bs)
+                # vectorized undecorrelation (round 9): int64 &, <<,
+                # and arithmetic >> match the scalar two's-complement
+                # semantics exactly for in-range samples
                 if ca == 8:  # left-side: R = L - side
-                    subs = [s0, [a - v for a, v in zip(s0, s1)]]
+                    subs = [s0, s0 - s1]
                 elif ca == 9:  # right-side: L = side + R
-                    subs = [[v + a for v, a in zip(s0, s1)], s1]
+                    subs = [s0 + s1, s1]
                 else:  # mid-side
-                    left, right = [], []
-                    for m, s in zip(s0, s1):
-                        m2 = (m << 1) | (s & 1)
-                        left.append((m2 + s) >> 1)
-                        right.append((m2 - s) >> 1)
-                    subs = [left, right]
+                    m2 = (s0 << 1) | (s1 & 1)
+                    subs = [(m2 + s1) >> 1, (m2 - s1) >> 1]
                 nch = 2
             else:
                 return None  # reserved channel assignment
@@ -2703,15 +2827,21 @@ def flac_pcm_samples(b: bytes):
                 b[fend:fend + 2], "big"
             ):
                 return None
-            for k in range(bs):
-                for ch in range(nch):
-                    out.append(subs[ch][k])
+            # channel interleave, vectorized (round 9): identical
+            # sample order to the old per-(k, ch) append loop
+            out.append(
+                subs[0] if nch == 1
+                else np.column_stack(subs).ravel()
+            )
             i = fend + 2
         except (ValueError, IndexError):
             return None
     if not out:
         return None
-    return np.array(out, dtype=np.int64), bits0, channels0, rate0
+    return (
+        np.concatenate(out) if len(out) > 1 else out[0],
+        bits0, channels0, rate0,
+    )
 
 
 def flac_pcm_stats(b: bytes) -> Optional[dict]:

@@ -10,8 +10,14 @@ from __future__ import annotations
 
 import base64
 import binascii
+import re
 import zlib
 from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+# printable-ASCII sanitizer: byte-identical to the old per-char
+# genexpr (ch if " " <= ch <= "~" else "?") but C-speed — it was 80%
+# of doc_to_pdf wall (round 9)
+_NONPRINTABLE = re.compile(r"[^ -~]")
 
 HEADER = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
 
@@ -384,7 +390,7 @@ def doc_to_pdf_paged(text: str, n_pages: int, title: Optional[str] = None) -> by
     equal substrings (K = ceil(len/n)), one Tj per page — page i's
     extracted text is substr(printable, i*K, K) + "\n", reproducible in
     ANSI SQL for the oracle."""
-    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    printable = _NONPRINTABLE.sub("?", text)
     k = max(1, -(-len(printable) // n_pages))
     chunks = [printable[i * k : (i + 1) * k] for i in range(n_pages)]
     return simple_pdf(
@@ -401,7 +407,7 @@ def doc_to_pdf(text: str, n_media: int = 1, title: Optional[str] = None) -> byte
     a trailing newline, and exactly `n_media` media spans named
     'img%02d' follow the text span.
     """
-    printable = "".join(ch if " " <= ch <= "~" else "?" for ch in text)
+    printable = _NONPRINTABLE.sub("?", text)
     content = bytearray(b"BT /F1 12 Tf (" + esc_string(printable) + b") Tj ET")
     b = PdfBuilder()
     # WinAnsi -> cp1252 decode: identity on printable ASCII, so the
