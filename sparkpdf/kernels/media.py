@@ -1268,6 +1268,37 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int):
     if not n_blocks:
         return None
     out = []
+    if channels == 1:
+        # mono fast path (round 9): one continuous nibble run per
+        # block — the general path pays a slice + state rebind every
+        # 4 bytes, which is pure overhead when there is no channel
+        # interleave. Identical output (differential test).
+        append = out.append
+        diff = _IMA_DIFF
+        nxt = _IMA_NEXT
+        for k in range(0, n_blocks * block_align, block_align):
+            p = int.from_bytes(data[k:k + 2], "little", signed=True)
+            ix = data[k + 2]
+            if ix > 88:
+                return None
+            append(p)
+            for byte in data[k + 4:k + block_align]:
+                t = (ix << 4) | (byte & 0x0F)
+                p += diff[t]
+                if p < -32768:
+                    p = -32768
+                elif p > 32767:
+                    p = 32767
+                append(p)
+                t = (nxt[t] << 4) | (byte >> 4)
+                p += diff[t]
+                if p < -32768:
+                    p = -32768
+                elif p > 32767:
+                    p = 32767
+                append(p)
+                ix = nxt[t]
+        return out
     for k in range(0, n_blocks * block_align, block_align):
         pred = []
         idx = []

@@ -57,3 +57,43 @@ def test_corrupt_stream_still_quarantines():
     enc[len(enc) // 2] ^= 0x40  # flip a payload bit -> CRC16 fails
     assert M.flac_pcm_samples(bytes(enc)) is None
     assert M.flac_pcm_stats(bytes(enc)) is None
+
+
+def _ima_mono_reference(data, block_align):
+    """The pre-round-9 general-path mono decode (slice per 4-byte
+    group), kept as the differential reference for the fast path."""
+    out = []
+    n_blocks = len(data) // block_align
+    for k in range(0, n_blocks * block_align, block_align):
+        pred = int.from_bytes(data[k:k + 2], "little", signed=True)
+        idx = data[k + 2]
+        assert idx <= 88
+        out.append(pred)
+        body = data[k + 4:k + block_align]
+        run = []
+        p, ix = pred, idx
+        for g in range(0, len(body), 4):
+            for byte in body[g:g + 4]:
+                t = (ix << 4) | (byte & 0x0F)
+                p += M._IMA_DIFF[t]
+                p = -32768 if p < -32768 else (32767 if p > 32767 else p)
+                run.append(p)
+                t = (M._IMA_NEXT[t] << 4) | (byte >> 4)
+                p += M._IMA_DIFF[t]
+                p = -32768 if p < -32768 else (32767 if p > 32767 else p)
+                run.append(p)
+                ix = M._IMA_NEXT[t]
+        out.extend(run)
+    return out
+
+
+def test_ima_mono_fast_path_matches_reference():
+    from sparkpdf.testing.imagegen import ima_adpcm_block
+
+    rng = np.random.default_rng(41)
+    for start_idx in (0, 20, 70, 88):
+        blk = ima_adpcm_block(
+            [0], [start_idx], bytes(map(int, rng.integers(0, 256, 252))))
+        data = blk * 8
+        assert M._ima_adpcm_decode(data, 1, 256) == \
+            _ima_mono_reference(data, 256)
