@@ -114,13 +114,46 @@ _NAME = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 # when that token is absent (hypothesis found the hang); possessive
 # quantifiers keep C-speed run matching with zero backtracking.
 _WS_RUN = rb"(?:[\x00\t\n\x0c\r ]++|%[^\r\n]*+)*+"
+# round 9: the dict/array scanners fold the COMMON simple values
+# (ref, number, name, bool/null) into the same C-level match that
+# already consumed the whitespace — one regex call replaces
+# ws-skip + dispatch + token match per value. The sub-patterns are
+# byte-for-byte the _REF_OR_NUMBER / _NAME / keyword forms, so a
+# fused match yields exactly what parse_object would; anything the
+# optional value group does not match (strings, nested dicts/arrays,
+# malformed input) falls through to parse_object at the same offset
+# with identical semantics, including error behavior.
+_SIMPLE_VAL = (
+    rb"(?:(\d++)[\x00\t\n\x0c\r ]++(\d++)[\x00\t\n\x0c\r ]++R(?![0-9A-Za-z])"
+    rb"|([+-]?+(?:\d++\.\d*+|\.\d++|\d++))"
+    rb"|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*+)"
+    rb"|(true|false|null))"
+)
 _DICT_NEXT = re.compile(
     _WS_RUN
     + rb"(?:(>>)|(/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*+)"
-    + _WS_RUN + rb")"
+    + _WS_RUN + _SIMPLE_VAL + rb"?+)"
 )
-# array-loop iteration: ws/comments then the closing ] if present
-_ARR_NEXT = re.compile(_WS_RUN + rb"(\])?")
+# array-loop iteration: ws/comments then the closing ] OR a fused
+# simple value if present
+_ARR_NEXT = re.compile(_WS_RUN + rb"(?:(\])|" + _SIMPLE_VAL + rb")?+")
+
+_KEYWORD_VALUES = {b"true": True, b"false": False, b"null": None}
+
+# interned Name cache (round 9): PDF name tokens repeat massively
+# (/Type, /Length, /Filter, ...) — reuse the immutable Name instead of
+# re-decoding per occurrence; bounded so adversarial inputs cannot
+# grow it without limit
+_NAME_CACHE: dict = {}
+
+
+def _make_name(raw: bytes) -> "Name":
+    n = _NAME_CACHE.get(raw)
+    if n is None:
+        n = Name(raw.decode("utf-8", "surrogateescape"))
+        if len(_NAME_CACHE) < 4096:
+            _NAME_CACHE[raw] = n
+    return n
 _REF_OR_NUMBER = re.compile(
     rb"(?:(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z]))"
     rb"|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
@@ -209,7 +242,7 @@ def parse_name(buf: bytes, pos: int) -> Tuple[Name, int]:
     m = _NAME.match(buf, pos)
     if not m:
         raise PdfError(f"expected name at {pos}")
-    return Name(m.group().decode("utf-8", "surrogateescape")), m.end()
+    return _make_name(m.group()), m.end()
 
 
 def parse_literal_string(buf: bytes, pos: int):
@@ -287,11 +320,37 @@ def parse_dict(buf: bytes, pos: int, resolve: Optional[Callable] = None):
             if skip_ws(buf, pos) >= n_buf:
                 raise PdfError("unterminated dictionary")
             raise PdfError(f"expected name at {pos}")
-        if m.group(1):  # '>>'
+        closing, rawkey, r1, r2, tok, nm, kw = m.group(
+            1, 2, 3, 4, 5, 6, 7)
+        if closing:  # '>>'
             pos = m.end()
             break
-        key = Name(m.group(2).decode("utf-8", "surrogateescape"))
-        val, pos = parse_object(buf, m.end(), resolve)
+        key = _make_name(rawkey)
+        # fused simple value (ref/number/name/keyword) from the same
+        # match; composite values fall through to parse_object
+        if r1 is not None:
+            val = Ref(int(r1), int(r2))
+            pos = m.end()
+        elif tok is not None:
+            if b"." in tok:
+                try:
+                    val = float(tok)
+                except ValueError:  # malformed real -> 0
+                    val = 0.0
+            else:
+                try:
+                    val = int(tok)
+                except ValueError:  # overflow -> 0
+                    val = 0
+            pos = m.end()
+        elif nm is not None:
+            val = _make_name(nm)
+            pos = m.end()
+        elif kw is not None:
+            val = _KEYWORD_VALUES[kw]
+            pos = m.end()
+        else:
+            val, pos = parse_object(buf, m.end(), resolve)
         d.setdefault(key, val)  # duplicate keys: first wins, tolerated
     # stream body? (generic.py:878-949)
     save = pos
@@ -333,15 +392,44 @@ def parse_array(buf: bytes, pos: int, resolve: Optional[Callable] = None):
     arr = []
     nxt = _ARR_NEXT.match
     n_buf = len(buf)
+    append = arr.append
     while True:
         m = nxt(buf, pos)  # always matches (possibly empty)
-        if m.group(1):  # ']'
+        closing, r1, r2, tok, nm, kw = m.group(1, 2, 3, 4, 5, 6)
+        if closing:  # ']'
             return arr, m.end()
+        # fused simple element from the same match (see _SIMPLE_VAL)
+        if r1 is not None:
+            append(Ref(int(r1), int(r2)))
+            pos = m.end()
+            continue
+        if tok is not None:
+            if b"." in tok:
+                try:
+                    v = float(tok)
+                except ValueError:  # malformed real -> 0
+                    v = 0.0
+            else:
+                try:
+                    v = int(tok)
+                except ValueError:  # overflow -> 0
+                    v = 0
+            append(v)
+            pos = m.end()
+            continue
+        if nm is not None:
+            append(_make_name(nm))
+            pos = m.end()
+            continue
+        if kw is not None:
+            append(_KEYWORD_VALUES[kw])
+            pos = m.end()
+            continue
         pos = m.end()
         if pos >= n_buf:
             raise PdfError("unterminated array")
         val, pos = parse_object(buf, pos, resolve)
-        arr.append(val)
+        append(val)
 
 
 def parse_object(buf: bytes, pos: int, resolve: Optional[Callable] = None):
