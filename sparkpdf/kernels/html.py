@@ -556,8 +556,32 @@ def parse_web_doc(html_text: str) -> "tuple[dict, dict]":
     directly)."""
     raw = html_text or ""
     events = _fast_events(raw)
-    main = _drive(_MainTextParser, raw, events)
-    feats = _drive(_WebFeatureParser, raw, events)
+    if events is None:
+        main = _drive(_MainTextParser, raw, None)
+        feats = _drive(_WebFeatureParser, raw, None)
+    else:
+        # one loop, both parsers: same handler calls as two _replay
+        # passes, minus the second iteration's dispatch overhead
+        main = _MainTextParser()
+        feats = _WebFeatureParser()
+        da_m, da_f = main.handle_data, feats.handle_data
+        st_m, st_f = main.handle_starttag, feats.handle_starttag
+        en_m, en_f = main.handle_endtag, feats.handle_endtag
+        se_m, se_f = main.handle_startendtag, feats.handle_startendtag
+        for ev in events:
+            k = ev[0]
+            if k == 0:
+                da_m(ev[1])
+                da_f(ev[1])
+            elif k == 1:
+                st_m(ev[1], ev[2])
+                st_f(ev[1], ev[2])
+            elif k == 2:
+                en_m(ev[1])
+                en_f(ev[1])
+            else:
+                se_m(ev[1], ev[2])
+                se_f(ev[1], ev[2])
     main_text, title = main.result()
     return {"main_text": main_text, "title": title}, feats.result()
 
