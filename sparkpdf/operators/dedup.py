@@ -359,7 +359,17 @@ def _bounded_jaccard_verify(
                        F.col("cs").alias("csb")),
             "doc_b")
     )
-    identical = (F.col("na") == F.col("nb")) & (F.col("csa") == F.col("csb"))
+    # n > 0 guard (r8 advice): two ZERO-token docs must not be
+    # declared identical by the (count, checksum) shortcut — the
+    # legacy full-array path computes 0/0 -> NaN and DROPS the pair.
+    # Unreachable via minhash LSH today (tokenless docs never get
+    # signatures), but the decision-identical contract must hold for
+    # any caller.
+    identical = (
+        (F.col("na") == F.col("nb"))
+        & (F.col("na") > 0)
+        & (F.col("csa") == F.col("csb"))
+    )
     # cap = the K-th prefix token when the set was truncated, else
     # NULL (= +inf: the prefix IS the whole set)
     cap_a = F.when(F.col("na") > k_sig, F.element_at("sa", k_sig))

@@ -489,7 +489,17 @@ def _pq_subvectors(vecs: DataFrame, col: str, m_sub: int,
 
 def _pq_assign(subs: DataFrame, cbooks: DataFrame) -> DataFrame:
     """Nearest codeword per (vec, sub) by rounded dot, rank-1 ties to
-    the lowest centroid_id — the shared PQ assignment step."""
+    the lowest centroid_id — the shared PQ assignment step.
+
+    Known tradeoff (r8 advice, documented): assignment maximizes the
+    dot product while ivfpq_residual_topk scores with L2 ADC, and
+    residual subvectors are not unit-normalized — standard IVFADC
+    assigns by min L2, so on corpora whose subvector NORMS vary widely
+    this encoding can lose recall vs the textbook assignment. It is
+    deterministic, oracle-replayable, and recall@3 = 1.0 on the
+    clustered corpus; switching metrics would change every PQ code and
+    therefore every PQ oracle, so it stays dot-assigned until a round
+    that re-baselines those oracles."""
     scored = subs.join(F.broadcast(cbooks), "sub_id").select(
         "vec_id", "sub_id", "sub", "centroid_id",
         F.round(_dot(F.col("sub"), F.col("cvec")), 6).alias("sim"),
