@@ -231,6 +231,44 @@ def exp_stream():
     spark.stop()
 
 
+
+
+def exp_stages():
+    """Per-stage metrics for one query via the UI REST API (the round-9
+    measurement methodology: run a query under a label, then read
+    /stages + taskSummary quantiles). Usage:
+    python bench_extra.py stages <query_name>"""
+    import __spark_entry__ as entrymod
+
+    name = sys.argv[2] if len(sys.argv) > 2 else "extract_spans"
+    spark = get_ui_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    q = entrymod.queries()[name]
+    noop(q(spark, SF_DIR))  # warm
+    timed(name, spark, lambda: noop(q(spark, SF_DIR)), n=1)
+    for s in sorted(
+        rest(spark, "stages?status=COMPLETE"),
+        key=lambda s: -s["stageId"],
+    )[:6]:
+        print(
+            f"stage {s['stageId']:3d} tasks={s['numCompleteTasks']:3d} "
+            f"runTime={s['executorRunTime'] / 1e3:7.2f}s "
+            f"cpuTime={s.get('executorCpuTime', 0) / 1e9:6.2f}s "
+            f"shuffleRead={s.get('shuffleReadBytes', 0)} "
+            f"{s['name'][:40]}"
+        )
+        ts = rest(
+            spark,
+            f"stages/{s['stageId']}/0/taskSummary"
+            "?quantiles=0.0,0.5,1.0",
+        )
+        rt = ts.get("executorRunTime")
+        if rt:
+            print(f"          task runTime min/med/max "
+                  f"{[round(x / 1e3, 3) for x in rt]}")
+    spark.stop()
+
+
 if __name__ == "__main__":
     {"pdf": exp_pdf, "web": exp_web, "queries": exp_queries,
-     "stream": exp_stream}[sys.argv[1]]()
+     "stream": exp_stream, "stages": exp_stages}[sys.argv[1]]()

@@ -191,12 +191,18 @@ _FAST_DISABLED = _os.environ.get("SPARKPDF_HTML_FAST", "1") == "0"
 _F_STARTTAG = _re.compile(
     r"<([a-zA-Z][-.a-zA-Z0-9:_]*)"
     r"((?:\s+[^\s/>=\"'][^\s/=>]*"
-    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?)*)"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'=])[^\s>]+))?)*)"
     r"\s*(/?)>"
 )
+# unquoted values must not START with '=' (nor a quote): stdlib's
+# attrfind_tolerant eats runs of '=' ('foo==\"bar\"' -> ('foo','bar')),
+# so a leading '=' here would swallow the extra equals into the value
+# and silently diverge — excluding it makes the whole start-tag match
+# fail and the document bail to stdlib instead (r9 review finding,
+# pinned in tests/test_html_fast.py)
 _F_ATTR = _re.compile(
     r"\s+([^\s/>=\"'][^\s/=>]*)"
-    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]+))?"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|(?![\"'=])[^\s>]+))?"
 )
 _F_ENDTAG = _re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _F_COMMENT_CLOSE = _re.compile(r"--\s*>")  # stdlib _markupbase.Marked...

@@ -2778,10 +2778,14 @@ def flac_pcm_samples(b: bytes):
         if last:
             break
     out = []
+    bits_shared = None  # unpacked-bit view shared across ALL frames:
+    # a per-frame reader would re-run np.unpackbits over the whole
+    # file each frame, O(frames x filesize) (r9 review finding)
     while i < len(b):
         if i + 2 > len(b):
             return None  # trailing garbage that is not a frame
         r = _FlacBitR(b, i)
+        r.bits = bits_shared
         try:
             if r.read(14) != 0b11111111111110 or r.read(1):
                 return None
@@ -2865,6 +2869,7 @@ def flac_pcm_samples(b: bytes):
                 else np.column_stack(subs).ravel()
             )
             i = fend + 2
+            bits_shared = r.bits  # keep a lazily-built view for later frames
         except (ValueError, IndexError):
             return None
     if not out:

@@ -10,14 +10,12 @@ from __future__ import annotations
 
 import base64
 import binascii
-import re
 import zlib
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
-# printable-ASCII sanitizer: byte-identical to the old per-char
-# genexpr (ch if " " <= ch <= "~" else "?") but C-speed — it was 80%
-# of doc_to_pdf wall (round 9)
-_NONPRINTABLE = re.compile(r"[^ -~]")
+# printable-ASCII sanitizer — canonical definition lives with the
+# HTML corpus generators (kernels/html.py); one pattern, one comment
+from ..kernels.html import _NONPRINTABLE  # noqa: E402
 
 HEADER = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
 

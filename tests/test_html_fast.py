@@ -89,6 +89,14 @@ NASTY = [
     "<p/ >t",
     "<3 items>",
     "trailing <",
+    # r9 review finding: stdlib attrfind_tolerant eats runs of '='
+    # ('foo==\'bar\'' parses as ('foo','bar')); the fast path must
+    # BAIL on these, never swallow the extra '=' into the value
+    '<a foo=="bar">t</a>',
+    "<a foo ==bar>t</a>",
+    "<a foo===bar>t</a>",
+    "<a foo= =bar>t</a>",
+    '<img src =="x">',
 ]
 
 
@@ -154,13 +162,14 @@ def test_event_stream_parity_fuzz():
         '<img src="i">', "<table>", "<tr>", "<td>", "</td>", "</tr>",
         "</table>", "&#65;", " ", "<DIV a=b>", "</div>", "<!doctype h>",
         "<?pi?>", "'", '"', "=", "/", "!", "&unknown;", "\n",
+        "==", 'foo=="bar"', "a==b", "<a foo==bar>",
     ]
     checked = 0
-    for _ in range(600):
+    for _ in range(3000):
         raw = "".join(rng.choice(frags) for _ in range(rng.randint(1, 24)))
         ev = H._fast_events(raw)
         if ev is None:
             continue
         assert ev == _stdlib_events(raw), repr(raw)
         checked += 1
-    assert checked > 200  # the fast path must cover most soup too
+    assert checked > 800  # the fast path must cover most soup too
